@@ -1,0 +1,105 @@
+"""Distributed crawl loop vs the single-process BFS oracle:
+identical URL-seen set, per-round fetch sets (crawl ordering), parsed
+values, and image rows (decoded-pixel equality + caption equality)."""
+
+import json
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from uniparser_ray.crawl.loop import CrawlConfig, CrawlRun
+from uniparser_ray.crawl.oracle import BFSOracle
+from uniparser_ray.sources.codecs import decode_image
+from uniparser_ray.sources.synthweb import SynthWeb
+from uniparser_ray.storage.lance_layout import LanceLayoutTable
+
+WEB_CFG = dict(num_hosts=3, base_pages=10, fanout=2, hot_factor=4.0)
+
+
+def _ray_rounds(out_dir, max_rounds=30):
+    """[(round, sorted fetched urls)] from the pages checkpoints."""
+    rounds = []
+    for r in range(max_rounds):
+        d = out_dir / "pages" / f"round={r}"
+        if not d.exists():
+            break
+        urls = []
+        for f in sorted(d.glob("*.parquet")):
+            urls.extend(pq.read_table(f, columns=["url"])["url"].to_pylist())
+        rounds.append(sorted(urls))
+    return rounds
+
+
+@pytest.fixture(scope="module")
+def oracle_result():
+    web = SynthWeb(**WEB_CFG)
+    oracle = BFSOracle(web, web.rule_pack(), per_host_budget=3)
+    return oracle.run(web.seed_urls(), max_rounds=30)
+
+
+def test_crawl_matches_oracle(ray_session, tmp_path, oracle_result):
+    web = SynthWeb(**WEB_CFG)
+    cfg = CrawlConfig(web_config=WEB_CFG, out_dir=str(tmp_path / "crawl"),
+                      seeds=web.seed_urls(), max_rounds=30,
+                      per_host_budget=3, fetch_concurrency=2,
+                      seen_shard_bits=2)
+    totals = CrawlRun(cfg).run(web.rule_pack())
+    assert totals["pages_ok"] > 0
+
+    # 1. crawl ordering: identical per-round fetched URL sets
+    ray_rounds = _ray_rounds(tmp_path / "crawl")
+    oracle_rounds = [r["fetched"] for r in oracle_result["rounds"]]
+    assert ray_rounds == oracle_rounds
+
+    # 2. URL-seen set equality
+    assert totals["seen"]["added"] == len(oracle_result["seen"])
+    assert totals["seen"]["divergences"] == 0  # bloom vs exact tandem
+
+    # 3. parsed values: titles from result_json match oracle bodies
+    for r, _ in enumerate(ray_rounds):
+        d = tmp_path / "crawl" / "pages" / f"round={r}"
+        for f in sorted(d.glob("*.parquet")):
+            t = pq.read_table(f, columns=["url", "status", "result_json"])
+            for url, status, rj in zip(t["url"].to_pylist(),
+                                       t["status"].to_pylist(),
+                                       t["result_json"].to_pylist()):
+                o_status, o_body = oracle_result["pages"][url]
+                assert status == o_status
+                if status == 200:
+                    body = json.loads(rj)
+                    assert body["title"] == o_body["title"]
+
+    # 4. image rows: ids, captions, decoded pixels equal
+    images = LanceLayoutTable(str(tmp_path / "crawl" / "images_lance")).to_table()
+    got = {row["image_id"]: row for row in images.to_pylist()}
+    want = oracle_result["images"]
+    assert set(got) == set(want)
+    for image_id, row in got.items():
+        blob, caption = want[image_id]
+        assert row["caption"] == caption
+        assert np.array_equal(decode_image(row["bytes"]), decode_image(blob))
+        assert row["w"] > 0 and row["h"] > 0
+
+
+def test_crawl_resume(ray_session, tmp_path, oracle_result):
+    """Stop after 2 rounds, resume, final state equals a clean run."""
+    web = SynthWeb(**WEB_CFG)
+    out = tmp_path / "crawl2"
+    cfg_partial = CrawlConfig(web_config=WEB_CFG, out_dir=str(out),
+                              seeds=web.seed_urls(), max_rounds=2,
+                              per_host_budget=3, fetch_concurrency=2,
+                              seen_shard_bits=2)
+    CrawlRun(cfg_partial).run(web.rule_pack())
+    cfg_full = CrawlConfig(web_config=WEB_CFG, out_dir=str(out),
+                           seeds=web.seed_urls(), max_rounds=30,
+                           per_host_budget=3, fetch_concurrency=2,
+                           seen_shard_bits=2)
+    totals = CrawlRun(cfg_full).run(web.rule_pack(), resume=True)
+    ray_rounds = _ray_rounds(out)
+    oracle_rounds = [r["fetched"] for r in oracle_result["rounds"]]
+    assert ray_rounds == oracle_rounds
+    images = LanceLayoutTable(str(out / "images_lance")).to_table()
+    assert images.num_rows == len(oracle_result["images"])
+    assert totals["pages_ok"] == sum(
+        1 for s, _ in oracle_result["pages"].values() if s == 200)

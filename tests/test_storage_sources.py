@@ -1,0 +1,125 @@
+"""Codecs round-trip, Lance-layout store, deterministic image table,
+synthetic web."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from uniparser_ray.sources import codecs
+from uniparser_ray.sources.images import (IMAGES_SCHEMA, build_images_batch,
+                                          caption_for, generate_images_lance,
+                                          image_spec, render_pixels)
+from uniparser_ray.sources.synthweb import SynthWeb
+from uniparser_ray.storage.lance_layout import LanceLayoutTable
+
+
+@pytest.mark.parametrize("fmt", ["ppm", "bmp", "png"])
+def test_codec_roundtrip(fmt):
+    rng = np.random.RandomState(7)
+    for shape in [(5, 3, 3), (16, 16, 3), (31, 17, 3)]:
+        px = rng.randint(0, 256, shape).astype(np.uint8)
+        data = codecs.encode_image(px, fmt)
+        out = codecs.decode_image(data, fmt)
+        assert out.shape == px.shape
+        assert np.array_equal(out, px)
+        # sniffing decode
+        assert np.array_equal(codecs.decode_image(data), px)
+
+
+def test_average_hash_properties():
+    px = render_pixels(123)
+    h1 = codecs.average_hash64(px)
+    h2 = codecs.average_hash64(px)
+    assert h1 == h2
+    assert -(1 << 63) <= h1 < (1 << 63)
+    # a different image should (nearly always) hash differently
+    assert codecs.average_hash64(render_pixels(124)) != h1
+
+
+def test_images_table_deterministic():
+    t1 = build_images_batch(0, 20)
+    t2 = build_images_batch(0, 20)
+    assert t1.equals(t2)
+    assert t1.schema.equals(IMAGES_SCHEMA)
+    assert t1.num_rows == 20
+    # decoded pixels match the renderer exactly (lossless invariant)
+    row = t1.slice(3, 1).to_pylist()[0]
+    px = codecs.decode_image(row["bytes"], row["fmt"])
+    assert np.array_equal(px, render_pixels(3))
+    assert row["w"] == px.shape[1] and row["h"] == px.shape[0]
+    assert row["caption"] == caption_for(3)
+
+
+def test_lance_layout_roundtrip(tmp_path):
+    root = tmp_path / "tbl"
+    tbl = LanceLayoutTable(str(root))
+    assert not tbl.exists()
+    t = pa.table({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    tbl.write_fragment(t, "part0")
+    v1 = tbl.commit(["frag-part0.parquet"])
+    assert v1 == 1 and tbl.count_rows() == 3
+    # append-only versioning
+    t2 = pa.table({"a": [4], "b": ["w"]})
+    tbl.write_fragment(t2, "part1")
+    v2 = tbl.commit(["frag-part1.parquet"])
+    assert v2 == 2
+    assert tbl.count_rows(version=1) == 3
+    assert tbl.count_rows(version=2) == 4
+    assert tbl.to_table()["a"].to_pylist() == [1, 2, 3, 4]
+    # idempotent fragment write (resume path)
+    tbl.write_fragment(pa.table({"a": [99], "b": ["q"]}), "part1")
+    assert tbl.to_table()["a"].to_pylist() == [1, 2, 3, 4]
+
+
+def test_generate_images_lance_resumable(tmp_path):
+    root = str(tmp_path / "images")
+    generate_images_lance(root, 25, rows_per_fragment=10)
+    tbl = LanceLayoutTable(root)
+    assert tbl.count_rows() == 25
+    # rerun: no duplicate fragments, new version same rows
+    generate_images_lance(root, 25, rows_per_fragment=10)
+    assert tbl.count_rows() == 25
+
+
+def test_synthweb_deterministic_and_crawlable():
+    web = SynthWeb(num_hosts=4, base_pages=6, fanout=2)
+    s1, _, b1 = web.get("http://host-0000.test/")
+    s2, _, b2 = web.get("http://host-0000.test/")
+    assert s1 == s2 == 200 and b1 == b2
+    # image endpoint serves decodable bytes matching the table
+    html = b1.decode()
+    import re
+    m = re.search(r'src="(/img/(\d+)\.(\w+))"', html)
+    if m:
+        _, _, blob = web.get("http://host-0000.test" + m.group(1))
+        px = codecs.decode_image(blob)
+        assert px.shape == (image_spec(int(m.group(2)))[1],
+                            image_spec(int(m.group(2)))[0], 3)
+    # unknown host raises (DNS-style error -> error-as-value upstream)
+    with pytest.raises(ValueError):
+        web.get("http://host-9999.test/")
+    assert web.get("http://host-0000.test/page/99999")[0] == 404
+    assert len(web.seed_urls()) == 4
+
+
+def test_synthweb_oracle_crawl():
+    from uniparser_ray import Uniparser
+    from uniparser_ray.crawl.oracle import OracleCrawler
+    from uniparser_ray.crawl.storage import JSONRuleStorage
+    from uniparser_ray.rulevm.transport import SyntheticWebAdapter
+
+    web = SynthWeb(num_hosts=2, base_pages=4, fanout=2, hot_factor=1.0)
+    storage = JSONRuleStorage(**web.rule_pack())
+    vm = Uniparser()
+    vm.request_adapter = SyntheticWebAdapter(web)
+    # crawl one page WITHOUT recursion (oracle with recursion would
+    # revisit self-links forever; the distributed loop dedups via the
+    # seen filter — the oracle-with-seen variant lives in crawl tests)
+    rule = storage.find_crawler_rule("http://host-0000.test/")
+    result = vm.crawl(rule, url="http://host-0000.test/")
+    page = result["page"]
+    assert page["title"] == "Page 0 of host-0000"
+    for img in page["images"]:
+        assert img["src"].startswith("/img/")
+        assert img["caption"].startswith("a ")
+    assert all(u.startswith("http://host-") for u in page["__request__"])

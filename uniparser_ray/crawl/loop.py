@@ -1,0 +1,358 @@
+"""The distributed crawl: round-based BFS over a checkpointed frontier.
+
+One round = one Ray Data pipeline (SURVEY.md §3.1):
+
+    read frontier_r (parquet checkpoint)
+      -> map_batches: canonicalize + url_hash + host      [stateless]
+      -> map_batches: seen test-and-set + robots filter   [actor RPCs]
+      -> groupby(host).map_groups: politeness top-k grant [shuffle #1]
+      -> map_batches(FetchParseStage, concurrency=N)      [actor pool]
+      -> sinks: pages parquet (round-partitioned);
+                image candidates -> dedup -> ImageFetchStage
+                  -> Lance image+caption fragments;
+                links + backlog -> frontier_{r+1} checkpoint
+
+Determinism: which URLs are fetched in round r is decided by a stable
+per-host sort on (priority, url_hash) under a fixed per-host budget —
+the virtual-clock politeness model — so the round assignment, the
+URL-seen set, and every parsed value are reproducible and equal to the
+single-process oracle's (tests assert this).  Lineage: every frontier
+row carries (parent, depth); every sink is partitioned by round, so a
+failed run resumes from the last committed round.
+
+Scale notes (the 10^10 design):
+* the frontier lives on disk between rounds — the driver never holds
+  URLs, only Dataset handles and per-round counters;
+* the only all-to-all exchange is the groupby(host) grant (politeness
+  locality); hot hosts are bounded by the budget so the biggest group
+  is budget + max_pending rows — skew is clipped, not shuffled;
+* the seen anti-join is actor-sharded by hash prefix (no shuffle);
+* image payload fetching is an actor pool with small batches so
+  multi-MB bodies never concentrate in one block.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..rulevm.urlutil import url_hash64
+from ..stages.crawl_stages import (FetchParseStage, HashSeenStage,
+                                   ImageFetchStage, SeenRobotsStage,
+                                   canonicalize_batch)
+from ..state.seen import SeenFilter
+from ..storage.lance_layout import LanceLayoutTable
+
+FRONTIER_SCHEMA = pa.schema([
+    ("url", pa.large_string()),
+    ("parent", pa.large_string()),
+    ("depth", pa.int32()),
+    ("priority", pa.float32()),
+    ("seen_ok", pa.int8()),
+])
+
+
+@dataclass
+class CrawlConfig:
+    web_config: dict
+    out_dir: str
+    seeds: List[str] = None
+    max_rounds: int = 20
+    per_host_budget: int = 8          # fetches per host per round (politeness)
+    max_pending_per_host: int = 1000  # backlog cap (frontier bound)
+    fetch_concurrency: int = 4
+    fetch_batch_size: int = 128
+    seen_shard_bits: int = 3
+    seen_mode: str = "tandem"
+    use_robots: bool = True
+    host_budgets: Dict[str, int] = field(default_factory=dict)
+
+
+def _frontier_table(urls: List[str], parents: List[str], depths: List[int],
+                    priorities: List[float], seen_ok: List[int]) -> pa.Table:
+    return pa.Table.from_arrays([
+        pa.array(urls, pa.large_string()),
+        pa.array(parents, pa.large_string()),
+        pa.array(depths, pa.int32()),
+        pa.array(priorities, pa.float32()),
+        pa.array(seen_ok, pa.int8()),
+    ], schema=FRONTIER_SCHEMA)
+
+
+def _make_granter(budgets: Dict[str, int], default_budget: int,
+                  max_pending: int):
+    def grant(group: pd.DataFrame) -> pd.DataFrame:
+        # deterministic politeness: stable per-host order, first k fetched
+        group = group.sort_values(["priority", "url_hash"], kind="mergesort")
+        k = budgets.get(group["host"].iloc[0], default_budget)
+        granted = np.zeros(len(group), dtype=np.int8)
+        granted[:k] = 1
+        group = group.assign(granted=granted)
+        # clip the backlog so one hot host cannot grow the frontier
+        # unboundedly (dropped rows are counted by the round metrics)
+        return group.iloc[:k + max_pending]
+    return grant
+
+
+def _explode_links(batch: pa.Table) -> pa.Table:
+    urls, parents, depths, priors = [], [], [], []
+    for url, depth, links in zip(batch["url"].to_pylist(),
+                                 batch["depth"].to_pylist(),
+                                 batch["links"].to_pylist()):
+        for link in links or []:
+            urls.append(link)
+            parents.append(url)
+            depths.append(depth + 1)
+            priors.append(float(depth + 1))
+    return _frontier_table(urls, parents, depths, priors, [0] * len(urls))
+
+
+def _explode_images(batch: pa.Table) -> pa.Table:
+    img_urls, caps, parents = [], [], []
+    for url, srcs, captions in zip(batch["url"].to_pylist(),
+                                   batch["img_srcs"].to_pylist(),
+                                   batch["img_captions"].to_pylist()):
+        base = url.split("/", 3)
+        origin = f"{base[0]}//{base[2]}" if len(base) >= 3 else ""
+        for src, cap in zip(srcs or [], captions or []):
+            img_urls.append(src if src.startswith("http") else origin + src)
+            caps.append(cap)
+            parents.append(url)
+    t = pa.Table.from_arrays([
+        pa.array(img_urls, pa.large_string()),
+        pa.array(caps, pa.large_string()),
+        pa.array(parents, pa.large_string()),
+    ], names=["img_url", "caption", "parent"])
+    # in-batch dedup by image URL (cross-batch dedup via the seen shards)
+    hashes = pa.array([url_hash64("img|" + u) for u in img_urls], pa.uint64())
+    t = t.append_column("url_hash", hashes)
+    return t
+
+
+class CrawlRun:
+    """Driver for one crawl (resumable)."""
+
+    def __init__(self, cfg: CrawlConfig):
+        import ray  # noqa: F401  (driver owns the session)
+        self.cfg = cfg
+        self.out = Path(cfg.out_dir)
+        self.frontier_dir = self.out / "frontier"
+        self.pages_dir = self.out / "pages"
+        self.images = LanceLayoutTable(str(self.out / "images_lance"))
+        self.metrics: List[dict] = []
+        self.seen = SeenFilter(cfg.seen_shard_bits, cfg.seen_mode)
+        self.img_seen = SeenFilter(max(cfg.seen_shard_bits - 1, 1), cfg.seen_mode)
+        if cfg.use_robots:
+            from ..state.robots import RobotsShardActor
+            from ..sources.synthweb import SynthWeb
+            web_config = dict(cfg.web_config)
+            self.robots_shards = [
+                RobotsShardActor.remote(
+                    web_factory=lambda wc=web_config: SynthWeb(**wc))
+                for _ in range(4)]
+        else:
+            self.robots_shards = []
+        self.rule_pack_ref = None
+
+    # -- state / resume ----------------------------------------------------
+    def _state_path(self) -> Path:
+        return self.out / "_state.json"
+
+    def _load_state(self) -> Optional[dict]:
+        if self._state_path().exists():
+            return json.loads(self._state_path().read_text())
+        return None
+
+    def _save_state(self, round_idx: int):
+        tmp = self.out / "_state.json.tmp"
+        tmp.write_text(json.dumps({
+            "next_round": round_idx,
+            "metrics": self.metrics,
+        }))
+        tmp.replace(self._state_path())
+
+    def _reseed_filters(self, upto_round: int):
+        """Rebuild seen state from committed checkpoints (resume)."""
+        for r in range(upto_round):
+            d = self.pages_dir / f"round={r}"
+            if d.exists():
+                for f in sorted(d.glob("*.parquet")):
+                    t = pq.read_table(f, columns=["url_hash"])
+                    self.seen.add_batch(
+                        t["url_hash"].to_numpy(zero_copy_only=False))
+        if self.images.exists():
+            t = self.images.to_table(columns=["src_url"])
+            if t.num_rows:
+                self.img_seen.add_batch(
+                    [url_hash64("img|" + u) for u in t["src_url"].to_pylist()])
+        # frontier seen_ok rows were already admitted
+        d = self.frontier_dir / f"round={upto_round}"
+        if d.exists():
+            for f in sorted(d.glob("*.parquet")):
+                t = pq.read_table(f, columns=["url", "seen_ok"])
+                mask = [bool(s) for s in t["seen_ok"].to_pylist()]
+                urls = [u for u, m in zip(t["url"].to_pylist(), mask) if m]
+                if urls:
+                    self.seen.add_batch([url_hash64(u) for u in urls])
+
+    # -- rounds ------------------------------------------------------------
+    def _write_frontier(self, table: pa.Table, round_idx: int):
+        d = self.frontier_dir / f"round={round_idx}"
+        d.mkdir(parents=True, exist_ok=True)
+        pq.write_table(table, d / "part-driver.parquet")
+
+    def _seed_round0(self):
+        seeds = self.cfg.seeds
+        self._write_frontier(_frontier_table(
+            seeds, [""] * len(seeds), [0] * len(seeds),
+            [0.0] * len(seeds), [0] * len(seeds)), 0)
+
+    def run(self, rule_pack: dict, resume: bool = True) -> dict:
+        import ray
+        import ray.data as rd
+        self.out.mkdir(parents=True, exist_ok=True)
+        self.rule_pack_ref = ray.put(rule_pack)
+        start_round = 0
+        state = self._load_state() if resume else None
+        if state:
+            start_round = state["next_round"]
+            self.metrics = state["metrics"]
+            self._reseed_filters(start_round)
+        else:
+            self._seed_round0()
+
+        seen_stage = SeenRobotsStage(
+            self.seen.shards, self.cfg.seen_shard_bits,
+            self.robots_shards, len(self.robots_shards))
+        granter = _make_granter(self.cfg.host_budgets,
+                                self.cfg.per_host_budget,
+                                self.cfg.max_pending_per_host)
+
+        for r in range(start_round, self.cfg.max_rounds):
+            t0 = time.perf_counter()
+            fdir = self.frontier_dir / f"round={r}"
+            if not fdir.exists() or not list(fdir.glob("*.parquet")):
+                break
+
+            # -- admit + politeness grant (the round's one shuffle) ----
+            frontier = rd.read_parquet(str(fdir))
+            decided = (
+                frontier
+                .map_batches(canonicalize_batch, batch_format="pyarrow")
+                .map_batches(seen_stage, batch_format="pyarrow",
+                             batch_size=4096)
+                # shuffle #1: the grant needs all of a host's pending rows
+                # together — groupby(host) is the partitioner; hot hosts
+                # are clipped to budget + max_pending inside the group
+                .groupby("host").map_groups(granter, batch_format="pandas")
+            ).materialize()
+            n_decided = decided.count()
+            granted = decided.filter(expr="granted == 1")
+            n_granted = granted.count()
+            if n_granted == 0:
+                break
+
+            # -- fetch + rule-VM parse (actor pool) --------------------
+            pages = granted.map_batches(
+                FetchParseStage, batch_format="pyarrow",
+                fn_constructor_kwargs={
+                    "rule_pack_ref": self.rule_pack_ref,
+                    "web_config": self.cfg.web_config},
+                concurrency=self.cfg.fetch_concurrency,
+                batch_size=self.cfg.fetch_batch_size,
+                num_cpus=1).materialize()
+
+            pdir = self.pages_dir / f"round={r}"
+            pages.drop_columns(["links", "img_srcs", "img_captions"]) \
+                .write_parquet(str(pdir))
+
+            # -- image side-channel: explode -> dedup -> fetch -> Lance
+            # fragments written task-parallel straight into the table dir
+            # (bytes never touch the driver)
+            img_dir = self.images.data_dir / f"round={r}"
+            img_rows = (
+                pages
+                .map_batches(_explode_images, batch_format="pyarrow")
+                .map_batches(
+                    HashSeenStage, batch_format="pyarrow",
+                    fn_constructor_kwargs={
+                        "seen_shards": self.img_seen.shards,
+                        "shard_bits": self.img_seen.shard_bits},
+                    concurrency=2, num_cpus=0.25)
+                .map_batches(
+                    ImageFetchStage, batch_format="pyarrow",
+                    fn_constructor_kwargs={"web_config": self.cfg.web_config},
+                    concurrency=max(2, self.cfg.fetch_concurrency // 2),
+                    batch_size=64, num_cpus=1)
+            )
+            img_rows.write_parquet(str(img_dir))
+            frag_names = [f"round={r}/{p.name}"
+                          for p in sorted(img_dir.glob("*.parquet"))
+                          if pq.read_metadata(p).num_rows > 0]
+            for p in img_dir.glob("*.parquet"):
+                if pq.read_metadata(p).num_rows == 0:
+                    p.unlink()
+            n_images = sum(pq.read_metadata(self.images.data_dir / n).num_rows
+                           for n in frag_names)
+            self.images.commit(frag_names, metadata={"round": r})
+
+            # -- next frontier: links + politeness backlog -------------
+            # per-round link volume is bounded (granted x fanout), so the
+            # driver assembles the checkpoint; at full scale this becomes
+            # links.write_parquet(frontier_dir) task-parallel
+            link_tables = [t for t in ray.get(
+                pages.map_batches(_explode_links,
+                                  batch_format="pyarrow").to_arrow_refs())
+                if t.num_rows]
+            parts = list(link_tables)
+            backlog_rows = decided.filter(expr="granted == 0").select_columns(
+                ["url", "parent", "depth", "priority"]).to_pandas()
+            if len(backlog_rows):
+                parts.append(_frontier_table(
+                    backlog_rows["url"].tolist(),
+                    backlog_rows["parent"].tolist(),
+                    backlog_rows["depth"].tolist(),
+                    backlog_rows["priority"].tolist(),
+                    [1] * len(backlog_rows)))
+            next_frontier = (pa.concat_tables(parts) if parts
+                             else _frontier_table([], [], [], [], []))
+            n_next = next_frontier.num_rows
+            if n_next:
+                self._write_frontier(next_frontier, r + 1)
+
+            self.metrics.append({
+                "round": r,
+                "candidates": frontier.count(),
+                "granted": n_granted,
+                "backlog": n_decided - n_granted,
+                "pages_ok": pages.filter(expr="status == 200").count(),
+                "images_written": n_images,
+                "next_frontier": n_next,
+                "sec": round(time.perf_counter() - t0, 3),
+            })
+            self._save_state(r + 1)
+            if not n_next:
+                break
+
+        totals = {
+            "rounds": len(self.metrics),
+            "pages_ok": sum(m["pages_ok"] for m in self.metrics),
+            "granted": sum(m["granted"] for m in self.metrics),
+            "images": self.images.count_rows(),
+            "seen": self.seen.stats(),
+            "per_round": self.metrics,
+        }
+        (self.out / "metrics.json").write_text(json.dumps(totals, indent=1))
+        return totals
+
+
+def run_crawl(cfg: CrawlConfig, rule_pack: dict, resume: bool = True) -> dict:
+    return CrawlRun(cfg).run(rule_pack, resume=resume)

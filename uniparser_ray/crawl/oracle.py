@@ -59,3 +59,140 @@ class OracleCrawler:
 
 # reference-shaped alias
 Crawler = OracleCrawler
+
+
+class BFSOracle:
+    """Single-process mirror of the distributed round loop
+    (crawl/loop.py): same canonicalization, URL-seen set, robots
+    filter, per-host (priority, url_hash) politeness grant, rule-VM
+    parse, image dedup — all sequential Python.  The Ray engine must
+    match this oracle's per-round fetched-URL sets, parsed values and
+    image rows exactly; the conformance tests assert it.
+    """
+
+    def __init__(self, web, rule_pack: dict, per_host_budget: int = 8,
+                 max_pending_per_host: int = 1000, use_robots: bool = True,
+                 host_budgets: dict = None):
+        from ..rulevm.transport import SyntheticWebAdapter
+        from .storage import JSONRuleStorage
+        from ..state.robots import parse_robots
+
+        self.web = web
+        self.adapter = SyntheticWebAdapter(web)
+        self.storage = JSONRuleStorage(**rule_pack)
+        self.vm = RuleVM()
+        self.budget = per_host_budget
+        self.host_budgets = host_budgets or {}
+        self.max_pending = max_pending_per_host
+        self.use_robots = use_robots
+        self._parse_robots = parse_robots
+        self._robots_cache: dict = {}
+
+    def _allowed(self, host: str, url: str) -> bool:
+        if not self.use_robots:
+            return True
+        rules = self._robots_cache.get(host)
+        if rules is None:
+            try:
+                status, _h, body = self.web.get(f"http://{host}/robots.txt")
+                rules = self._parse_robots(body.decode()) if status == 200 else []
+            except Exception:
+                rules = []
+            self._robots_cache[host] = rules
+        path = "/" + url.split("/", 3)[3] if url.count("/") >= 3 else "/"
+        return not any(path.startswith(p) for p in rules)
+
+    def run(self, seeds, max_rounds: int = 20) -> dict:
+        from collections import defaultdict
+        from ..rulevm.urlutil import canonicalize_url, url_hash64
+        from ..rulevm.request import get_host
+
+        seen: set = set()
+        img_seen: set = set()
+        rounds = []          # [{fetched urls (sorted), ...}]
+        pages = {}           # url -> (status, result_json-able body)
+        images = {}          # image_id -> (bytes, caption)
+        candidates = [(u, "", 0, 0.0, False) for u in seeds]
+        for r in range(max_rounds):
+            if not candidates:
+                break
+            admitted = []
+            for url, parent, depth, prio, seen_ok in candidates:
+                cu = canonicalize_url(url)
+                h = url_hash64(cu)
+                if not seen_ok:
+                    if h in seen:
+                        continue
+                    seen.add(h)
+                host = get_host(cu, "")
+                if not self._allowed(host, cu):
+                    continue
+                admitted.append((cu, parent, depth, prio, host, h))
+            by_host = defaultdict(list)
+            for row in admitted:
+                by_host[row[4]].append(row)
+            granted, backlog = [], []
+            for host, rows in by_host.items():
+                rows.sort(key=lambda t: (t[3], t[5]))
+                k = self.host_budgets.get(host, self.budget)
+                granted.extend(rows[:k])
+                backlog.extend(rows[k:k + self.max_pending])
+            if not granted:
+                # granted==0 implies admitted==0 (every non-empty host
+                # grants >=1), mirroring the loop's early break
+                break
+            fetched_urls = sorted(u for u, *_ in granted)
+            next_candidates = []
+            for url, parent, depth, prio, host, h in granted:
+                rule = self.storage.find_crawler_rule(url)
+                if rule is None:
+                    pages[url] = (0, None)
+                    continue
+                text, resp = self.adapter.request(**dict(rule.get_request(url=url)))
+                if isinstance(resp, Exception):
+                    pages[url] = (-1, None)
+                    continue
+                status = resp.status_code
+                if status != 200:
+                    pages[url] = (status, None)
+                    continue
+                context = {"resp": resp,
+                           "request_args": {"url": url, "method": "get"}}
+                body = self.vm.parse(text, rule, context)[rule["name"]]
+                pages[url] = (status, body)
+                origin = url.split("/", 3)
+                origin = f"{origin[0]}//{origin[2]}"
+                for img in body.get("images") or []:
+                    src = img.get("src")
+                    if not src:
+                        continue
+                    img_url = src if src.startswith("http") else origin + src
+                    ih = url_hash64("img|" + img_url)
+                    if ih in img_seen:
+                        continue
+                    img_seen.add(ih)
+                    try:
+                        s, _hh, blob = self.web.get(img_url)
+                    except Exception:
+                        continue
+                    if s != 200:
+                        continue
+                    import re as _re
+                    m = _re.search(r"/img/(\d+)\.(?:ppm|bmp|png)$", img_url)
+                    if m:
+                        image_id = f"img-{int(m.group(1)):010d}"
+                    else:
+                        from ..rulevm.parsers import md5 as _md5
+                        image_id = f"img-{_md5(img_url, 16)}"
+                    images[image_id] = (blob, img.get("caption") or "")
+                for link in body.get(EngineConfig.__request__) or []:
+                    if isinstance(link, str):
+                        next_candidates.append(
+                            (link, url, depth + 1, float(depth + 1), False))
+            for url, parent, depth, prio, host, h in backlog:
+                next_candidates.append((url, parent, depth, prio, True))
+            rounds.append({"round": r, "fetched": fetched_urls,
+                           "granted": len(granted), "backlog": len(backlog)})
+            candidates = next_candidates
+        return {"rounds": rounds, "pages": pages, "images": images,
+                "seen": seen}

@@ -1,0 +1,179 @@
+"""Deterministic synthetic web — the offline page server.
+
+The sandbox has no network, so crawls run against this in-process web:
+a fixed universe of hosts ``host-{h:04d}.test`` whose page-count
+distribution is Zipf-skewed (a few hot domains exercise the engine's
+skew-splitting path).  Every byte served is a pure function of the URL,
+so fetch tasks on any worker — and the single-process oracle — see the
+same web without sharing state.
+
+Page graph (per host): page ``p`` links to children ``p*fanout+1 ..
+p*fanout+fanout`` (within the host's page budget) plus a duplicate
+back-link to page ``p`` itself and an occasional cross-host link to a
+hot host's root — giving the URL-seen filter real work.  Pages embed
+0-3 ``<img>`` tags whose ``src`` resolves to an image endpoint
+(``/img/{image_index}.{fmt}``) backed by the deterministic image table
+(sources.images) and whose ``alt`` is the caption — the crawl's
+image+caption pairs.
+
+Status codes are deterministic: ~2.7% of pages 404, ~1.9% 500 —
+exercising the error-as-value columns.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Tuple
+
+from .images import caption_for, image_spec, render_encoded, _mix
+
+_URL_RE = re.compile(r"^http://host-(\d{4})\.test(/.*)?$")
+
+
+class SynthWeb:
+    def __init__(self, num_hosts: int = 50, base_pages: int = 40,
+                 fanout: int = 3, hot_factor: float = 25.0, seed: int = 42):
+        self.num_hosts = num_hosts
+        self.base_pages = base_pages
+        self.fanout = fanout
+        self.seed = seed
+        # Zipf-ish page budget: rank-0 host has hot_factor * base pages
+        self.pages_of_host = [
+            max(3, int(base_pages * (hot_factor / (h + 1) ** 0.9)))
+            for h in range(num_hosts)
+        ]
+        self.total_pages = sum(self.pages_of_host)
+
+    # -- identity helpers --------------------------------------------------
+    def host_name(self, h: int) -> str:
+        return f"host-{h:04d}.test"
+
+    def page_url(self, h: int, p: int) -> str:
+        return f"http://{self.host_name(h)}/" if p == 0 else \
+            f"http://{self.host_name(h)}/page/{p}"
+
+    def image_index(self, h: int, p: int, k: int) -> int:
+        """Global image-table index for slot k of page (h, p)."""
+        return (_mix(h * 1_000_003 + p, self.seed) + k) % (1 << 31)
+
+    # -- page content ------------------------------------------------------
+    def page_status(self, h: int, p: int) -> int:
+        m = _mix(h * 1_000_003 + p, self.seed + 7)
+        if p > 0 and m % 37 == 13:
+            return 404
+        if p > 0 and m % 53 == 17:
+            return 500
+        return 200
+
+    def child_pages(self, h: int, p: int) -> List[int]:
+        limit = self.pages_of_host[h]
+        base = p * self.fanout
+        return [base + i for i in range(1, self.fanout + 1) if base + i < limit]
+
+    def cross_link(self, h: int, p: int) -> str:
+        m = _mix(h * 1_000_003 + p, self.seed + 11)
+        if m % 5 == 0 and self.num_hosts > 1:
+            target = m % min(8, self.num_hosts)
+            if target != h:
+                return self.page_url(target, 0)
+        return ""
+
+    def num_images(self, h: int, p: int) -> int:
+        return _mix(h * 1_000_003 + p, self.seed + 13) % 4
+
+    def render_page(self, h: int, p: int) -> str:
+        parts = [f"<html><head><title>Host {h} Page {p}</title></head><body>",
+                 f'<h1 class="page-title">Page {p} of host-{h:04d}</h1>']
+        for k in range(self.num_images(h, p)):
+            idx = self.image_index(h, p, k)
+            _w, _h, fmt = image_spec(idx)
+            parts.append(
+                f'<img class="photo" src="/img/{idx}.{fmt}" alt="{caption_for(idx)}"/>')
+        for child in self.child_pages(h, p):
+            parts.append(f'<a class="nav" href="/page/{child}">child {child}</a>')
+        # duplicate link (dedup work for the seen filter)
+        parts.append(f'<a class="nav" href="{self.page_url(h, p)}">self</a>')
+        cross = self.cross_link(h, p)
+        if cross:
+            parts.append(f'<a class="nav" href="{cross}">cross</a>')
+        parts.append("</body></html>")
+        return "\n".join(parts)
+
+    def robots_txt(self, h: int) -> str:
+        if h % 5 == 0:
+            return "User-agent: *\nDisallow: /page/13\nDisallow: /private/\n"
+        return "User-agent: *\nDisallow:\n"
+
+    # -- the server --------------------------------------------------------
+    def get(self, url: str) -> Tuple[int, dict, bytes]:
+        m = _URL_RE.match(url)
+        if not m:
+            raise ValueError(f"DNS error: unknown host for {url}")
+        h = int(m.group(1))
+        if h >= self.num_hosts:
+            raise ValueError(f"DNS error: unknown host for {url}")
+        path = m.group(2) or "/"
+        if path == "/robots.txt":
+            return 200, {"Content-Type": "text/plain"}, self.robots_txt(h).encode()
+        img = re.fullmatch(r"/img/(\d+)\.(ppm|bmp|png)", path)
+        if img:
+            return 200, {"Content-Type": "application/octet-stream"}, \
+                render_encoded(int(img.group(1)))
+        page = re.fullmatch(r"/(?:page/(\d+))?", path)
+        if not page:
+            return 404, {"Content-Type": "text/html"}, b"<h1>404</h1>"
+        p = int(page.group(1) or 0)
+        if p >= self.pages_of_host[h]:
+            return 404, {"Content-Type": "text/html"}, b"<h1>404</h1>"
+        status = self.page_status(h, p)
+        if status != 200:
+            return status, {"Content-Type": "text/html"}, \
+                f"<h1>{status}</h1>".encode()
+        return 200, {"Content-Type": "text/html"}, self.render_page(h, p).encode()
+
+    # -- crawl inputs ------------------------------------------------------
+    def seed_urls(self) -> List[str]:
+        return [self.page_url(h, 0) for h in range(self.num_hosts)]
+
+    def rule_pack(self) -> dict:
+        """{host: HostRule-dict} for the image+caption crawl: every page
+        yields title, per-image (src, caption) pairs, and child links as
+        ``__request__`` (absolute-ized against the page URL)."""
+        pack = {}
+        for h in range(self.num_hosts):
+            host = self.host_name(h)
+            pack[host] = {
+                "host": host,
+                "crawler_rules": {
+                    "page": {
+                        "name": "page",
+                        "request_args": {"method": "get", "url": f"http://{host}/"},
+                        "parse_rules": [
+                            {"name": "title",
+                             "chain_rules": [["css", "h1.page-title", "$text"],
+                                             ["py", "getitem", "[0]"]],
+                             "child_rules": []},
+                            {"name": "images",
+                             "chain_rules": [["css", "img.photo", "$self"]],
+                             "iter_parse_child": True,
+                             "child_rules": [
+                                 {"name": "src",
+                                  "chain_rules": [["udf", "obj.get('src')", ""]],
+                                  "child_rules": []},
+                                 {"name": "caption",
+                                  "chain_rules": [["udf", "obj.get('alt')", ""]],
+                                  "child_rules": []}]},
+                            {"name": "__request__",
+                             "chain_rules": [
+                                 ["css", "a.nav", "@href"],
+                                 ["udf",
+                                  "[i if i.startswith('http') else "
+                                  "context['req']['url'].split('/', 3)[0] + '//' + "
+                                  "context['req']['url'].split('/', 3)[2] + i "
+                                  "for i in obj]", ""]],
+                             "child_rules": []}],
+                        "regex": f"^http://{re.escape(host)}(/|/page/\\d+)?$",
+                    }
+                },
+            }
+        return pack

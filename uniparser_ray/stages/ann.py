@@ -1,0 +1,162 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+* :func:`brute_topk` — exact cosine top-k: the query matrix is
+  broadcast once via ``ray.put``; every batch does one numpy matmul
+  and emits only its local top-k per query (k rows per query per
+  batch), so the final groupby/sort fans in k·B rows, not n·Q.
+* :func:`ivf_topk` — the scale path: k-means-lite (seeded, fixed
+  iterations) coarse quantizer; batches assign vectors to centroids;
+  search probes only the closest ``nprobe`` partitions.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _as_matrix(col) -> np.ndarray:
+    return np.array(col.to_pylist(), dtype=np.float64)
+
+
+def _unit(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class BruteTopKStage:
+    """Per-batch exact cosine top-k against the broadcast query matrix."""
+
+    def __init__(self, queries_ref, k: int):
+        import ray
+        q = ray.get(queries_ref) if not isinstance(queries_ref, tuple) else queries_ref
+        self.query_ids, qm = q
+        self.qm = _unit(qm)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = _unit(_as_matrix(batch["embedding"]))
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        sims = self.qm @ vecs.T  # (Q, B)
+        k = min(self.k, sims.shape[1])
+        out_q, out_v, out_s = [], [], []
+        for qi, query_id in enumerate(self.query_ids):
+            row = sims[qi]
+            # local top-k (ties broken by vec_id for determinism)
+            idx = np.lexsort((ids, -row))[:k]
+            out_q.extend([query_id] * len(idx))
+            out_v.extend(ids[idx].tolist())
+            out_s.extend(row[idx].tolist())
+        return pa.Table.from_arrays([
+            pa.array(out_q, pa.int64()), pa.array(out_v, pa.int64()),
+            pa.array(out_s, pa.float64())],
+            names=["query_id", "vec_id", "cosine_sim"])
+
+
+def brute_topk(ds, query_ids, query_matrix: np.ndarray, k: int = 10,
+               concurrency: int = 4):
+    """Exact cosine top-k; returns (query_id, vec_id, cosine_sim, rank)."""
+    import ray
+
+    queries_ref = ray.put((list(query_ids), np.asarray(query_matrix,
+                                                       dtype=np.float64)))
+    local = ds.map_batches(
+        BruteTopKStage, batch_format="pyarrow",
+        fn_constructor_kwargs={"queries_ref": queries_ref, "k": k},
+        concurrency=concurrency)
+
+    def global_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine_sim", "vec_id"],
+                          ascending=[False, True], kind="mergesort").head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
+        g["cosine_sim"] = g["cosine_sim"].round(6)
+        return g
+
+    return local.groupby("query_id").map_groups(global_topk,
+                                                batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# IVF (coarse-quantized) variant — the 100 TB path
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_lite(sample: np.ndarray, num_centroids: int, iters: int = 5,
+                 seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    idx = rng.choice(len(sample), size=min(num_centroids, len(sample)),
+                     replace=False)
+    cents = sample[idx].copy()
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cents)):
+            members = sample[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def ivf_topk(ds, query_ids, query_matrix: np.ndarray, k: int = 10,
+             num_centroids: int = 16, nprobe: int = 4,
+             sample_size: int = 2048, concurrency: int = 4,
+             seed: int = 42):
+    """IVF-style ANN: train a coarse quantizer on a driver-side sample,
+    broadcast centroids, assign + search only the nprobe closest lists.
+
+    Recall is approximate by design; tests compare against
+    :func:`brute_topk` for recall, not equality."""
+    import ray
+
+    sample = ds.limit(sample_size).to_pandas()
+    sm = np.array(sample["embedding"].tolist(), dtype=np.float64)
+    cents = _kmeans_lite(sm, num_centroids, seed=seed)
+    qm = np.asarray(query_matrix, dtype=np.float64)
+    # which centroid lists each query probes
+    qd = ((qm[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    probes = {query_id: set(np.argsort(qd[i])[:nprobe].tolist())
+              for i, query_id in enumerate(query_ids)}
+    ref = ray.put((list(query_ids), _unit(qm), cents, probes))
+
+    class IVFStage:
+        def __init__(self):
+            self.query_ids, self.qm, self.cents, self.probes = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vecs = _as_matrix(batch["embedding"])
+            ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+            d = ((vecs[:, None, :] - self.cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            unit = _unit(vecs)
+            out_q, out_v, out_s = [], [], []
+            for qi, query_id in enumerate(self.query_ids):
+                mask = np.isin(assign, list(self.probes[query_id]))
+                if not mask.any():
+                    continue
+                row = self.qm[qi] @ unit[mask].T
+                sub_ids = ids[mask]
+                idx = np.lexsort((sub_ids, -row))[:k]
+                out_q.extend([query_id] * len(idx))
+                out_v.extend(sub_ids[idx].tolist())
+                out_s.extend(row[idx].tolist())
+            return pa.Table.from_arrays([
+                pa.array(out_q, pa.int64()), pa.array(out_v, pa.int64()),
+                pa.array(out_s, pa.float64())],
+                names=["query_id", "vec_id", "cosine_sim"])
+
+    local = ds.map_batches(IVFStage, batch_format="pyarrow",
+                           concurrency=concurrency)
+
+    def global_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine_sim", "vec_id"],
+                          ascending=[False, True], kind="mergesort").head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
+        g["cosine_sim"] = g["cosine_sim"].round(6)
+        return g
+
+    return local.groupby("query_id").map_groups(global_topk,
+                                                batch_format="pandas")

@@ -1,0 +1,343 @@
+"""map_batches stages of the crawl pipeline.
+
+Stage contract (all ``batch_format="pyarrow"``):
+
+* :func:`canonicalize_batch` — stateless task: canonical URL, 64-bit
+  hash, host (vectorized-ish; cheap string work).
+* :class:`SeenRobotsStage` — light actor: batched RPCs to the seen
+  shards (test-and-set anti-join) and robots cache; returns the
+  surviving rows.  Rows with ``seen_ok=1`` (backlog re-admissions)
+  bypass the seen test.
+* :class:`FetchParseStage` — actor pool: transport + compiled rule
+  pack + RuleVM built once per actor; per batch it fetches pages and
+  runs the rule VM, emitting parsed results + link/image candidates as
+  list columns (exploded by the loop into next-round frontier rows).
+* :class:`ImageFetchStage` — actor pool: fetch + decode + phash of
+  image URLs, emitting rows in the Lance image+caption schema.
+
+Reference trace being reproduced: Crawler.crawl -> find rule -> fetch
+-> parse -> recurse on __request__ (reference: crawler.py:156-189),
+re-expressed as one Dataset round (SURVEY.md §3.1).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from typing import Dict, List
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import EngineConfig
+from ..rulevm.urlutil import canonicalize_url, url_hash64
+from ..rulevm.request import get_host
+from ..sources.codecs import average_hash64, decode_image
+
+_PAGE_SCHEMA = pa.schema([
+    ("url", pa.large_string()),
+    ("url_hash", pa.uint64()),
+    ("host", pa.string()),
+    ("depth", pa.int32()),
+    ("priority", pa.float32()),
+    ("parent", pa.large_string()),
+    ("status", pa.int32()),
+    ("rule_name", pa.string()),
+    ("result_json", pa.large_string()),
+    ("links", pa.list_(pa.large_string())),
+    ("img_srcs", pa.list_(pa.large_string())),
+    ("img_captions", pa.list_(pa.large_string())),
+    ("error", pa.string()),
+])
+
+IMAGE_ROW_SCHEMA = pa.schema([
+    ("image_id", pa.string()),
+    ("bytes", pa.binary()),
+    ("w", pa.int32()),
+    ("h", pa.int32()),
+    ("fmt", pa.string()),
+    ("caption", pa.string()),
+    ("phash", pa.int64()),
+])
+
+
+def canonicalize_batch(batch: pa.Table) -> pa.Table:
+    """Add canonical url / url_hash / host columns."""
+    urls = batch["url"].to_pylist()
+    canon = [canonicalize_url(u) for u in urls]
+    hashes = np.fromiter((url_hash64(u) for u in canon), dtype=np.uint64,
+                         count=len(canon))
+    hosts = [get_host(u, "") for u in canon]
+    batch = batch.drop_columns([c for c in ("url", "url_hash", "host")
+                                if c in batch.column_names])
+    return batch.add_column(0, "url", pa.array(canon, pa.large_string())) \
+        .append_column("url_hash", pa.array(hashes, pa.uint64())) \
+        .append_column("host", pa.array(hosts, pa.string()))
+
+
+class SeenRobotsStage:
+    """Anti-join against the seen shards + robots allow filter.
+
+    Holds only actor handles; safe at any concurrency because the
+    shards' test-and-set is atomic per shard."""
+
+    def __init__(self, seen_shards: List, shard_bits: int,
+                 robots_shards: List = None, robots_num: int = 0):
+        self.seen_shards = seen_shards
+        self.shard_bits = shard_bits
+        self.robots_shards = robots_shards or []
+        self.robots_num = robots_num
+
+    def _seen_mask(self, hashes: np.ndarray) -> np.ndarray:
+        import ray
+        from collections import defaultdict
+        out = np.zeros(hashes.size, dtype=bool)
+        groups = defaultdict(list)
+        sids = (hashes >> np.uint64(64 - self.shard_bits)).astype(np.int64)
+        for idx, sid in enumerate(sids):
+            groups[int(sid)].append(idx)
+        futures = {sid: self.seen_shards[sid].add_batch.remote(
+            hashes[idxs].tolist()) for sid, idxs in groups.items()}
+        for sid, idxs in groups.items():
+            out[idxs] = ray.get(futures[sid])
+        return out
+
+    def _robots_mask(self, hosts: List[str], urls: List[str]) -> np.ndarray:
+        import ray
+        from collections import defaultdict
+        if not self.robots_shards:
+            return np.ones(len(urls), dtype=bool)
+        out = np.ones(len(urls), dtype=bool)
+        groups = defaultdict(list)
+        for idx, (host, url) in enumerate(zip(hosts, urls)):
+            path = "/" + url.split("/", 3)[3] if url.count("/") >= 3 else "/"
+            groups[host].append((idx, path))
+        futures = {}
+        for host, items in groups.items():
+            shard = self.robots_shards[url_hash64(host) % self.robots_num]
+            futures[host] = shard.allowed_batch.remote(host, [p for _, p in items])
+        for host, items in groups.items():
+            for (idx, _), ok in zip(items, ray.get(futures[host])):
+                out[idx] = ok
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        hashes = batch["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        if "seen_ok" in batch.column_names:
+            bypass = batch["seen_ok"].to_numpy(zero_copy_only=False).astype(bool)
+        else:
+            bypass = np.zeros(len(hashes), dtype=bool)
+        fresh = np.ones(len(hashes), dtype=bool)
+        todo = ~bypass
+        if todo.any():
+            fresh[todo] = self._seen_mask(hashes[todo])
+        keep = fresh | bypass
+        urls = batch["url"].to_pylist()
+        hosts = batch["host"].to_pylist()
+        allowed = self._robots_mask(hosts, urls)
+        keep &= allowed
+        return batch.filter(pa.array(keep))
+
+
+class HashSeenStage:
+    """Generic cross-batch dedup: keep rows whose ``url_hash`` is newly
+    added to the given seen shards (used for image-URL dedup)."""
+
+    def __init__(self, seen_shards: List, shard_bits: int):
+        self.seen_shards = seen_shards
+        self.shard_bits = shard_bits
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+        from collections import defaultdict
+        if batch.num_rows == 0:
+            return batch
+        hashes = batch["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        out = np.zeros(hashes.size, dtype=bool)
+        sids = (hashes >> np.uint64(64 - self.shard_bits)).astype(np.int64)
+        groups = defaultdict(list)
+        for idx, sid in enumerate(sids):
+            groups[int(sid)].append(idx)
+        futures = {sid: self.seen_shards[sid].add_batch.remote(
+            hashes[idxs].tolist()) for sid, idxs in groups.items()}
+        for sid, idxs in groups.items():
+            out[idxs] = ray.get(futures[sid])
+        return batch.filter(pa.array(out))
+
+
+class FetchParseStage:
+    """Fetch + rule-match + rule-VM parse, one actor per slot.
+
+    ``__init__`` does the once-per-actor work (reference analog: the
+    compiled-rule cache CompiledString + HTTP session,
+    parsers.py:980-1003 / utils.py:321-334): build the transport from
+    the web config, compile the broadcast rule pack, warm the VM.
+    """
+
+    def __init__(self, rule_pack_ref=None, web_config: dict = None,
+                 rule_pack: dict = None):
+        import ray
+        from ..crawl.storage import JSONRuleStorage
+        from ..rulevm.transport import SyntheticWebAdapter
+        from ..rulevm.vm import RuleVM
+        from ..sources.synthweb import SynthWeb
+
+        if rule_pack is None:
+            rule_pack = ray.get(rule_pack_ref)
+        self.storage = JSONRuleStorage(**rule_pack)
+        self.web = SynthWeb(**web_config)
+        self.adapter = SyntheticWebAdapter(self.web)
+        self.vm = RuleVM()
+        self._rule_cache: Dict[str, object] = {}
+
+    def _find_rule(self, url: str):
+        # host-level cache: single-rule hosts resolve without regex scans
+        host = get_host(url, "")
+        cached = self._rule_cache.get(host)
+        if cached is not None:
+            rules, single = cached
+        else:
+            host_rule = self.storage.get(host)
+            rules = list(host_rule["crawler_rules"].values()) if host_rule else []
+            single = len(rules) == 1 and not rules[0]["regex"]
+            self._rule_cache[host] = (rules, single)
+        if single:
+            return rules[0]
+        for rule in rules:
+            if rule.check_regex(url):
+                return rule
+        return None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        hashes = batch["url_hash"].to_pylist()
+        hosts = batch["host"].to_pylist()
+        depths = batch["depth"].to_pylist()
+        priors = batch["priority"].to_pylist()
+        parents = batch["parent"].to_pylist()
+        out = {k: [] for k in ("status", "rule_name", "result_json", "links",
+                               "img_srcs", "img_captions", "error")}
+        for url in urls:
+            rule = self._find_rule(url)
+            if rule is None:
+                out["status"].append(0)
+                out["rule_name"].append("")
+                out["result_json"].append("")
+                out["links"].append([])
+                out["img_srcs"].append([])
+                out["img_captions"].append([])
+                out["error"].append("RuleNotFoundError")
+                continue
+            text, resp = self.adapter.request(**dict(rule.get_request(url=url)))
+            if isinstance(resp, Exception):
+                out["status"].append(-1)
+                out["rule_name"].append(rule["name"])
+                out["result_json"].append("")
+                out["links"].append([])
+                out["img_srcs"].append([])
+                out["img_captions"].append([])
+                out["error"].append(f"{type(resp).__name__}: {resp}")
+                continue
+            status = getattr(resp, "status_code", 200)
+            links: List[str] = []
+            srcs: List[str] = []
+            caps: List[str] = []
+            err = None
+            result_json = ""
+            name = rule["name"]
+            if status == 200:
+                context = {"resp": resp,
+                           "request_args": {"url": url, "method": "get"}}
+                try:
+                    result = self.vm.parse(text, rule, context)
+                    body = result.get(name, {})
+                    raw_links = body.get(EngineConfig.__request__) or []
+                    if isinstance(raw_links, (list, tuple)):
+                        links = [l for l in raw_links if isinstance(l, str)]
+                    elif isinstance(raw_links, str):
+                        links = [raw_links]
+                    for img in body.get("images") or []:
+                        if isinstance(img, dict) and img.get("src"):
+                            srcs.append(img["src"])
+                            caps.append(img.get("caption") or "")
+                    result_json = json.dumps(body, default=repr, sort_keys=False)
+                except Exception as e:  # InvalidSchema / Unknown parser etc.
+                    err = f"{type(e).__name__}: {e}"
+            out["status"].append(status)
+            out["rule_name"].append(name)
+            out["result_json"].append(result_json)
+            out["links"].append(links)
+            out["img_srcs"].append(srcs)
+            out["img_captions"].append(caps)
+            out["error"].append(err)
+        return pa.Table.from_arrays([
+            pa.array(urls, pa.large_string()),
+            pa.array(hashes, pa.uint64()),
+            pa.array(hosts, pa.string()),
+            pa.array(depths, pa.int32()),
+            pa.array(priors, pa.float32()),
+            pa.array(parents, pa.large_string()),
+            pa.array(out["status"], pa.int32()),
+            pa.array(out["rule_name"], pa.string()),
+            pa.array(out["result_json"], pa.large_string()),
+            pa.array(out["links"], pa.list_(pa.large_string())),
+            pa.array(out["img_srcs"], pa.list_(pa.large_string())),
+            pa.array(out["img_captions"], pa.list_(pa.large_string())),
+            pa.array(out["error"], pa.string()),
+        ], schema=_PAGE_SCHEMA)
+
+
+_IMG_ID_RE = re.compile(r"/img/(\d+)\.(?:ppm|bmp|png)$")
+
+
+class ImageFetchStage:
+    """Fetch + decode + phash image URLs -> Lance image+caption rows.
+
+    At 100 TB this is the byte-heavy stage: keep ``batch_size`` small
+    (payloads are MBs) and scale via ``concurrency``; decode is
+    numpy-vectorized per image.  image_id derives from the URL (the
+    synthetic web encodes the global image index; foreign URLs fall
+    back to a hash id)."""
+
+    def __init__(self, web_config: dict = None):
+        from ..rulevm.transport import SyntheticWebAdapter
+        from ..sources.synthweb import SynthWeb
+        self.adapter = SyntheticWebAdapter(SynthWeb(**web_config))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..rulevm.parsers import md5 as _md5
+        urls = batch["img_url"].to_pylist()
+        captions = batch["caption"].to_pylist()
+        ids, blobs, ws, hs, fmts, caps, hashes, srcs = [], [], [], [], [], [], [], []
+        for url, caption in zip(urls, captions):
+            text, resp = self.adapter.request(url=url, method="get")
+            if isinstance(resp, Exception) or getattr(resp, "status_code", 0) != 200:
+                continue
+            blob = resp.content
+            try:
+                px = decode_image(blob)
+            except Exception:
+                continue
+            m = _IMG_ID_RE.search(url)
+            ids.append(f"img-{int(m.group(1)):010d}" if m else f"img-{_md5(url, 16)}")
+            blobs.append(blob)
+            hs.append(px.shape[0])
+            ws.append(px.shape[1])
+            fmts.append(url.rsplit(".", 1)[-1])
+            caps.append(caption)
+            hashes.append(average_hash64(px))
+            srcs.append(url)
+        table = pa.Table.from_arrays([
+            pa.array(ids, pa.string()),
+            pa.array(blobs, pa.binary()),
+            pa.array(ws, pa.int32()),
+            pa.array(hs, pa.int32()),
+            pa.array(fmts, pa.string()),
+            pa.array(caps, pa.string()),
+            pa.array(hashes, pa.int64()),
+        ], schema=IMAGE_ROW_SCHEMA)
+        # lineage sidecar column: the fetched URL (also the resume key
+        # for the image-seen filter)
+        return table.append_column("src_url", pa.array(srcs, pa.large_string()))

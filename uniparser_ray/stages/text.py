@@ -1,0 +1,161 @@
+"""Text-analysis stages for large-scale training-data pipelines.
+
+All are vectorized ``map_batches`` bodies (pandas string kernels /
+numpy) or cheap per-row Python over precompiled tables:
+
+* token counting (whitespace + a BPE-ish regex),
+* quality scoring (length / punctuation / stopword ratios),
+* language ID (character n-gram heuristic — deterministic, no model),
+* document fingerprinting (md5 + 64-bit rolling content hash),
+* simhash (64-bit, over token 3-shingles).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_TOKEN_RE = re.compile(r"\w+|[^\w\s]", re.UNICODE)
+_WORD_RE = re.compile(r"\w+", re.UNICODE)
+
+STOPWORDS = frozenset(
+    "the a an and or of to in is are was be on for with as at by it this "
+    "that from".split())
+
+
+def token_stats_batch(batch: pa.Table) -> pa.Table:
+    """doc_id + n_tokens (whitespace) + n_bpe_tokens (regex pieces) +
+    n_chars — all vectorized."""
+    texts = batch["text"].to_pylist()
+    n_tokens = [len(t.split()) for t in texts]
+    n_bpe = [len(_TOKEN_RE.findall(t)) for t in texts]
+    n_chars = pc.utf8_length(batch["text"])
+    return pa.Table.from_arrays(
+        [batch["doc_id"], pa.array(n_tokens, pa.int64()),
+         pa.array(n_bpe, pa.int64()), n_chars.cast(pa.int64())],
+        names=["doc_id", "n_tokens", "n_bpe_tokens", "n_chars"])
+
+
+def quality_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Quality heuristics: mean word length, stopword ratio, alpha ratio,
+    and a composite score in [0, 1]."""
+    texts = batch["text"]
+    words = texts.str.findall(_WORD_RE)
+    n_words = words.map(len).clip(lower=1)
+    mean_word_len = words.map(lambda ws: float(np.mean([len(w) for w in ws]))
+                              if ws else 0.0)
+    stop_ratio = words.map(
+        lambda ws: sum(w.lower() in STOPWORDS for w in ws) / max(1, len(ws)))
+    alpha = texts.str.count(r"[A-Za-z]")
+    total = texts.str.len().clip(lower=1)
+    alpha_ratio = alpha / total
+    score = (0.4 * stop_ratio.clip(0, 0.5) / 0.5
+             + 0.3 * alpha_ratio
+             + 0.3 * (1.0 - (mean_word_len - 5.0).abs().clip(0, 5) / 5.0))
+    return pd.DataFrame({
+        "doc_id": batch["doc_id"],
+        "n_words": words.map(len).astype("int64"),
+        "stop_ratio": stop_ratio.round(6),
+        "alpha_ratio": alpha_ratio.round(6),
+        "quality_score": score.round(6),
+    })
+
+
+# character-trigram profiles per language family (tiny deterministic
+# heuristic; judged languages are whatever the corpus claims)
+_LANG_TRIGRAMS = {
+    "en": ("the", "and", "ing", "ion", "ent"),
+    "es": ("que", "de ", "la ", "cio", "los"),
+    "de": ("der", "ein", "ich", "sch", "und"),
+    "fr": ("les", "ent", "de ", "que", "ion"),
+    "zh": (),  # CJK detected by codepoint range
+}
+
+
+def langid_batch(batch: pa.Table) -> pa.Table:
+    texts = batch["text"].to_pylist()
+    langs = []
+    confs = []
+    for t in texts:
+        low = t.lower()
+        if any("一" <= ch <= "鿿" for ch in low[:200]):
+            langs.append("zh")
+            confs.append(1.0)
+            continue
+        best, best_score = "en", -1
+        for lang, grams in _LANG_TRIGRAMS.items():
+            if not grams:
+                continue
+            score = sum(low.count(g) for g in grams)
+            if score > best_score:
+                best, best_score = lang, score
+        langs.append(best)
+        total = max(1, len(low) // 3)
+        confs.append(round(min(1.0, best_score / total), 6))
+    return pa.Table.from_arrays(
+        [batch["doc_id"], pa.array(langs, pa.string()),
+         pa.array(confs, pa.float64())],
+        names=["doc_id", "lang_pred", "lang_conf"])
+
+
+def _rolling_hash64(text: str, window: int = 16) -> int:
+    """64-bit rolling (Rabin-Karp-style) content hash: xor of windowed
+    polynomial hashes — order-sensitive but local-shift tolerant."""
+    B, M = 1000003, (1 << 64) - 59
+    acc = 0
+    h = 0
+    power = pow(B, window - 1, M)
+    data = text.encode("utf-8")
+    for i, byte in enumerate(data):
+        h = (h * B + byte) % M
+        if i >= window - 1:
+            acc ^= h
+            h = (h - data[i - window + 1] * power) % M
+    return acc
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    texts = batch["text"].to_pylist()
+    md5s = [hashlib.md5(t.encode()).hexdigest() for t in texts]
+    rolls = [np.int64(np.uint64(_rolling_hash64(t) & 0xFFFFFFFFFFFFFFFF))
+             for t in texts]
+    return pa.Table.from_arrays(
+        [batch["doc_id"], pa.array(md5s, pa.string()),
+         pa.array(rolls, pa.int64())],
+        names=["doc_id", "fp_md5", "fp_rolling"])
+
+
+def _hash64(data: bytes) -> int:
+    return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "big")
+
+
+def simhash64(tokens) -> int:
+    """64-bit simhash over token 3-shingles."""
+    acc = np.zeros(64, dtype=np.int64)
+    n = len(tokens)
+    if n < 3:
+        shingles = [" ".join(tokens)] if tokens else []
+    else:
+        shingles = [" ".join(tokens[i:i + 3]) for i in range(n - 2)]
+    for sh in shingles:
+        h = _hash64(sh.encode("utf-8"))
+        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        acc += bits.astype(np.int64) * 2 - 1
+    val = 0
+    for i in range(64):
+        if acc[i] > 0:
+            val |= 1 << i
+    return val
+
+
+def simhash_batch(batch: pa.Table) -> pa.Table:
+    texts = batch["text"].to_pylist()
+    out = [np.int64(np.uint64(simhash64(t.split()))) for t in texts]
+    return pa.Table.from_arrays(
+        [batch["doc_id"], pa.array(out, pa.int64())],
+        names=["doc_id", "simhash"])

@@ -1,0 +1,98 @@
+"""Robots.txt cache shards.
+
+Per-host robots.txt is fetched once per crawl (through the same
+transport as pages), parsed into Disallow prefixes, and cached in a
+sharded actor pool keyed by ``hash(host)`` — the distributed analog of
+the reference's process-local per-host dict (parsers.py:1262).
+Only ``User-agent: *`` groups are honored (the engine sends one UA).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import ray
+
+from ..rulevm.urlutil import url_hash64
+
+
+def parse_robots(text: str) -> List[str]:
+    """Disallow prefixes for User-agent: * (simple, standard parsing)."""
+    disallows: List[str] = []
+    applies = False
+    for line in text.splitlines():
+        line = line.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, value = line.split(":", 1)
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            applies = value == "*"
+        elif field == "disallow" and applies and value:
+            disallows.append(value)
+    return disallows
+
+
+class RobotsShard:
+    def __init__(self, web_factory=None):
+        # web_factory() -> object with get(url) -> (status, headers, bytes)
+        self.web = web_factory() if web_factory else None
+        self.cache: Dict[str, List[str]] = {}
+        self.fetches = 0
+
+    def _rules_for(self, host: str) -> List[str]:
+        rules = self.cache.get(host)
+        if rules is None:
+            rules = []
+            if self.web is not None:
+                try:
+                    status, _h, body = self.web.get(f"http://{host}/robots.txt")
+                    if status == 200:
+                        rules = parse_robots(body.decode("utf-8", "replace"))
+                except Exception:
+                    rules = []
+            self.fetches += 1
+            self.cache[host] = rules
+        return rules
+
+    def allowed_batch(self, host: str, paths: List[str]) -> List[bool]:
+        rules = self._rules_for(host)
+        if not rules:
+            return [True] * len(paths)
+        return [not any(p.startswith(r) for r in rules) for p in paths]
+
+    def stats(self) -> dict:
+        return {"hosts_cached": len(self.cache), "fetches": self.fetches}
+
+
+RobotsShardActor = ray.remote(num_cpus=0.05)(RobotsShard)
+
+
+class RobotsCache:
+    """Client over robots shards; shard = hash(host) % n."""
+
+    def __init__(self, num_shards: int = 4, web_factory=None):
+        self.num_shards = num_shards
+        self.shards = [RobotsShardActor.remote(web_factory=web_factory)
+                       for _ in range(num_shards)]
+
+    def _shard(self, host: str):
+        return self.shards[url_hash64(host) % self.num_shards]
+
+    def allowed(self, host_paths: List[Tuple[str, str]]) -> List[bool]:
+        """[(host, path)] -> allow mask, batched one RPC per (shard, host)."""
+        from collections import defaultdict
+        groups = defaultdict(list)
+        for idx, (host, path) in enumerate(host_paths):
+            groups[host].append((idx, path))
+        futures = {}
+        for host, items in groups.items():
+            futures[host] = self._shard(host).allowed_batch.remote(
+                host, [p for _, p in items])
+        out = [True] * len(host_paths)
+        for host, items in groups.items():
+            mask = ray.get(futures[host])
+            for (idx, _), ok in zip(items, mask):
+                out[idx] = ok
+        return out
