@@ -1,0 +1,133 @@
+"""Benchmark driver: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N,
+     "pages_per_sec": ..., "frontier_ops_per_sec": ...}
+
+``--scaling`` runs the same suite in two fresh processes at
+num_cpus=8 and num_cpus=32 and reports both plus scaling efficiency —
+the sandbox evidence for the north rule's two-cluster-size criterion.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def run_suite(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    import logging
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from uniparser_ray.crawl.loop import CrawlConfig, run_crawl
+    from uniparser_ray.pipelines import documents, relational, vectors
+    from uniparser_ray.sources.synthweb import SynthWeb
+
+    timings: dict = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # -- headline: the distributed crawl (fetched-pages/s + frontier-ops/s)
+    web_cfg = dict(num_hosts=48, base_pages=24, fanout=4, hot_factor=24.0)
+    web = SynthWeb(**web_cfg)
+    out_dir = f"/tmp/uniparser_ray_bench/crawl_{num_cpus}"
+    import shutil
+    shutil.rmtree(out_dir, ignore_errors=True)
+    cfg = CrawlConfig(web_config=web_cfg, out_dir=out_dir,
+                      seeds=web.seed_urls(), max_rounds=30,
+                      per_host_budget=120,
+                      fetch_concurrency=max(4, num_cpus // 2),
+                      fetch_batch_size=64,
+                      seen_shard_bits=4, seen_mode="tandem")
+    t0 = time.perf_counter()
+    totals = run_crawl(cfg, web.rule_pack())
+    crawl_sec = time.perf_counter() - t0
+    timings["crawl"] = round(crawl_sec, 3)
+    pages = totals["granted"]
+    frontier_ops = sum(m["candidates"] + m["next_frontier"]
+                      for m in totals["per_round"])
+    pages_per_sec = round(pages / crawl_sec, 1)
+    frontier_ops_per_sec = round(frontier_ops / crawl_sec, 1)
+
+    # -- operator suite over the sf tables
+    def consume(ds):
+        if hasattr(ds, "iter_batches"):
+            n = 0
+            for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+                n += b.num_rows
+            return n
+        return ds.num_rows if hasattr(ds, "num_rows") else len(ds)
+
+    timed("q1_pricing_summary",
+          lambda: consume(relational.q1_pricing_summary(sf_dir)))
+    timed("events_sessionize",
+          lambda: consume(relational.events_sessionize(sf_dir)))
+    timed("events_json_k", lambda: consume(relational.events_json_k(sf_dir)))
+    timed("doc_quality", lambda: consume(documents.doc_quality(sf_dir)))
+    timed("doc_parse_rules",
+          lambda: consume(documents.doc_parse_rules(sf_dir)))
+    timed("doc_dedup_minhash",
+          lambda: consume(documents.doc_dedup_minhash(sf_dir)))
+    timed("ann_topk", lambda: consume(vectors.ann_topk(sf_dir)))
+    timed("embedding_neardup",
+          lambda: consume(vectors.embedding_neardup(sf_dir)))
+
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "crawl+operator suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "pages_per_sec": pages_per_sec,
+        "frontier_ops_per_sec": frontier_ops_per_sec,
+        "crawl_pages": pages,
+        "crawl_images": totals["images"],
+    }
+
+
+def main():
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if "--scaling" in sys.argv:
+        def run(ncpu):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+            out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                                 env=env, capture_output=True, text=True,
+                                 check=True).stdout
+            return json.loads(out.strip().splitlines()[-1])
+        lo, hi = run(8), run(32)
+        eff = (lo["value"] / hi["value"]) / (32 / 8)
+        print(json.dumps({
+            "sec_8": lo["value"], "sec_32": hi["value"],
+            "pages_per_sec_8": lo["pages_per_sec"],
+            "pages_per_sec_32": hi["pages_per_sec"],
+            "scaling_efficiency": round(eff, 3),
+        }))
+        return
+
+    result = run_suite(sf_dir, num_cpus)
+    print(json.dumps(result))
+    import ray
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

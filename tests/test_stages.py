@@ -1,0 +1,161 @@
+"""Ray Data stage tests: rule engine, text analysis, dedup, ANN."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+    rows = [
+        {"doc_id": 0, "text": "the quick brown fox jumps over the lazy dog"},
+        {"doc_id": 1, "text": "the quick brown fox jumps over the lazy cat"},
+        {"doc_id": 2, "text": "completely different content about spark engines"},
+        {"doc_id": 3, "text": "the quick brown fox jumps over the lazy dog"},
+        {"doc_id": 4, "text": "another unrelated piece of text entirely here"},
+    ]
+    return rd.from_items(rows)
+
+
+def test_rule_engine_stage(ray_session):
+    import ray.data as rd
+    from uniparser_ray.stages.rule_engine import parse_dataset
+
+    ds = rd.from_items([{"doc_id": i, "text": f"hello world {i}"}
+                        for i in range(10)])
+    rules = [
+        {"name": "first", "chain_rules": [["re", r"^\w+", "#0"]],
+         "child_rules": []},
+        {"name": "rev", "chain_rules": [["udf", "obj[::-1]", ""]],
+         "child_rules": []},
+        {"name": "num", "chain_rules": [["re", r"\d+", "#0"],
+                                        ["udf", "int(obj)", ""]],
+         "child_rules": []},
+    ]
+    out = parse_dataset(ds, rules, concurrency=2, batch_size=4).to_pandas()
+    assert list(out["first"]) == ["hello"] * 10
+    assert out["rev"][0] == "0 dlrow olleh"
+    assert list(out["num"]) == list(range(10))
+    assert out["error"].isna().all()
+
+
+def test_rule_engine_error_column(ray_session):
+    import ray.data as rd
+    from uniparser_ray.stages.rule_engine import parse_dataset
+
+    ds = rd.from_items([{"text": "abc"}, {"text": "12"}])
+    rules = [{"name": "n", "chain_rules": [["udf", "int(obj)", ""]],
+              "child_rules": []}]
+    out = parse_dataset(ds, rules, concurrency=2).to_pandas()
+    byv = out.set_index("text")
+    assert byv.loc["12", "n"] == 12
+    assert byv.loc["abc", "error_type"] == "ValueError"
+    assert pd.isna(byv.loc["abc", "n"])
+
+
+def test_exact_dedup(docs_ds):
+    from uniparser_ray.stages.dedup import exact_dedup_groups
+
+    out = exact_dedup_groups(docs_ds).to_pandas()
+    assert len(out) == 4  # docs 0 and 3 collapse
+    dup = out[out["dup_count"] > 1]
+    assert len(dup) == 1 and dup.iloc[0]["keeper_id"] == 0
+    assert dup.iloc[0]["dup_count"] == 2
+
+
+def test_minhash_neardup(docs_ds):
+    from uniparser_ray.stages.dedup import minhash_neardup_pairs
+
+    out = minhash_neardup_pairs(docs_ds, threshold=0.5).to_pandas()
+    pairs = set(zip(out["doc_a"], out["doc_b"]))
+    # exact dup pair + the 1-word-difference pair must be found
+    assert (0, 3) in pairs
+    assert (0, 1) in pairs or (1, 3) in pairs
+    # unrelated docs must not pair
+    assert not any(2 in p or 4 in p for p in pairs)
+    # jaccard of the exact pair is 1.0
+    exact = out[(out["doc_a"] == 0) & (out["doc_b"] == 3)]
+    assert float(exact["jaccard_sim"].iloc[0]) == 1.0
+
+
+def test_simhash_neardup(docs_ds):
+    from uniparser_ray.stages.dedup import simhash_neardup_pairs
+
+    out = simhash_neardup_pairs(docs_ds, max_hamming=10).to_pandas()
+    pairs = {(a, b): h for a, b, h in
+             zip(out["doc_a"], out["doc_b"], out["hamming"])}
+    assert pairs.get((0, 3)) == 0  # identical docs -> distance 0
+
+
+def test_brute_topk_matches_numpy(ray_session):
+    import ray.data as rd
+    from uniparser_ray.stages.ann import brute_topk
+
+    rng = np.random.RandomState(0)
+    vecs = rng.randn(200, 16)
+    ds = rd.from_items([{"vec_id": i, "embedding": vecs[i].tolist()}
+                        for i in range(200)])
+    out = brute_topk(ds, [0, 1], vecs[:2], k=5).to_pandas()
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    for q in (0, 1):
+        sims = unit[q] @ unit.T
+        want = np.lexsort((np.arange(200), -sims))[:5]
+        got = out[out["query_id"] == q].sort_values("rank")["vec_id"]
+        assert list(got) == list(want)
+
+
+def test_ivf_recall(ray_session):
+    import ray.data as rd
+    from uniparser_ray.stages.ann import brute_topk, ivf_topk
+
+    rng = np.random.RandomState(1)
+    vecs = rng.randn(300, 8)
+    ds = rd.from_items([{"vec_id": i, "embedding": vecs[i].tolist()}
+                        for i in range(300)])
+    exact = brute_topk(ds, [0], vecs[:1], k=10).to_pandas()
+    approx = ivf_topk(ds, [0], vecs[:1], k=10, num_centroids=8,
+                      nprobe=4).to_pandas()
+    recall = len(set(exact["vec_id"]) & set(approx["vec_id"])) / 10
+    assert recall >= 0.5  # approximate by design; sanity floor
+
+
+def test_text_stages(ray_session):
+    import ray.data as rd
+    from uniparser_ray.stages.text import (fingerprint_batch, langid_batch,
+                                           quality_batch, simhash_batch,
+                                           token_stats_batch)
+
+    ds = rd.from_items([
+        {"doc_id": 0, "text": "the cat and the dog in the house"},
+        {"doc_id": 1, "text": "schneller zug der durch und ich sch"},
+    ])
+    stats = ds.map_batches(token_stats_batch,
+                           batch_format="pyarrow").to_pandas()
+    assert stats.loc[stats["doc_id"] == 0, "n_tokens"].iloc[0] == 8
+    q = ds.map_batches(quality_batch, batch_format="pandas").to_pandas()
+    assert (q.loc[q["doc_id"] == 0, "stop_ratio"] > 0.3).all()
+    lang = ds.map_batches(langid_batch, batch_format="pyarrow").to_pandas()
+    assert lang.loc[lang["doc_id"] == 0, "lang_pred"].iloc[0] == "en"
+    assert lang.loc[lang["doc_id"] == 1, "lang_pred"].iloc[0] == "de"
+    fp = ds.map_batches(fingerprint_batch, batch_format="pyarrow").to_pandas()
+    assert fp["fp_md5"].nunique() == 2
+    sh = ds.map_batches(simhash_batch, batch_format="pyarrow").to_pandas()
+    assert sh["simhash"].nunique() == 2
+
+
+def test_partial_groupby_matches_pandas(ray_session):
+    import ray.data as rd
+    from uniparser_ray.pipelines.relational import partial_groupby
+
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame({"k": rng.randint(0, 5, 1000),
+                       "v": rng.rand(1000)})
+    ds = rd.from_pandas(df)
+    out = partial_groupby(ds, ["k"], {"s": ("v", "sum"),
+                                      "n": ("v", "count")},
+                          batch_size=128).to_pandas().sort_values("k")
+    want = df.groupby("k").agg(s=("v", "sum"), n=("v", "count")).reset_index()
+    assert np.allclose(out["s"].values, want["s"].values)
+    assert list(out["n"]) == list(want["n"])

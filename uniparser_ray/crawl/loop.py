@@ -89,16 +89,20 @@ def _frontier_table(urls: List[str], parents: List[str], depths: List[int],
 
 def _make_granter(budgets: Dict[str, int], default_budget: int,
                   max_pending: int):
-    def grant(group: pd.DataFrame) -> pd.DataFrame:
-        # deterministic politeness: stable per-host order, first k fetched
-        group = group.sort_values(["priority", "url_hash"], kind="mergesort")
-        k = budgets.get(group["host"].iloc[0], default_budget)
-        granted = np.zeros(len(group), dtype=np.int8)
-        granted[:k] = 1
-        group = group.assign(granted=granted)
-        # clip the backlog so one hot host cannot grow the frontier
-        # unboundedly (dropped rows are counted by the round metrics)
-        return group.iloc[:k + max_pending]
+    def grant(bucket: pd.DataFrame) -> pd.DataFrame:
+        # deterministic politeness, fully vectorized over a bucket of
+        # hosts: stable per-host order by (priority, url_hash), first k
+        # rows of each host granted, backlog clipped at k+max_pending
+        # so one hot host cannot grow the frontier unboundedly
+        bucket = bucket.sort_values(["priority", "url_hash"],
+                                    kind="mergesort")
+        pos = bucket.groupby("host", sort=False).cumcount()
+        if budgets:
+            k = bucket["host"].map(budgets).fillna(default_budget).to_numpy()
+        else:
+            k = np.full(len(bucket), default_budget)
+        bucket = bucket.assign(granted=(pos.to_numpy() < k).astype(np.int8))
+        return bucket[pos.to_numpy() < k + max_pending]
     return grant
 
 
@@ -243,17 +247,19 @@ class CrawlRun:
                 break
 
             # -- admit + politeness grant (the round's one shuffle) ----
+            from ..stages.combine import hash_bucket_combine
             frontier = rd.read_parquet(str(fdir))
-            decided = (
+            admitted = (
                 frontier
                 .map_batches(canonicalize_batch, batch_format="pyarrow")
                 .map_batches(seen_stage, batch_format="pyarrow",
                              batch_size=4096)
-                # shuffle #1: the grant needs all of a host's pending rows
-                # together — groupby(host) is the partitioner; hot hosts
-                # are clipped to budget + max_pending inside the group
-                .groupby("host").map_groups(granter, batch_format="pandas")
-            ).materialize()
+            )
+            # shuffle #1: the grant needs all of a host's pending rows
+            # co-located — hosts hash into a bounded number of buckets
+            # and the per-host top-k grant is vectorized per bucket
+            decided = hash_bucket_combine(
+                admitted, ["host"], granter, num_buckets=64).materialize()
             n_decided = decided.count()
             granted = decided.filter(expr="granted == 1")
             n_granted = granted.count()

@@ -1,0 +1,111 @@
+"""Document/text pipelines over the ``documents`` table."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _read(sf_dir: str, columns=None):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def doc_token_stats(sf_dir: str):
+    from ..stages.text import token_stats_batch
+    return _read(sf_dir, ["doc_id", "text"]).map_batches(
+        token_stats_batch, batch_format="pyarrow")
+
+
+def doc_quality(sf_dir: str):
+    from ..stages.text import quality_batch
+    return _read(sf_dir, ["doc_id", "text"]).map_batches(
+        quality_batch, batch_format="pandas")
+
+
+def doc_langid(sf_dir: str):
+    from ..stages.text import langid_batch
+    return _read(sf_dir, ["doc_id", "text"]).map_batches(
+        langid_batch, batch_format="pyarrow")
+
+
+def doc_fingerprint(sf_dir: str):
+    """md5 fingerprint (SQL-oracled); the rolling hash rides along in
+    doc_signatures (rows-only)."""
+    import hashlib
+
+    def fp(t: pa.Table) -> pa.Table:
+        md5s = [hashlib.md5(x.encode()).hexdigest()
+                for x in t["text"].to_pylist()]
+        return pa.Table.from_arrays([t["doc_id"],
+                                     pa.array(md5s, pa.string())],
+                                    names=["doc_id", "fp_md5"])
+
+    return _read(sf_dir, ["doc_id", "text"]).map_batches(
+        fp, batch_format="pyarrow")
+
+
+def doc_signatures(sf_dir: str):
+    """Rolling-hash + simhash signatures (not SQL-expressible)."""
+    from ..stages.text import fingerprint_batch, simhash_batch
+
+    ds = _read(sf_dir, ["doc_id", "text"])
+    rolls = ds.map_batches(fingerprint_batch, batch_format="pyarrow") \
+        .to_pandas()
+    sims = ds.map_batches(simhash_batch, batch_format="pyarrow").to_pandas()
+    out = rolls.merge(sims, on="doc_id")[["doc_id", "fp_rolling", "simhash"]]
+    return pa.Table.from_pandas(out.sort_values("doc_id"),
+                                preserve_index=False)
+
+
+def doc_dedup_exact(sf_dir: str):
+    from ..stages.dedup import exact_dedup_groups
+
+    out = exact_dedup_groups(_read(sf_dir, ["doc_id", "text"]))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["dup_count"] = df["dup_count"].astype("int64")
+        df["keeper_id"] = df["keeper_id"].astype("int64")
+        return df
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+def doc_dedup_minhash(sf_dir: str, threshold: float = 0.6):
+    from ..stages.dedup import minhash_neardup_pairs
+    return minhash_neardup_pairs(_read(sf_dir, ["doc_id", "text"]),
+                                 threshold=threshold)
+
+
+def doc_dedup_simhash(sf_dir: str, max_hamming: int = 6):
+    from ..stages.dedup import simhash_neardup_pairs
+    out = simhash_neardup_pairs(_read(sf_dir, ["doc_id", "text"]),
+                                max_hamming=max_hamming)
+    df = out.to_pandas().sort_values(["doc_a", "doc_b"])
+    df["hamming"] = df["hamming"].astype("int64")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def doc_parse_rules(sf_dir: str):
+    """Reference rule chains (re / python / udf) over documents.text —
+    extraction rules as a first-class Dataset stage."""
+    from ..stages.rule_engine import parse_dataset
+
+    rules = [
+        {"name": "first_word",
+         "chain_rules": [["re", r"^\w+", "#0"]], "child_rules": []},
+        {"name": "n_words",
+         "chain_rules": [["udf", "len(obj.split())", ""]], "child_rules": []},
+        {"name": "text_md5",
+         "chain_rules": [["udf", "md5(obj)", ""]], "child_rules": []},
+    ]
+    parsed = parse_dataset(_read(sf_dir, ["doc_id", "text"]), rules,
+                           input_column="text", concurrency=2,
+                           batch_size=2048, keep_columns=["doc_id"])
+    return parsed.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["doc_id"], t["first_word"].cast(pa.string()),
+             t["n_words"].cast(pa.int64()), t["text_md5"].cast(pa.string())],
+            names=["doc_id", "first_word", "n_words", "text_md5"]),
+        batch_format="pyarrow")

@@ -1,0 +1,253 @@
+"""Relational pipelines over the TPC-H-ish parquet tables.
+
+Ray-Data-first shapes:
+
+* column-pruned ``read_parquet`` (only referenced columns leave disk),
+* vectorized pyarrow.compute kernels inside ``map_batches``,
+* **partial aggregation**: per-batch pandas groupby emits one row per
+  key per batch, then the global ``groupby().aggregate(Sum(...))``
+  shuffles only partials (for low-cardinality keys the exchange is
+  ~batch_count x keys rows, not row_count),
+* **broadcast joins**: the small side is collected once, ``ray.put``,
+  and probed inside ``map_batches`` — no shuffle join for
+  dimension-table lookups.
+
+Every function takes ``sf_dir`` and returns a Dataset / pyarrow Table
+whose column names match its oracle SQL in __ray_entry__.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def partial_groupby(ds, keys, agg_spec, batch_size: int = 65536):
+    """Two-phase aggregate: per-batch pandas groupby -> hash-bucketed
+    vectorized combine (see stages.combine for why not
+    ``Dataset.groupby().aggregate()``).
+
+    agg_spec: {out_col: (in_col, 'sum'|'count')} — count uses any col.
+    """
+    from ..stages.combine import grouped_aggregate
+    return grouped_aggregate(ds, keys, agg_spec, batch_size=batch_size)
+
+
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape: global pricing summary by returnflag/linestatus."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount", "l_tax"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(t["l_extendedprice"],
+                                 pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        charge = pc.multiply(disc_price,
+                             pc.add(pa.scalar(1.0), t["l_tax"]))
+        return t.append_column("disc_price", disc_price) \
+                .append_column("charge", charge)
+
+    out = partial_groupby(
+        ds.map_batches(derive, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        {"sum_qty": ("l_quantity", "sum"),
+         "sum_base_price": ("l_extendedprice", "sum"),
+         "sum_disc_price": ("disc_price", "sum"),
+         "sum_charge": ("charge", "sum"),
+         "count_order": ("l_quantity", "count")})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        for c in ("sum_qty", "sum_base_price", "sum_disc_price", "sum_charge"):
+            df[c] = df[c].round(2)
+        df["count_order"] = df["count_order"].astype("int64")
+        return df
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+def top_customers(sf_dir: str, k: int = 10):
+    """Total spend per customer, top-k, customer names broadcast-joined."""
+    import ray
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    agg = partial_groupby(orders, ["o_custkey"],
+                          {"total_spent": ("o_totalprice", "sum"),
+                           "order_count": ("o_totalprice", "count")})
+    top = agg.sort(["total_spent", "o_custkey"],
+                   descending=[True, False]).limit(k)
+    names = _read(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
+    name_of = dict(zip(names["c_custkey"], names["c_name"]))
+    df = top.to_pandas()
+    df["c_name"] = df["o_custkey"].map(name_of)
+    df = df.rename(columns={"o_custkey": "c_custkey"})
+    df["total_spent"] = df["total_spent"].round(2)
+    df["order_count"] = df["order_count"].astype("int64")
+    return pa.Table.from_pandas(
+        df[["c_custkey", "c_name", "total_spent", "order_count"]],
+        preserve_index=False)
+
+
+def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
+                         cutoff: str = "1998-01-01", k: int = 10):
+    """TPC-H Q3 shape: 3-way join as two broadcast probes + one
+    aggregate; top-k revenue orders."""
+    import ray
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    custkeys = set(cust.loc[cust["c_mktsegment"] == segment, "c_custkey"])
+    cutoff_ts = pd.Timestamp(cutoff)
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]).to_pandas()
+    osel = orders[(orders["o_custkey"].isin(custkeys))
+                  & (orders["o_orderdate"] < cutoff_ts)]
+    order_date = dict(zip(osel["o_orderkey"], osel["o_orderdate"]))
+    odate_ref = ray.put(order_date)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        od = ray.get(odate_ref)
+        df = df[(df["l_shipdate"] > cutoff_ts)
+                & df["l_orderkey"].isin(od.keys())]
+        rev = df["l_extendedprice"] * (1.0 - df["l_discount"])
+        return pd.DataFrame({"l_orderkey": df["l_orderkey"], "revenue": rev})
+
+    agg = partial_groupby(li.map_batches(probe, batch_format="pandas"),
+                          ["l_orderkey"], {"revenue": ("revenue", "sum")})
+    top = agg.sort(["revenue", "l_orderkey"],
+                   descending=[True, False]).limit(k).to_pandas()
+    top["o_orderdate"] = top["l_orderkey"].map(order_date)
+    top["revenue"] = top["revenue"].round(2)
+    return pa.Table.from_pandas(top[["l_orderkey", "revenue", "o_orderdate"]],
+                                preserve_index=False)
+
+
+def nation_revenue(sf_dir: str):
+    """Revenue by supplier nation: two broadcast dimension joins
+    (supplier -> nation) + one grouped aggregate."""
+    import ray
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nation_of_supp = dict(zip(
+        sup["s_suppkey"],
+        sup["s_nationkey"].map(dict(zip(nat["n_nationkey"], nat["n_name"])))))
+    ref = ray.put(nation_of_supp)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_extendedprice", "l_discount"])
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(ref)
+        return pd.DataFrame({
+            "n_name": df["l_suppkey"].map(m),
+            "revenue": df["l_extendedprice"] * (1.0 - df["l_discount"]),
+        })
+
+    out = partial_groupby(li.map_batches(probe, batch_format="pandas"),
+                          ["n_name"], {"revenue": ("revenue", "sum"),
+                                       "n_items": ("revenue", "count")})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["revenue"] = df["revenue"].round(2)
+        df["n_items"] = df["n_items"].astype("int64")
+        return df
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+def distinct_segments(sf_dir: str):
+    """DISTINCT via Dataset.unique (shuffle over one small column)."""
+    ds = _read(sf_dir, "customer", ["c_mktsegment"])
+    vals = sorted(ds.unique("c_mktsegment"))
+    return pa.table({"c_mktsegment": pa.array(vals, pa.string())})
+
+
+def part_topk_price(sf_dir: str, k: int = 20):
+    """Global sort + limit with deterministic tiebreak."""
+    ds = _read(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"])
+    return ds.sort(["p_retailprice", "p_partkey"],
+                   descending=[True, False]).limit(k)
+
+
+def events_tumbling(sf_dir: str):
+    """Tumbling 1-hour windows per user: count + sum(value).
+
+    Ray Data has no event-time windows; the window key is computed in a
+    vectorized map and the aggregate is a plain grouped sum — the
+    documented streaming-as-batch mapping."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def window(df: pd.DataFrame) -> pd.DataFrame:
+        # int64 epoch-us window key: Ray's sort-based aggregate is ~3
+        # orders of magnitude slower on timestamp keys than on ints
+        return pd.DataFrame({
+            "user_id": df["user_id"],
+            "window_us": df["ts"].dt.floor("h").astype("datetime64[us]")
+                .astype("int64"),
+            "value": df["value"],
+        })
+
+    out = partial_groupby(ds.map_batches(window, batch_format="pandas"),
+                          ["user_id", "window_us"],
+                          {"n_events": ("value", "count"),
+                           "sum_value": ("value", "sum")})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["window_start"] = pd.to_datetime(df.pop("window_us"), unit="us")
+        df["sum_value"] = df["sum_value"].round(2)
+        df["n_events"] = df["n_events"].astype("int64")
+        return df[["user_id", "window_start", "n_events", "sum_value"]]
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+def events_sessionize(sf_dir: str, gap_minutes: int = 30):
+    """Session windows per user (gap-based): groupby(user).map_groups
+    over ts-sorted events — the ordered-log pattern for stream-shaped
+    work.  Emits one row per session."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        new_session = (g["ts"].diff() > gap).cumsum()
+        out = g.groupby(new_session).agg(
+            user_id=("user_id", "first"),
+            session_start=("ts", "first"),
+            session_end=("ts", "last"),
+            n_events=("event_id", "count"))
+        out["n_events"] = out["n_events"].astype("int64")
+        return out.reset_index(drop=True)
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+def events_json_k(sf_dir: str):
+    """JSON extraction through the rule VM: a jmespath chain rule over
+    the ``props`` column — the reference's JSON parser as a Dataset
+    stage (reference: parsers.py:548-573)."""
+    from ..stages.rule_engine import parse_dataset
+
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+    parsed = parse_dataset(
+        ds, [{"name": "k", "chain_rules": [["jmespath", "k", ""]],
+              "child_rules": []}],
+        input_column="props", concurrency=2, batch_size=4096,
+        keep_columns=["event_id"])
+    return parsed.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["event_id"], t["k"].cast(pa.int64())],
+            names=["event_id", "k"]),
+        batch_format="pyarrow")

@@ -1,0 +1,125 @@
+"""Vector pipelines over the ``embeddings`` table."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _read(sf_dir: str, columns=None):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=columns)
+
+
+def _queries(sf_dir: str, n: int = 5):
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    df = t.to_pandas()
+    df = df[df["vec_id"] < n].sort_values("vec_id")
+    return df["vec_id"].tolist(), np.array(df["embedding"].tolist(),
+                                           dtype=np.float64)
+
+
+def ann_topk(sf_dir: str, k: int = 10):
+    from ..stages.ann import brute_topk
+    qids, qm = _queries(sf_dir)
+    return brute_topk(_read(sf_dir, ["vec_id", "embedding"]), qids, qm, k=k)
+
+
+def ann_ivf(sf_dir: str, k: int = 10):
+    from ..stages.ann import ivf_topk
+    qids, qm = _queries(sf_dir)
+    return ivf_topk(_read(sf_dir, ["vec_id", "embedding"]), qids, qm, k=k)
+
+
+def embedding_neardup(sf_dir: str, threshold: float = 0.35):
+    """Exact all-pairs near-dup: normalized matrix broadcast once,
+    every batch multiplies against it (flops-heavy, shuffle-free) —
+    the SQL-checkable twin of the LSH-bucketed variant."""
+    import ray
+
+    ds = _read(sf_dir, ["vec_id", "embedding"])
+    full = ds.to_pandas()
+    ids = np.asarray(full["vec_id"], dtype=np.int64)
+    mat = np.array(full["embedding"].tolist(), dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1
+    ref = ray.put((ids, mat / norms))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        all_ids, unit = ray.get(ref)
+        vecs = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        bnorm = np.linalg.norm(vecs, axis=1, keepdims=True)
+        bnorm[bnorm == 0] = 1
+        bunit = vecs / bnorm
+        bids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        sims = bunit @ unit.T
+        rows_a, rows_b, out = [], [], []
+        for i in range(len(bids)):
+            mask = (sims[i] >= threshold) & (all_ids > bids[i])
+            for j in np.nonzero(mask)[0]:
+                rows_a.append(int(bids[i]))
+                rows_b.append(int(all_ids[j]))
+                out.append(round(float(sims[i, j]), 6))
+        return pa.Table.from_arrays([
+            pa.array(rows_a, pa.int64()), pa.array(rows_b, pa.int64()),
+            pa.array(out, pa.float64())],
+            names=["vec_a", "vec_b", "cosine_sim"])
+
+    import ray
+    out = ds.map_batches(pairs, batch_format="pyarrow")
+    tables = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    schema = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64()),
+                        ("cosine_sim", pa.float64())])
+    if not tables:
+        return schema.empty_table()
+    return pa.concat_tables(tables).sort_by(
+        [("vec_a", "ascending"), ("vec_b", "ascending")])
+
+
+def embedding_neardup_lsh(sf_dir: str, threshold: float = 0.35):
+    from ..stages.dedup import embedding_neardup_pairs
+    out = embedding_neardup_pairs(_read(sf_dir, ["vec_id", "embedding"]),
+                                  threshold=threshold)
+    df = out.to_pandas()
+    schema = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64()),
+                        ("cosine_sim", pa.float64())])
+    if not len(df):
+        return schema.empty_table()
+    df = df.sort_values(["vec_a", "vec_b"])
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def label_centroids(sf_dir: str):
+    """Per-label centroid + count: vectorized per-batch partial sums,
+    tiny global combine (mergeable-sketch pattern for vectors)."""
+    ds = _read(sf_dir, ["label", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        labels = np.asarray(batch["label"].to_pylist())
+        vecs = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        out_l, out_s, out_n = [], [], []
+        for lab in np.unique(labels):
+            m = labels == lab
+            out_l.append(int(lab))
+            out_s.append(vecs[m].sum(axis=0).tolist())
+            out_n.append(int(m.sum()))
+        return pa.Table.from_arrays([
+            pa.array(out_l, pa.int32()),
+            pa.array(out_s, pa.list_(pa.float64())),
+            pa.array(out_n, pa.int64())],
+            names=["label", "vec_sum", "n"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    rows = []
+    for lab, g in parts.groupby("label"):
+        total = np.sum(np.array(g["vec_sum"].tolist()), axis=0)
+        n = int(g["n"].sum())
+        rows.append({"label": int(lab), "n_vectors": n,
+                     "centroid_norm": round(float(
+                         np.linalg.norm(total / n)), 6)})
+    df = pd.DataFrame(rows).sort_values("label")
+    df["label"] = df["label"].astype("int32")
+    return pa.Table.from_pandas(df, preserve_index=False)

@@ -41,8 +41,9 @@ def add_text_hash(batch: pa.Table, column: str = "text") -> pa.Table:
 
 
 def exact_dedup_groups(ds, text_column: str = "text", id_column: str = "doc_id"):
-    """(text_hash, keeper_id, dup_count): one row per distinct content."""
-    from ray.data.aggregate import Count, Min
+    """(text_hash, keeper_id, dup_count): one row per distinct content.
+    Only (hash, id) pairs shuffle — never the text."""
+    from .combine import grouped_aggregate
 
     hashed = ds.map_batches(
         lambda b: pa.Table.from_arrays(
@@ -50,9 +51,9 @@ def exact_dedup_groups(ds, text_column: str = "text", id_column: str = "doc_id")
                       pa.string()), b[id_column]],
             names=["text_hash", id_column]),
         batch_format="pyarrow")
-    return hashed.groupby("text_hash").aggregate(
-        Min(id_column, alias_name="keeper_id"),
-        Count(alias_name="dup_count"))
+    return grouped_aggregate(hashed, ["text_hash"],
+                             {"keeper_id": (id_column, "min"),
+                              "dup_count": (id_column, "count")})
 
 
 # ---------------------------------------------------------------------------
@@ -127,27 +128,27 @@ def minhash_candidate_pairs(ds, num_perm: int = 64, num_bands: int = 16,
                             concurrency: int = 4):
     """documents -> distinct candidate (doc_a, doc_b) pairs via LSH.
 
-    The groupby moves only (band, doc_id) rows; candidate pairs emerge
-    per bucket and are distinct-ed by a second tiny groupby."""
+    Shuffles only (band, doc_id) rows, bucketed by band hash; pairs
+    emerge from a vectorized per-bucket self-merge and are distinct-ed
+    by a second bucketed aggregate."""
+    from .combine import grouped_aggregate, hash_bucket_combine
+
     bands = ds.map_batches(
         MinHashStage, batch_format="pyarrow",
         fn_constructor_kwargs={"num_perm": num_perm, "num_bands": num_bands},
         concurrency=concurrency)
 
-    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g["doc_id"].tolist()))
-        out_a, out_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
-        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
+    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates()
+        m = g.merge(g, on=["band_id", "band_hash"])
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        return pd.DataFrame({"doc_a": m["doc_id_x"].to_numpy(),
+                             "doc_b": m["doc_id_y"].to_numpy()})
 
-    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
-        pairs_of_group, batch_format="pandas")
-    from ray.data.aggregate import Count
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Count(alias_name="n_bands"))
+    pairs = hash_bucket_combine(bands, ["band_id", "band_hash"],
+                                pairs_of_bucket)
+    return grouped_aggregate(pairs, ["doc_a", "doc_b"],
+                             {"n_bands": ("doc_a", "count")})
 
 
 def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
@@ -204,48 +205,65 @@ def minhash_neardup_pairs(ds, threshold: float = 0.7, num_perm: int = 64,
 # ---------------------------------------------------------------------------
 
 
+def popcount64(arr: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array (unpackbits over bytes)."""
+    bytes_view = arr.astype(np.uint64).view(np.uint8).reshape(-1, 8)
+    return np.unpackbits(bytes_view, axis=1).sum(axis=1).astype(np.int64)
+
+
+def hamming_block_pairs(ds, id_col: str, hash_col: str, max_hamming: int,
+                        num_blocks: int = 4, out_prefix: str = "doc"):
+    """Generic Hamming-near-dup over a 64-bit signature column: bucket
+    by 16-bit signature blocks (pigeonhole: any pair within distance
+    num_blocks-1 shares a block), verify distance vectorized inside
+    buckets, distinct via bucketed aggregate."""
+    from .combine import grouped_aggregate, hash_bucket_combine
+
+    a_col, b_col = f"{out_prefix}_a", f"{out_prefix}_b"
+    width = 64 // num_blocks
+    mask = (1 << width) - 1
+
+    def blocks(df: pd.DataFrame) -> pd.DataFrame:
+        u = df[hash_col].to_numpy().astype(np.uint64)
+        frames = []
+        for blk in range(num_blocks):
+            frames.append(pd.DataFrame({
+                id_col: df[id_col].to_numpy(),
+                "block_id": blk,
+                "block_key": ((u >> np.uint64(width * blk))
+                              & np.uint64(mask)).astype(np.int64),
+                hash_col: df[hash_col].to_numpy(),
+            }))
+        return pd.concat(frames, ignore_index=True)
+
+    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=[id_col, "block_id", "block_key"])
+        m = g.merge(g, on=["block_id", "block_key"])
+        m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
+        if not len(m):
+            return pd.DataFrame({a_col: [], b_col: [], "hamming": []})
+        xor = (m[f"{hash_col}_x"].to_numpy().astype(np.uint64)
+               ^ m[f"{hash_col}_y"].to_numpy().astype(np.uint64))
+        d = popcount64(xor)
+        keep = d <= max_hamming
+        return pd.DataFrame({a_col: m[f"{id_col}_x"].to_numpy()[keep],
+                             b_col: m[f"{id_col}_y"].to_numpy()[keep],
+                             "hamming": d[keep]})
+
+    candidates = ds.map_batches(blocks, batch_format="pandas")
+    pairs = hash_bucket_combine(candidates, ["block_id", "block_key"],
+                                pairs_of_bucket)
+    return grouped_aggregate(pairs, [a_col, b_col],
+                             {"hamming": ("hamming", "min")})
+
+
 def simhash_neardup_pairs(ds, max_hamming: int = 3, concurrency: int = 4):
     """SimHash + 4-block bucketing (pigeonhole: any pair within Hamming
     distance 3 shares at least one of 4 16-bit blocks)."""
     from .text import simhash_batch
 
     sims = ds.map_batches(simhash_batch, batch_format="pyarrow")
-
-    def blocks(batch: pa.Table) -> pa.Table:
-        doc_ids, block_ids, keys, hashes = [], [], [], []
-        for doc_id, sh in zip(batch["doc_id"].to_pylist(),
-                              batch["simhash"].to_pylist()):
-            u = np.uint64(sh).item() & 0xFFFFFFFFFFFFFFFF
-            for blk in range(4):
-                doc_ids.append(doc_id)
-                block_ids.append(blk)
-                keys.append((u >> (16 * blk)) & 0xFFFF)
-                hashes.append(sh)
-        return pa.Table.from_arrays([
-            pa.array(doc_ids, pa.int64()), pa.array(block_ids, pa.int32()),
-            pa.array(keys, pa.int64()), pa.array(hashes, pa.int64())],
-            names=["doc_id", "block_id", "block_key", "simhash"])
-
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        rows = sorted(set(zip(g["doc_id"], g["simhash"])))
-        out_a, out_b, dist = [], [], []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                d = bin((np.uint64(rows[i][1]).item() & 0xFFFFFFFFFFFFFFFF)
-                        ^ (np.uint64(rows[j][1]).item() & 0xFFFFFFFFFFFFFFFF)
-                        ).count("1")
-                if d <= max_hamming:
-                    out_a.append(rows[i][0])
-                    out_b.append(rows[j][0])
-                    dist.append(d)
-        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "hamming": dist})
-
-    from ray.data.aggregate import Min
-    return sims.map_batches(blocks, batch_format="pyarrow") \
-        .groupby(["block_id", "block_key"]) \
-        .map_groups(pairs, batch_format="pandas") \
-        .groupby(["doc_a", "doc_b"]).aggregate(Min("hamming",
-                                                   alias_name="hamming"))
+    return hamming_block_pairs(sims, "doc_id", "simhash", max_hamming)
 
 
 # ---------------------------------------------------------------------------
@@ -296,8 +314,8 @@ def embedding_neardup_pairs(ds, threshold: float = 0.95, num_planes: int = 8,
         return pd.DataFrame({"vec_a": out_a, "vec_b": out_b,
                              "cosine_sim": sims})
 
-    from ray.data.aggregate import Max
-    return ds.map_batches(bucketize, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(pairs, batch_format="pandas") \
-        .groupby(["vec_a", "vec_b"]).aggregate(
-            Max("cosine_sim", alias_name="cosine_sim"))
+    from .combine import grouped_aggregate
+    bucketed = ds.map_batches(bucketize, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(pairs, batch_format="pandas")
+    return grouped_aggregate(bucketed, ["vec_a", "vec_b"],
+                             {"cosine_sim": ("cosine_sim", "max")})

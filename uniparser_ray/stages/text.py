@@ -57,12 +57,15 @@ def quality_batch(batch: pd.DataFrame) -> pd.DataFrame:
     score = (0.4 * stop_ratio.clip(0, 0.5) / 0.5
              + 0.3 * alpha_ratio
              + 0.3 * (1.0 - (mean_word_len - 5.0).abs().clip(0, 5) / 5.0))
+    # no rounding: these are ratios/linear maps of small-int ratios, so
+    # both engines compute bit-identical doubles — rounding would
+    # reintroduce banker's-vs-half-away divergence on exact .5 ties
     return pd.DataFrame({
         "doc_id": batch["doc_id"],
         "n_words": words.map(len).astype("int64"),
-        "stop_ratio": stop_ratio.round(6),
-        "alpha_ratio": alpha_ratio.round(6),
-        "quality_score": score.round(6),
+        "stop_ratio": stop_ratio,
+        "alpha_ratio": alpha_ratio,
+        "quality_score": score,
     })
 
 
