@@ -1,0 +1,104 @@
+"""Multimodal (audio/video) stage plumbing + the CLI console.
+
+The codec stubs decode the synthetic pcm16/rawrgb formats for real;
+the tests pin the Ray-side contract (schema, explode layout, strict
+mode) so a real codec can be swapped in without touching anything
+else.
+"""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from uniparser_ray.stages.multimodal import (AudioFeatureStage,
+                                             VideoFrameSampleStage,
+                                             audio_features,
+                                             synth_audio_table,
+                                             synth_video_table,
+                                             video_frame_samples)
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def test_audio_features_dataset(ray_session):
+    import ray.data as rd
+    t = synth_audio_table(12)
+    out = audio_features(rd.from_arrow(t), concurrency=2) \
+        .to_pandas().sort_values("clip_id").reset_index(drop=True)
+    assert list(out.columns) == ["clip_id", "duration_s", "rms", "zcr",
+                                 "peak"]
+    assert len(out) == 12
+    # sine-dominated clips: RMS near 0.5/sqrt(2), bounded peak
+    assert (out["rms"] > 0.2).all() and (out["peak"] <= 1.0).all()
+    # deterministic across runs
+    again = audio_features(rd.from_arrow(t), concurrency=2) \
+        .to_pandas().sort_values("clip_id").reset_index(drop=True)
+    assert out.equals(again)
+
+
+def test_audio_strict_raises():
+    stage = AudioFeatureStage(strict=True)
+    bad = pa.Table.from_pylist([{
+        "clip_id": "x", "bytes": b"\x00" * 64, "sample_rate": 8000,
+        "n_samples": 32, "fmt": "mp3"}])
+    with pytest.raises(NotImplementedError):
+        stage(bad)
+
+
+def test_video_frame_sampling(ray_session):
+    import ray.data as rd
+    t = synth_video_table(5)
+    out = video_frame_samples(rd.from_arrow(t), k=3, concurrency=2) \
+        .to_pandas().sort_values(["video_id", "frame_index"]) \
+        .reset_index(drop=True)
+    assert list(out.columns) == ["video_id", "frame_index", "frame_ppm",
+                                 "t_seconds"]
+    assert len(out) == 5 * 3
+    # sampled frame decodes back to the source frame exactly
+    from uniparser_ray.sources.codecs import decode_image
+    row0 = t.to_pylist()[0]
+    frames = np.frombuffer(row0["bytes"], np.uint8).reshape(
+        row0["n_frames"], row0["h"], row0["w"], 3)
+    first = out[out["video_id"] == row0["video_id"]].iloc[0]
+    px = decode_image(first["frame_ppm"], "ppm")
+    assert np.array_equal(px, frames[int(first["frame_index"])])
+
+
+def test_video_strict_raises():
+    stage = VideoFrameSampleStage(strict=True)
+    bad = pa.Table.from_pylist([{
+        "video_id": "x", "bytes": b"\x00" * 100, "n_frames": 2, "w": 4,
+        "h": 4, "fps": 8.0, "fmt": "h264"}])
+    with pytest.raises(NotImplementedError):
+        stage(bad)
+
+
+def test_cli_test_rule(tmp_path):
+    rule = {"name": "title",
+            "chain_rules": [["css", "a.url", "@href"],
+                            ["python", "getitem", "[0]"]],
+            "child_rules": []}
+    (tmp_path / "rule.json").write_text(json.dumps(rule))
+    (tmp_path / "page.html").write_text('<a class="url" href="/x">t</a>')
+    out = subprocess.run(
+        [sys.executable, "-m", "uniparser_ray", "test-rule",
+         "--rule", str(tmp_path / "rule.json"),
+         "--input", str(tmp_path / "page.html")],
+        cwd=REPO, capture_output=True, text=True, check=True).stdout
+    assert json.loads(out) == {"title": "/x"}
+
+
+def test_cli_curl_parse():
+    out = subprocess.run(
+        [sys.executable, "-m", "uniparser_ray", "curl-parse",
+         'curl -X POST -d "a=1" -H "X-K: v" http://example.com/p'],
+        cwd=REPO, capture_output=True, text=True, check=True).stdout
+    args = json.loads(out)
+    assert args["url"] == "http://example.com/p"
+    assert args["method"] == "post"
+    assert args["headers"]["X-K"] == "v"

@@ -45,9 +45,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..rulevm.urlutil import url_hash64
-from ..stages.crawl_stages import (FetchParseStage, HashSeenStage,
-                                   ImageFetchStage, SeenRobotsStage,
-                                   canonicalize_batch)
+from ..stages.crawl_stages import (FetchParseStage, ImageFetchStage,
+                                   SeenRobotsStage, canonicalize_batch)
 from ..state.seen import SeenFilter
 from ..storage.lance_layout import LanceLayoutTable
 
@@ -242,13 +241,27 @@ class CrawlRun:
 
         for r in range(start_round, self.cfg.max_rounds):
             t0 = time.perf_counter()
+            phase_t: Dict[str, float] = {}
+
+            def _mark(name, _last=[t0]):
+                now = time.perf_counter()
+                phase_t[name] = round(now - _last[0], 3)
+                _last[0] = now
+
             fdir = self.frontier_dir / f"round={r}"
             if not fdir.exists() or not list(fdir.glob("*.parquet")):
                 break
 
             # -- admit + politeness grant (the round's one shuffle) ----
             from ..stages.combine import hash_bucket_combine
-            frontier = rd.read_parquet(str(fdir))
+            # a checkpoint file is one block; split it so every stage
+            # of the round fans out across the pool (a single-block
+            # frontier serializes the whole round through one task)
+            n_candidates = sum(pq.read_metadata(f).num_rows
+                               for f in fdir.glob("*.parquet"))
+            n_blocks = max(1, min(4 * self.cfg.fetch_concurrency,
+                                  (n_candidates + 63) // 64))
+            frontier = rd.read_parquet(str(fdir)).repartition(n_blocks)
             admitted = (
                 frontier
                 .map_batches(canonicalize_batch, batch_format="pyarrow")
@@ -260,9 +273,11 @@ class CrawlRun:
             # and the per-host top-k grant is vectorized per bucket
             decided = hash_bucket_combine(
                 admitted, ["host"], granter, num_buckets=64).materialize()
+            _mark('grant')
             n_decided = decided.count()
             granted = decided.filter(expr="granted == 1")
             n_granted = granted.count()
+            _mark('counts')
             if n_granted == 0:
                 break
 
@@ -272,14 +287,16 @@ class CrawlRun:
                 fn_constructor_kwargs={
                     "rule_pack_ref": self.rule_pack_ref,
                     "web_config": self.cfg.web_config},
-                concurrency=self.cfg.fetch_concurrency,
+                concurrency=(1, self.cfg.fetch_concurrency),
                 batch_size=self.cfg.fetch_batch_size,
                 num_cpus=1).materialize()
 
+            _mark('fetch_parse')
             pdir = self.pages_dir / f"round={r}"
             pages.drop_columns(["links", "img_srcs", "img_captions"]) \
                 .write_parquet(str(pdir))
 
+            _mark('pages_write')
             # -- image side-channel: explode -> dedup -> fetch -> Lance
             # fragments written task-parallel straight into the table dir
             # (bytes never touch the driver)
@@ -288,15 +305,15 @@ class CrawlRun:
                 pages
                 .map_batches(_explode_images, batch_format="pyarrow")
                 .map_batches(
-                    HashSeenStage, batch_format="pyarrow",
+                    ImageFetchStage, batch_format="pyarrow",
                     fn_constructor_kwargs={
+                        "web_config": self.cfg.web_config,
+                        # fused cross-round dedup: the seen test-and-set
+                        # runs inside the fetch actors (shards are
+                        # atomic, so any concurrency is safe)
                         "seen_shards": self.img_seen.shards,
                         "shard_bits": self.img_seen.shard_bits},
-                    concurrency=2, num_cpus=0.25)
-                .map_batches(
-                    ImageFetchStage, batch_format="pyarrow",
-                    fn_constructor_kwargs={"web_config": self.cfg.web_config},
-                    concurrency=max(2, self.cfg.fetch_concurrency // 2),
+                    concurrency=(1, max(2, self.cfg.fetch_concurrency // 2)),
                     batch_size=64, num_cpus=1)
             )
             img_rows.write_parquet(str(img_dir))
@@ -309,6 +326,7 @@ class CrawlRun:
             n_images = sum(pq.read_metadata(self.images.data_dir / n).num_rows
                            for n in frag_names)
             self.images.commit(frag_names, metadata={"round": r})
+            _mark('images')
 
             # -- next frontier: links + politeness backlog -------------
             # per-round link volume is bounded (granted x fanout), so the
@@ -334,15 +352,17 @@ class CrawlRun:
             if n_next:
                 self._write_frontier(next_frontier, r + 1)
 
+            _mark('frontier_next')
             self.metrics.append({
                 "round": r,
-                "candidates": frontier.count(),
+                "candidates": n_candidates,
                 "granted": n_granted,
                 "backlog": n_decided - n_granted,
                 "pages_ok": pages.filter(expr="status == 200").count(),
                 "images_written": n_images,
                 "next_frontier": n_next,
                 "sec": round(time.perf_counter() - t0, 3),
+                "phases": phase_t,
             })
             self._save_state(r + 1)
             if not n_next:

@@ -301,13 +301,19 @@ class ImageFetchStage:
     synthetic web encodes the global image index; foreign URLs fall
     back to a hash id)."""
 
-    def __init__(self, web_config: dict = None):
+    def __init__(self, web_config: dict = None, seen_shards: List = None,
+                 shard_bits: int = 0):
         from ..rulevm.transport import SyntheticWebAdapter
         from ..sources.synthweb import SynthWeb
         self.adapter = SyntheticWebAdapter(SynthWeb(**web_config))
+        # optional fused dedup (one actor pool instead of two per round)
+        self.seen = (HashSeenStage(seen_shards, shard_bits)
+                     if seen_shards else None)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..rulevm.parsers import md5 as _md5
+        if self.seen is not None:
+            batch = self.seen(batch)
         urls = batch["img_url"].to_pylist()
         captions = batch["caption"].to_pylist()
         ids, blobs, ws, hs, fmts, caps, hashes, srcs = [], [], [], [], [], [], [], []

@@ -1,0 +1,219 @@
+"""Multimodal actor-pool stages: audio decode/feature-extract and
+video frame-sampling over opaque ``binary`` columns.
+
+The real codec libraries (soundfile / PyAV / ffmpeg) are not in this
+container, so the *codec* is pluggable per-actor state: each stage
+tries the real library in ``__init__`` and otherwise falls back to a
+deterministic stub decoder (or raises ``NotImplementedError`` when
+``strict=True``).  Everything Ray-side is real and tested — schema,
+actor signature, batch sizing, output layout — so swapping the codec
+in is a one-line change.
+
+Layout conventions (the image table's conventions extended):
+
+* audio row:  (clip_id:string, bytes:binary, sample_rate:int32,
+               n_samples:int32, fmt:string)
+* video row:  (video_id:string, bytes:binary, n_frames:int32,
+               w:int32, h:int32, fps:float32, fmt:string)
+
+Batches must stay SMALL for these stages (payloads are large binaries)
+— callers pass ``batch_size<=64`` and ``num_cpus=1``; the helper
+functions below bake those defaults in.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+AUDIO_SCHEMA = pa.schema([
+    ("clip_id", pa.string()),
+    ("bytes", pa.binary()),
+    ("sample_rate", pa.int32()),
+    ("n_samples", pa.int32()),
+    ("fmt", pa.string()),
+])
+
+VIDEO_SCHEMA = pa.schema([
+    ("video_id", pa.string()),
+    ("bytes", pa.binary()),
+    ("n_frames", pa.int32()),
+    ("w", pa.int32()),
+    ("h", pa.int32()),
+    ("fps", pa.float32()),
+    ("fmt", pa.string()),
+])
+
+
+def _stub_pcm(blob: bytes, n_samples: int) -> np.ndarray:
+    """Deterministic fake decode: the blob IS little-endian int16 PCM
+    (that is how the synthetic generator encodes it), so the stub is a
+    real decoder for the 'pcm16' fmt and a placeholder for others."""
+    pcm = np.frombuffer(blob, dtype="<i2", count=n_samples)
+    return pcm.astype(np.float32) / 32768.0
+
+
+def synth_audio_table(n_clips: int, seed: int = 42,
+                      sample_rate: int = 8000) -> pa.Table:
+    """Deterministic synthetic audio table (pcm16 sine+noise clips)."""
+    ids, blobs, srs, ns, fmts = [], [], [], [], []
+    for i in range(n_clips):
+        rng = np.random.default_rng(seed * 1_000_003 + i)
+        n = int(sample_rate * (0.25 + (i % 8) * 0.125))
+        t = np.arange(n, dtype=np.float32) / sample_rate
+        freq = 110.0 * (1 + (i % 12))
+        wave = (0.5 * np.sin(2 * np.pi * freq * t)
+                + 0.05 * rng.standard_normal(n).astype(np.float32))
+        pcm = np.clip(wave * 32767.0, -32768, 32767).astype("<i2")
+        ids.append(f"clip-{i:08d}")
+        blobs.append(pcm.tobytes())
+        srs.append(sample_rate)
+        ns.append(n)
+        fmts.append("pcm16")
+    return pa.Table.from_arrays([
+        pa.array(ids, pa.string()), pa.array(blobs, pa.binary()),
+        pa.array(srs, pa.int32()), pa.array(ns, pa.int32()),
+        pa.array(fmts, pa.string())], schema=AUDIO_SCHEMA)
+
+
+class AudioFeatureStage:
+    """Actor-pool stage: decode audio -> per-clip features
+    (duration, RMS, zero-crossing rate, peak).
+
+    ``__init__`` resolves the decoder ONCE per actor: the real
+    ``soundfile`` backend when importable, else the pcm16 stub
+    (``strict=True`` raises instead of stubbing non-pcm16 formats).
+    """
+
+    def __init__(self, strict: bool = False):
+        self.strict = strict
+        try:  # pragma: no cover - library absent in this container
+            import soundfile
+            self._lib = soundfile
+        except ImportError:
+            self._lib = None
+
+    def _decode(self, blob: bytes, fmt: str, n_samples: int) -> np.ndarray:
+        if fmt == "pcm16":
+            return _stub_pcm(blob, n_samples)
+        if self._lib is not None:  # pragma: no cover
+            import io
+            data, _sr = self._lib.read(io.BytesIO(blob))
+            return np.asarray(data, np.float32)
+        if self.strict:
+            raise NotImplementedError(
+                f"no decoder for audio fmt={fmt!r} (soundfile not "
+                "installed); install soundfile or use fmt='pcm16'")
+        # deterministic placeholder keyed by content hash
+        h = int.from_bytes(hashlib.sha256(blob).digest()[:8], "little")
+        rng = np.random.default_rng(h)
+        return rng.standard_normal(max(n_samples, 1)).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, dur, rms, zcr, peak = [], [], [], [], []
+        for row in batch.to_pylist():
+            x = self._decode(row["bytes"], row["fmt"], row["n_samples"])
+            sr = max(row["sample_rate"], 1)
+            ids.append(row["clip_id"])
+            dur.append(round(len(x) / sr, 6))
+            rms.append(round(float(np.sqrt(np.mean(x * x))), 6))
+            zcr.append(round(float(np.mean(np.abs(np.diff(np.sign(x))) > 0)),
+                             6))
+            peak.append(round(float(np.max(np.abs(x))), 6))
+        return pa.Table.from_arrays([
+            pa.array(ids, pa.string()), pa.array(dur, pa.float64()),
+            pa.array(rms, pa.float64()), pa.array(zcr, pa.float64()),
+            pa.array(peak, pa.float64())],
+            names=["clip_id", "duration_s", "rms", "zcr", "peak"])
+
+
+class VideoFrameSampleStage:
+    """Actor-pool stage: sample ``k`` evenly-spaced frames per video
+    and emit one ROW PER FRAME (explode) with the frame re-encoded as
+    PPM — the shape a caption/embedding model stage consumes.
+
+    The container has no video codec; 'rawrgb' fmt (the synthetic
+    generator's: concatenated H*W*3 uint8 frames) is decoded for real,
+    other formats stub (or raise when ``strict=True``).  A deployment
+    swaps ``self._decode_frames`` for a PyAV/ffmpeg reader in
+    ``__init__`` — nothing else changes.
+    """
+
+    def __init__(self, k: int = 4, strict: bool = False):
+        self.k = k
+        self.strict = strict
+        try:  # pragma: no cover
+            import av
+            self._lib = av
+        except ImportError:
+            self._lib = None
+
+    def _decode_frames(self, row: dict) -> np.ndarray:
+        h, w, n = row["h"], row["w"], row["n_frames"]
+        if row["fmt"] == "rawrgb":
+            return np.frombuffer(row["bytes"], np.uint8,
+                                 count=n * h * w * 3).reshape(n, h, w, 3)
+        if self._lib is not None:  # pragma: no cover
+            raise NotImplementedError("PyAV path not exercised in sandbox")
+        if self.strict:
+            raise NotImplementedError(
+                f"no decoder for video fmt={row['fmt']!r} (PyAV not "
+                "installed); use fmt='rawrgb'")
+        hsh = int.from_bytes(hashlib.sha256(row["bytes"]).digest()[:8],
+                             "little")
+        rng = np.random.default_rng(hsh)
+        return rng.integers(0, 256, (n, h, w, 3), dtype=np.uint8)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..sources.codecs import encode_ppm
+        vids, idxs, blobs, ts = [], [], [], []
+        for row in batch.to_pylist():
+            frames = self._decode_frames(row)
+            n = frames.shape[0]
+            k = min(self.k, n)
+            picks = np.linspace(0, n - 1, k).round().astype(int)
+            fps = max(float(row["fps"]), 1e-6)
+            for j in picks:
+                vids.append(row["video_id"])
+                idxs.append(int(j))
+                blobs.append(encode_ppm(frames[j]))
+                ts.append(round(j / fps, 6))
+        return pa.Table.from_arrays([
+            pa.array(vids, pa.string()), pa.array(idxs, pa.int32()),
+            pa.array(blobs, pa.binary()), pa.array(ts, pa.float64())],
+            names=["video_id", "frame_index", "frame_ppm", "t_seconds"])
+
+
+def synth_video_table(n_videos: int, seed: int = 7) -> pa.Table:
+    ids, blobs, nfs, ws, hs, fps, fmts = [], [], [], [], [], [], []
+    for i in range(n_videos):
+        rng = np.random.default_rng(seed * 999_983 + i)
+        n, h, w = 6 + (i % 5), 16, 16
+        frames = rng.integers(0, 256, (n, h, w, 3), dtype=np.uint8)
+        ids.append(f"vid-{i:08d}")
+        blobs.append(frames.tobytes())
+        nfs.append(n)
+        ws.append(w)
+        hs.append(h)
+        fps.append(8.0)
+        fmts.append("rawrgb")
+    return pa.Table.from_arrays([
+        pa.array(ids, pa.string()), pa.array(blobs, pa.binary()),
+        pa.array(nfs, pa.int32()), pa.array(ws, pa.int32()),
+        pa.array(hs, pa.int32()), pa.array(fps, pa.float32()),
+        pa.array(fmts, pa.string())], schema=VIDEO_SCHEMA)
+
+
+def audio_features(ds, concurrency: int = 4):
+    """Dataset of AUDIO_SCHEMA rows -> per-clip features."""
+    return ds.map_batches(AudioFeatureStage, batch_format="pyarrow",
+                          concurrency=concurrency, batch_size=64, num_cpus=1)
+
+
+def video_frame_samples(ds, k: int = 4, concurrency: int = 4):
+    """Dataset of VIDEO_SCHEMA rows -> one row per sampled frame."""
+    return ds.map_batches(VideoFrameSampleStage, batch_format="pyarrow",
+                          fn_constructor_kwargs={"k": k},
+                          concurrency=concurrency, batch_size=16, num_cpus=1)
