@@ -101,7 +101,7 @@ def doc_parse_rules(sf_dir: str):
          "chain_rules": [["udf", "md5(obj)", ""]], "child_rules": []},
     ]
     parsed = parse_dataset(_read(sf_dir, ["doc_id", "text"]), rules,
-                           input_column="text", concurrency=2,
+                           input_column="text",
                            batch_size=2048, keep_columns=["doc_id"])
     return parsed.map_batches(
         lambda t: pa.Table.from_arrays(

@@ -214,16 +214,24 @@ def events_tumbling(sf_dir: str):
 
 
 def events_sessionize(sf_dir: str, gap_minutes: int = 30):
-    """Session windows per user (gap-based): groupby(user).map_groups
-    over ts-sorted events — the ordered-log pattern for stream-shaped
-    work.  Emits one row per session."""
+    """Session windows per user (gap-based), the ordered-log pattern
+    for stream-shaped work: hash-bucket users, one VECTORIZED pass per
+    bucket (sort by (user, ts) -> gap diff -> cumsum session ids ->
+    grouped min/max/count) — no per-group Python calls, so millions of
+    users cost one pandas pass per bucket.  Emits one row per
+    session."""
+    from ..stages.combine import hash_bucket_combine
+
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
     gap = pd.Timedelta(minutes=gap_minutes)
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        new_session = (g["ts"].diff() > gap).cumsum()
-        out = g.groupby(new_session).agg(
+    def sessions(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.sort_values(["user_id", "ts", "event_id"],
+                               kind="mergesort")
+        new_user = b["user_id"].ne(b["user_id"].shift())
+        new_sess = new_user | (b["ts"].diff() > gap)
+        b = b.assign(_sess=new_sess.cumsum())
+        out = b.groupby("_sess", sort=False).agg(
             user_id=("user_id", "first"),
             session_start=("ts", "first"),
             session_end=("ts", "last"),
@@ -231,7 +239,7 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30):
         out["n_events"] = out["n_events"].astype("int64")
         return out.reset_index(drop=True)
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return hash_bucket_combine(ds, ["user_id"], sessions, num_buckets=64)
 
 
 def events_json_k(sf_dir: str):
@@ -244,7 +252,7 @@ def events_json_k(sf_dir: str):
     parsed = parse_dataset(
         ds, [{"name": "k", "chain_rules": [["jmespath", "k", ""]],
               "child_rules": []}],
-        input_column="props", concurrency=2, batch_size=4096,
+        input_column="props", batch_size=4096,
         keep_columns=["event_id"])
     return parsed.map_batches(
         lambda t: pa.Table.from_arrays(

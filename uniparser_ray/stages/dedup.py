@@ -133,10 +133,10 @@ def minhash_candidate_pairs(ds, num_perm: int = 64, num_bands: int = 16,
     by a second bucketed aggregate."""
     from .combine import grouped_aggregate, hash_bucket_combine
 
+    from .taskcache import cached_stage
     bands = ds.map_batches(
-        MinHashStage, batch_format="pyarrow",
-        fn_constructor_kwargs={"num_perm": num_perm, "num_bands": num_bands},
-        concurrency=concurrency)
+        cached_stage(MinHashStage, num_perm=num_perm, num_bands=num_bands),
+        batch_format="pyarrow")
 
     def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates()
@@ -296,23 +296,18 @@ def embedding_neardup_pairs(ds, threshold: float = 0.95, num_planes: int = 8,
             names=["vec_id", "bucket", "embedding"])
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g["vec_id"].tolist()
+        g = g.sort_values("vec_id", kind="mergesort")
+        ids = g["vec_id"].to_numpy()
         vecs = np.array(g["embedding"].tolist(), dtype=np.float64)
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         norms[norms == 0] = 1
         unit = vecs / norms
         sim = unit @ unit.T
-        out_a, out_b, sims = [], [], []
-        order = np.argsort(ids)
-        for ii in range(len(order)):
-            for jj in range(ii + 1, len(order)):
-                i, j = order[ii], order[jj]
-                if sim[i, j] >= threshold:
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-                    sims.append(round(float(sim[i, j]), 6))
-        return pd.DataFrame({"vec_a": out_a, "vec_b": out_b,
-                             "cosine_sim": sims})
+        ii, jj = np.triu_indices(len(ids), k=1)
+        keep = sim[ii, jj] >= threshold
+        ii, jj = ii[keep], jj[keep]
+        return pd.DataFrame({"vec_a": ids[ii], "vec_b": ids[jj],
+                             "cosine_sim": np.round(sim[ii, jj], 6)})
 
     from .combine import grouped_aggregate
     bucketed = ds.map_batches(bucketize, batch_format="pyarrow") \
