@@ -54,9 +54,10 @@ class DecodeStatsStage:
 
 def images_decode_stats(sf_dir: str):
     table = images_lance_for(sf_dir)
+    from ..stages.taskcache import cached_stage
     ds = table.read_dataset()
-    return ds.map_batches(DecodeStatsStage, batch_format="pyarrow",
-                          concurrency=4, batch_size=256, num_cpus=1)
+    return ds.map_batches(cached_stage(DecodeStatsStage),
+                          batch_format="pyarrow", batch_size=256)
 
 
 def images_neardup_phash(sf_dir: str, max_hamming: int = 8):
@@ -104,9 +105,10 @@ class ThumbnailStage:
 
 def images_thumbnails(sf_dir: str):
     table = images_lance_for(sf_dir)
+    from ..stages.taskcache import cached_stage
     return table.read_dataset().map_batches(
-        ThumbnailStage, batch_format="pyarrow", concurrency=4,
-        batch_size=256, num_cpus=1)
+        cached_stage(ThumbnailStage), batch_format="pyarrow",
+        batch_size=256)
 
 
 def caption_token_stats(sf_dir: str):

@@ -62,12 +62,15 @@ def brute_topk(ds, query_ids, query_matrix: np.ndarray, k: int = 10,
     """Exact cosine top-k; returns (query_id, vec_id, cosine_sim, rank)."""
     import ray
 
+    from .taskcache import cached_stage
+
     queries_ref = ray.put((list(query_ids), np.asarray(query_matrix,
                                                        dtype=np.float64)))
+    # task-pool form: warm workers, no actor-pool spin-up; the query
+    # matrix still ships once per worker via the object-store ref
     local = ds.map_batches(
-        BruteTopKStage, batch_format="pyarrow",
-        fn_constructor_kwargs={"queries_ref": queries_ref, "k": k},
-        concurrency=concurrency)
+        cached_stage(BruteTopKStage, queries_ref=queries_ref, k=k),
+        batch_format="pyarrow")
 
     def global_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["cosine_sim", "vec_id"],
@@ -83,6 +86,38 @@ def brute_topk(ds, query_ids, query_matrix: np.ndarray, k: int = 10,
 # ---------------------------------------------------------------------------
 # IVF (coarse-quantized) variant — the 100 TB path
 # ---------------------------------------------------------------------------
+
+
+class IVFStage:
+    """Per-batch IVF search against broadcast (queries, centroids,
+    probe lists) state."""
+
+    def __init__(self, state_ref, k: int):
+        import ray
+        self.query_ids, self.qm, self.cents, self.probes = ray.get(state_ref)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = _as_matrix(batch["embedding"])
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        d = ((vecs[:, None, :] - self.cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        unit = _unit(vecs)
+        out_q, out_v, out_s = [], [], []
+        for qi, query_id in enumerate(self.query_ids):
+            mask = np.isin(assign, list(self.probes[query_id]))
+            if not mask.any():
+                continue
+            row = self.qm[qi] @ unit[mask].T
+            sub_ids = ids[mask]
+            idx = np.lexsort((sub_ids, -row))[:self.k]
+            out_q.extend([query_id] * len(idx))
+            out_v.extend(sub_ids[idx].tolist())
+            out_s.extend(row[idx].tolist())
+        return pa.Table.from_arrays([
+            pa.array(out_q, pa.int64()), pa.array(out_v, pa.int64()),
+            pa.array(out_s, pa.float64())],
+            names=["query_id", "vec_id", "cosine_sim"])
 
 
 def _kmeans_lite(sample: np.ndarray, num_centroids: int, iters: int = 5,
@@ -122,34 +157,9 @@ def ivf_topk(ds, query_ids, query_matrix: np.ndarray, k: int = 10,
               for i, query_id in enumerate(query_ids)}
     ref = ray.put((list(query_ids), _unit(qm), cents, probes))
 
-    class IVFStage:
-        def __init__(self):
-            self.query_ids, self.qm, self.cents, self.probes = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            vecs = _as_matrix(batch["embedding"])
-            ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-            d = ((vecs[:, None, :] - self.cents[None, :, :]) ** 2).sum(axis=2)
-            assign = d.argmin(axis=1)
-            unit = _unit(vecs)
-            out_q, out_v, out_s = [], [], []
-            for qi, query_id in enumerate(self.query_ids):
-                mask = np.isin(assign, list(self.probes[query_id]))
-                if not mask.any():
-                    continue
-                row = self.qm[qi] @ unit[mask].T
-                sub_ids = ids[mask]
-                idx = np.lexsort((sub_ids, -row))[:k]
-                out_q.extend([query_id] * len(idx))
-                out_v.extend(sub_ids[idx].tolist())
-                out_s.extend(row[idx].tolist())
-            return pa.Table.from_arrays([
-                pa.array(out_q, pa.int64()), pa.array(out_v, pa.int64()),
-                pa.array(out_s, pa.float64())],
-                names=["query_id", "vec_id", "cosine_sim"])
-
-    local = ds.map_batches(IVFStage, batch_format="pyarrow",
-                           concurrency=concurrency)
+    from .taskcache import cached_stage
+    local = ds.map_batches(cached_stage(IVFStage, state_ref=ref, k=k),
+                           batch_format="pyarrow")
 
     def global_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["cosine_sim", "vec_id"],
