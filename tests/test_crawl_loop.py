@@ -8,7 +8,7 @@ import numpy as np
 import pyarrow.parquet as pq
 import pytest
 
-from uniparser_ray.crawl.loop import CrawlConfig, CrawlRun
+from uniparser_ray.crawl.loop import CrawlConfig, run_crawl
 from uniparser_ray.crawl.oracle import BFSOracle
 from uniparser_ray.sources.codecs import decode_image
 from uniparser_ray.sources.synthweb import SynthWeb
@@ -44,7 +44,7 @@ def test_crawl_matches_oracle(ray_session, tmp_path, oracle_result):
                       seeds=web.seed_urls(), max_rounds=30,
                       per_host_budget=3, fetch_concurrency=2,
                       seen_shard_bits=2)
-    totals = CrawlRun(cfg).run(web.rule_pack())
+    totals = run_crawl(cfg, web.rule_pack())
     assert totals["pages_ok"] > 0
 
     # 1. crawl ordering: identical per-round fetched URL sets
@@ -90,12 +90,12 @@ def test_crawl_resume(ray_session, tmp_path, oracle_result):
                               seeds=web.seed_urls(), max_rounds=2,
                               per_host_budget=3, fetch_concurrency=2,
                               seen_shard_bits=2)
-    CrawlRun(cfg_partial).run(web.rule_pack())
+    run_crawl(cfg_partial, web.rule_pack())
     cfg_full = CrawlConfig(web_config=WEB_CFG, out_dir=str(out),
                            seeds=web.seed_urls(), max_rounds=30,
                            per_host_budget=3, fetch_concurrency=2,
                            seen_shard_bits=2)
-    totals = CrawlRun(cfg_full).run(web.rule_pack(), resume=True)
+    totals = run_crawl(cfg_full, web.rule_pack(), resume=True)
     ray_rounds = _ray_rounds(out)
     oracle_rounds = [r["fetched"] for r in oracle_result["rounds"]]
     assert ray_rounds == oracle_rounds
@@ -103,3 +103,24 @@ def test_crawl_resume(ray_session, tmp_path, oracle_result):
     assert images.num_rows == len(oracle_result["images"])
     assert totals["pages_ok"] == sum(
         1 for s, _ in oracle_result["pages"].values() if s == 200)
+
+
+def test_crawl_skew_salted_grant_identical(ray_session, tmp_path,
+                                           oracle_result):
+    """skew_salts>1 (two-phase salted politeness grant for hot-domain
+    splitting) must be exactly equivalent to the single-phase grant:
+    identical per-round fetch sets vs the oracle."""
+    web = SynthWeb(**WEB_CFG)
+    cfg = CrawlConfig(web_config=WEB_CFG, out_dir=str(tmp_path / "crawl3"),
+                      seeds=web.seed_urls(), max_rounds=30,
+                      per_host_budget=3, fetch_concurrency=2,
+                      seen_shard_bits=2, skew_salts=4,
+                      max_pending_per_host=5)
+    totals = run_crawl(cfg, web.rule_pack())
+    assert totals["pages_ok"] > 0
+    ray_rounds = _ray_rounds(tmp_path / "crawl3")
+    # oracle with the same (tighter) backlog clip
+    oracle = BFSOracle(web, web.rule_pack(), per_host_budget=3,
+                       max_pending_per_host=5)
+    want = oracle.run(web.seed_urls(), max_rounds=30)
+    assert ray_rounds == [r["fetched"] for r in want["rounds"]]

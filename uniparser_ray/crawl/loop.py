@@ -69,10 +69,19 @@ class CrawlConfig:
     max_pending_per_host: int = 1000  # backlog cap (frontier bound)
     fetch_concurrency: int = 4
     fetch_batch_size: int = 128
+    image_batch_size: int = 128       # keep small when payloads are MBs
     seen_shard_bits: int = 3
     seen_mode: str = "tandem"
     use_robots: bool = True
     host_budgets: Dict[str, int] = field(default_factory=dict)
+    # explicit skew-splitting of hot domains: 0 = single-phase grant;
+    # >1 = two-phase salted grant — phase 1 pre-clips per (host, salt)
+    # so no single task ever sorts more than ~(budget + max_pending)
+    # rows of one host, phase 2 merges the per-salt survivors.  The
+    # two phases are exactly equivalent to the single-phase grant
+    # (any row in a host's global top (k + max_pending) is in its
+    # salt's top (k + max_pending)); tests assert equality.
+    skew_salts: int = 0
 
 
 def _frontier_table(urls: List[str], parents: List[str], depths: List[int],
@@ -103,6 +112,25 @@ def _make_granter(budgets: Dict[str, int], default_budget: int,
         bucket = bucket.assign(granted=(pos.to_numpy() < k).astype(np.int8))
         return bucket[pos.to_numpy() < k + max_pending]
     return grant
+
+
+def _make_preclipper(budgets: Dict[str, int], default_budget: int,
+                     max_pending: int, num_salts: int):
+    """Phase 1 of the skew-split grant: per (host, salt) keep only the
+    top (budget + max_pending) rows by (priority, url_hash).  Exact:
+    every row of a host's global top (budget + max_pending) survives
+    its salt's clip, so phase 2 over the survivors equals the
+    single-phase grant."""
+    def preclip(bucket: pd.DataFrame) -> pd.DataFrame:
+        bucket = bucket.sort_values(["priority", "url_hash"],
+                                    kind="mergesort")
+        pos = bucket.groupby(["host", "_salt"], sort=False).cumcount()
+        if budgets:
+            k = bucket["host"].map(budgets).fillna(default_budget).to_numpy()
+        else:
+            k = np.full(len(bucket), default_budget)
+        return bucket[pos.to_numpy() < k + max_pending]
+    return preclip
 
 
 def _explode_links(batch: pa.Table) -> pa.Table:
@@ -164,6 +192,21 @@ class CrawlRun:
         else:
             self.robots_shards = []
         self.rule_pack_ref = None
+
+    def shutdown(self):
+        """Kill this run's state actors (seen / robots shards) so
+        back-to-back runs in one Ray session don't accumulate actor
+        processes contending for CPU slots."""
+        import ray
+        for actor in (list(self.seen.shards) + list(self.img_seen.shards)
+                      + list(self.robots_shards)):
+            try:
+                ray.kill(actor)
+            except Exception:
+                pass
+        self.seen.shards = []
+        self.img_seen.shards = []
+        self.robots_shards = []
 
     # -- state / resume ----------------------------------------------------
     def _state_path(self) -> Path:
@@ -270,9 +313,31 @@ class CrawlRun:
             )
             # shuffle #1: the grant needs all of a host's pending rows
             # co-located — hosts hash into a bounded number of buckets
-            # and the per-host top-k grant is vectorized per bucket
-            decided = hash_bucket_combine(
-                admitted, ["host"], granter, num_buckets=64).materialize()
+            # and the per-host top-k grant is vectorized per bucket.
+            # With skew_salts > 1, a salted pre-clip phase bounds the
+            # per-task volume of hot hosts before the per-host merge.
+            if self.cfg.skew_salts > 1:
+                salts = self.cfg.skew_salts
+
+                def add_salt(t: pa.Table) -> pa.Table:
+                    s = (t["url_hash"].to_numpy(zero_copy_only=False)
+                         % np.uint64(salts)).astype(np.int32)
+                    return t.append_column("_salt", pa.array(s, pa.int32()))
+
+                preclipped = hash_bucket_combine(
+                    admitted.map_batches(add_salt, batch_format="pyarrow"),
+                    ["host", "_salt"],
+                    _make_preclipper(self.cfg.host_budgets,
+                                     self.cfg.per_host_budget,
+                                     self.cfg.max_pending_per_host, salts),
+                    num_buckets=64)
+                decided = hash_bucket_combine(
+                    preclipped, ["host"],
+                    lambda b: granter(b.drop(columns=["_salt"])),
+                    num_buckets=64).materialize()
+            else:
+                decided = hash_bucket_combine(
+                    admitted, ["host"], granter, num_buckets=64).materialize()
             _mark('grant')
             n_decided = decided.count()
             granted = decided.filter(expr="granted == 1")
@@ -280,16 +345,28 @@ class CrawlRun:
             _mark('counts')
             if n_granted == 0:
                 break
+            # the grant co-locates each host's rows in one block, so a
+            # hot host would otherwise ride into the fetch stage as one
+            # giant serial task; rows here are tiny URL metadata, so a
+            # row-balanced rebalance is cheap and makes fetch tasks
+            # uniform regardless of host skew
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+            fetch_blocks = max(1, min(
+                -(-n_granted // self.cfg.fetch_batch_size), 4 * cpus))
+            granted = granted.repartition(fetch_blocks)
 
-            # -- fetch + rule-VM parse (actor pool) --------------------
+            # -- fetch + rule-VM parse (warm-worker task pool; the
+            # transport/compiled-pack state is cached per worker, so
+            # there is no per-round pool spin-up; per-host fetch rate
+            # is already bounded by the politeness grant, not by
+            # worker concurrency) --------------------------------------
+            from ..stages.taskcache import cached_stage
             pages = granted.map_batches(
-                FetchParseStage, batch_format="pyarrow",
-                fn_constructor_kwargs={
-                    "rule_pack_ref": self.rule_pack_ref,
-                    "web_config": self.cfg.web_config},
-                concurrency=(1, self.cfg.fetch_concurrency),
-                batch_size=self.cfg.fetch_batch_size,
-                num_cpus=1).materialize()
+                cached_stage(FetchParseStage,
+                             rule_pack_ref=self.rule_pack_ref,
+                             web_config=self.cfg.web_config),
+                batch_format="pyarrow",
+                batch_size=self.cfg.fetch_batch_size).materialize()
 
             _mark('fetch_parse')
             pdir = self.pages_dir / f"round={r}"
@@ -305,16 +382,16 @@ class CrawlRun:
                 pages
                 .map_batches(_explode_images, batch_format="pyarrow")
                 .map_batches(
-                    ImageFetchStage, batch_format="pyarrow",
-                    fn_constructor_kwargs={
-                        "web_config": self.cfg.web_config,
-                        # fused cross-round dedup: the seen test-and-set
-                        # runs inside the fetch actors (shards are
-                        # atomic, so any concurrency is safe)
-                        "seen_shards": self.img_seen.shards,
-                        "shard_bits": self.img_seen.shard_bits},
-                    concurrency=(1, max(2, self.cfg.fetch_concurrency // 2)),
-                    batch_size=64, num_cpus=1)
+                    cached_stage(ImageFetchStage,
+                                 web_config=self.cfg.web_config,
+                                 # fused cross-round dedup: the seen
+                                 # test-and-set runs inside the fetch
+                                 # workers (shards are atomic, so any
+                                 # concurrency is safe)
+                                 seen_shards=self.img_seen.shards,
+                                 shard_bits=self.img_seen.shard_bits),
+                    batch_format="pyarrow",
+                    batch_size=self.cfg.image_batch_size)
             )
             img_rows.write_parquet(str(img_dir))
             frag_names = [f"round={r}/{p.name}"
@@ -381,4 +458,8 @@ class CrawlRun:
 
 
 def run_crawl(cfg: CrawlConfig, rule_pack: dict, resume: bool = True) -> dict:
-    return CrawlRun(cfg).run(rule_pack, resume=resume)
+    run = CrawlRun(cfg)
+    try:
+        return run.run(rule_pack, resume=resume)
+    finally:
+        run.shutdown()

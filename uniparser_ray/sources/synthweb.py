@@ -32,11 +32,20 @@ _URL_RE = re.compile(r"^http://host-(\d{4})\.test(/.*)?$")
 
 class SynthWeb:
     def __init__(self, num_hosts: int = 50, base_pages: int = 40,
-                 fanout: int = 3, hot_factor: float = 25.0, seed: int = 42):
+                 fanout: int = 3, hot_factor: float = 25.0, seed: int = 42,
+                 page_weight: int = 0, image_rate: float = 1.0):
         self.num_hosts = num_hosts
         self.base_pages = base_pages
         self.fanout = fanout
         self.seed = seed
+        # page_weight = extra filler paragraphs per page: scales the
+        # DOM size toward real-web page sizes (~100 bytes each) so
+        # benchmarks exercise a compute-bound parse stage; content is
+        # a pure function of (h, p), so conformance is unaffected
+        self.page_weight = page_weight
+        # fraction of pages carrying <img> tags (image density knob —
+        # deterministic per (h, p); default 1.0 keeps historic behavior)
+        self.image_rate = image_rate
         # Zipf-ish page budget: rank-0 host has hot_factor * base pages
         self.pages_of_host = [
             max(3, int(base_pages * (hot_factor / (h + 1) ** 0.9)))
@@ -79,7 +88,10 @@ class SynthWeb:
         return ""
 
     def num_images(self, h: int, p: int) -> int:
-        return _mix(h * 1_000_003 + p, self.seed + 13) % 4
+        m = _mix(h * 1_000_003 + p, self.seed + 13)
+        if self.image_rate < 1.0 and (m >> 8) % 1000 >= self.image_rate * 1000:
+            return 0
+        return m % 4
 
     def render_page(self, h: int, p: int) -> str:
         parts = [f"<html><head><title>Host {h} Page {p}</title></head><body>",
@@ -96,6 +108,12 @@ class SynthWeb:
         cross = self.cross_link(h, p)
         if cross:
             parts.append(f'<a class="nav" href="{cross}">cross</a>')
+        words = ("lorem ipsum dolor sit amet consectetur adipiscing elit "
+                 "sed do eiusmod tempor incididunt ut labore").split()
+        for i in range(self.page_weight):
+            m = _mix(h * 1_000_003 + p, self.seed + 17 + i)
+            text = " ".join(words[(m + j) % len(words)] for j in range(14))
+            parts.append(f'<p class="filler" data-i="{i}">{text}</p>')
         parts.append("</body></html>")
         return "\n".join(parts)
 
@@ -134,6 +152,13 @@ class SynthWeb:
     # -- crawl inputs ------------------------------------------------------
     def seed_urls(self) -> List[str]:
         return [self.page_url(h, 0) for h in range(self.num_hosts)]
+
+    def all_page_urls(self) -> List[str]:
+        """Every page URL in the universe — pre-seeding the frontier
+        with these reproduces the sustained-throughput regime (at
+        10^10 scale the frontier is never ramp-up-small)."""
+        return [self.page_url(h, p) for h in range(self.num_hosts)
+                for p in range(self.pages_of_host[h])]
 
     def rule_pack(self) -> dict:
         """{host: HostRule-dict} for the image+caption crawl: every page

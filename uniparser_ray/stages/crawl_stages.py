@@ -108,16 +108,19 @@ class SeenRobotsStage:
         if not self.robots_shards:
             return np.ones(len(urls), dtype=bool)
         out = np.ones(len(urls), dtype=bool)
+        # group by SHARD (one RPC per shard per batch) — grouping by
+        # host would mean O(hosts) RPC roundtrips per batch
         groups = defaultdict(list)
         for idx, (host, url) in enumerate(zip(hosts, urls)):
             path = "/" + url.split("/", 3)[3] if url.count("/") >= 3 else "/"
-            groups[host].append((idx, path))
-        futures = {}
-        for host, items in groups.items():
-            shard = self.robots_shards[url_hash64(host) % self.robots_num]
-            futures[host] = shard.allowed_batch.remote(host, [p for _, p in items])
-        for host, items in groups.items():
-            for (idx, _), ok in zip(items, ray.get(futures[host])):
+            groups[url_hash64(host) % self.robots_num].append(
+                (idx, host, path))
+        futures = {sid: self.robots_shards[sid].allowed_many.remote(
+            [(h, p) for _, h, p in items])
+            for sid, items in groups.items()}
+        for sid, items in groups.items():
+            mask = ray.get(futures[sid])
+            for (idx, _h, _p), ok in zip(items, mask):
                 out[idx] = ok
         return out
 

@@ -62,6 +62,15 @@ class RobotsShard:
             return [True] * len(paths)
         return [not any(p.startswith(r) for r in rules) for p in paths]
 
+    def allowed_many(self, host_paths: List[Tuple[str, str]]) -> List[bool]:
+        """[(host, path)] -> allow mask; one RPC covers many hosts (the
+        per-batch client groups by shard, not by host)."""
+        out = []
+        for host, path in host_paths:
+            rules = self._rules_for(host)
+            out.append(not any(path.startswith(r) for r in rules))
+        return out
+
     def stats(self) -> dict:
         return {"hosts_cached": len(self.cache), "fetches": self.fetches}
 
