@@ -82,6 +82,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_neardup_phash": images_q.images_neardup_phash,
         "images_thumbnails": images_q.images_thumbnails,
         "caption_token_stats": images_q.caption_token_stats,
+        "audio_features": images_q.audio_features_q,
+        "video_frames": images_q.video_frames_q,
         # the crawl itself
         "crawl_images": images_q.crawl_images,
     }
@@ -234,7 +236,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         # doc_langid / doc_signatures / doc_dedup_minhash /
         # doc_dedup_simhash / embedding_neardup_lsh / ann_ivf /
-        # label_centroids / images_* / crawl_images: not SQL-expressible
+        # label_centroids / images_* / audio_features / video_frames /
+        # crawl_images: not SQL-expressible
         # (model-free heuristics, sketches, approximate search, binary
         # payload pipelines, the crawl itself) -> rows-only checks.
     }

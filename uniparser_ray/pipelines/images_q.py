@@ -158,3 +158,34 @@ def crawl_images(sf_dir: str):
     t = table.to_table(columns=["image_id", "bytes", "w", "h", "fmt",
                                 "caption", "phash"])
     return t.sort_by("image_id")
+
+
+_AUDIO_BY_SF = {"sf0.001": 60, "sf0.01": 200, "sf0.1": 600}
+_VIDEO_BY_SF = {"sf0.001": 20, "sf0.01": 60, "sf0.1": 150}
+
+
+def audio_features_q(sf_dir: str):
+    """Audio multimodal path: deterministic pcm16 clips -> actor-pool
+    decode -> per-clip features (duration/rms/zcr/peak)."""
+    import ray.data as rd
+    from ..stages.multimodal import audio_features, synth_audio_table
+
+    tag = Path(sf_dir).name or "sf0.01"
+    t = synth_audio_table(_AUDIO_BY_SF.get(tag, 200))
+    out = audio_features(rd.from_arrow(t), concurrency=2).to_pandas()
+    return pa.Table.from_pandas(out.sort_values("clip_id"),
+                                preserve_index=False)
+
+
+def video_frames_q(sf_dir: str):
+    """Video multimodal path: rawrgb clips -> frame sampling (k=3) ->
+    one row per sampled frame with the frame re-encoded as PPM."""
+    import ray.data as rd
+    from ..stages.multimodal import synth_video_table, video_frame_samples
+
+    tag = Path(sf_dir).name or "sf0.01"
+    t = synth_video_table(_VIDEO_BY_SF.get(tag, 60))
+    out = video_frame_samples(rd.from_arrow(t), k=3, concurrency=2) \
+        .to_pandas()
+    return pa.Table.from_pandas(
+        out.sort_values(["video_id", "frame_index"]), preserve_index=False)
