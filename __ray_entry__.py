@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_signatures": documents.doc_signatures,
         # dedup family
         "doc_dedup_exact": documents.doc_dedup_exact,
+        "doc_dedup_jaccard": documents.doc_dedup_jaccard,
         "doc_dedup_minhash": documents.doc_dedup_minhash,
         "doc_dedup_simhash": documents.doc_dedup_simhash,
         "embedding_neardup": vectors.embedding_neardup,
@@ -207,6 +208,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_id,
                    COUNT(*) AS dup_count
             FROM documents GROUP BY 1
+        """,
+        "doc_dedup_jaccard": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_transform(
+                         generate_series(1, len(t) - 2),
+                         i -> array_to_string(t[i:i+2], ' '))) AS shingle
+              FROM toks),
+            cnt AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY 1),
+            pairs AS (
+              SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n
+              FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND b.doc_id > a.doc_id
+              GROUP BY 1, 2)
+            SELECT da AS doc_a, db AS doc_b,
+                   ROUND(n * 1.0 / (ca.c + cb.c - n), 6) AS jaccard_sim
+            FROM pairs
+            JOIN cnt ca ON ca.doc_id = da
+            JOIN cnt cb ON cb.doc_id = db
+            WHERE n * 1.0 / (ca.c + cb.c - n) >= 0.5
         """,
         "embedding_neardup": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

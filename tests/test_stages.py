@@ -159,3 +159,18 @@ def test_partial_groupby_matches_pandas(ray_session):
     want = df.groupby("k").agg(s=("v", "sum"), n=("v", "count")).reset_index()
     assert np.allclose(out["s"].values, want["s"].values)
     assert list(out["n"]) == list(want["n"])
+
+
+def test_jaccard_pairs_exact(docs_ds):
+    """Inverted-index jaccard equals brute-force all-pairs."""
+    from itertools import combinations
+
+    from uniparser_ray.stages.dedup import jaccard, jaccard_pairs
+
+    got = jaccard_pairs(docs_ds, threshold=0.5).to_pandas() \
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    rows = {r["doc_id"]: r["text"] for r in docs_ds.take_all()}
+    want = sorted((a, b, round(jaccard(rows[a], rows[b]), 6))
+                  for a, b in combinations(sorted(rows), 2)
+                  if jaccard(rows[a], rows[b]) >= 0.5)
+    assert [tuple(r) for r in got.itertuples(index=False)] == want

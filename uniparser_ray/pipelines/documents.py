@@ -109,3 +109,14 @@ def doc_parse_rules(sf_dir: str):
              t["n_words"].cast(pa.int64()), t["text_md5"].cast(pa.string())],
             names=["doc_id", "first_word", "n_words", "text_md5"]),
         batch_format="pyarrow")
+
+
+def doc_dedup_jaccard(sf_dir: str, threshold: float = 0.5):
+    """Exact n-gram-Jaccard near-dup pairs (inverted-index join) —
+    the SQL-checkable twin of doc_dedup_minhash."""
+    from ..stages.dedup import jaccard_pairs
+
+    out = jaccard_pairs(_read(sf_dir, ["doc_id", "text"]),
+                        threshold=threshold).to_pandas()
+    return pa.Table.from_pandas(out.sort_values(["doc_a", "doc_b"]),
+                                preserve_index=False)
