@@ -124,3 +124,17 @@ def test_crawl_skew_salted_grant_identical(ray_session, tmp_path,
                        max_pending_per_host=5)
     want = oracle.run(web.seed_urls(), max_rounds=30)
     assert ray_rounds == [r["fetched"] for r in want["rounds"]]
+
+
+def test_crawl_cuckoo_seen_mode(ray_session, tmp_path):
+    """URL-seen shards in tandem_cuckoo mode: same crawl, zero
+    divergence between cuckoo and exact."""
+    small = dict(num_hosts=2, base_pages=6, fanout=2, hot_factor=2.0)
+    web = SynthWeb(**small)
+    cfg = CrawlConfig(web_config=small, out_dir=str(tmp_path / "ck"),
+                      seeds=web.seed_urls(), max_rounds=10,
+                      per_host_budget=4, seen_shard_bits=1,
+                      seen_mode="tandem_cuckoo")
+    totals = run_crawl(cfg, web.rule_pack())
+    assert totals["pages_ok"] > 0
+    assert totals["seen"]["divergences"] == 0

@@ -1,0 +1,81 @@
+"""State-layer units: cuckoo filter, seen-shard modes, politeness."""
+
+import numpy as np
+import pytest
+
+from uniparser_ray.state.cuckoo import CuckooFilter
+from uniparser_ray.state.politeness import PolitenessShard
+from uniparser_ray.state.seen import SeenShard
+
+
+def _hashes(n, seed=1):
+    rng = np.random.default_rng(seed)
+    return rng.integers(1, 1 << 63, size=n, dtype=np.uint64)
+
+
+def test_cuckoo_no_false_negatives():
+    cf = CuckooFilter(capacity=20000)
+    hs = _hashes(10000)
+    for h in hs:
+        cf.add(int(h))
+    assert all(int(h) in cf for h in hs)  # zero false negatives
+    assert cf.count <= len(hs)  # fingerprint collisions may dedupe
+
+
+def test_cuckoo_test_and_set_and_fp_rate():
+    cf = CuckooFilter(capacity=20000)
+    hs = _hashes(10000, seed=2)
+    news = [cf.add(int(h)) for h in hs]
+    assert sum(news) > 9900  # nearly all new on first insert
+    assert not any(cf.add(int(h)) for h in hs)  # re-add = seen
+    other = _hashes(10000, seed=3)
+    fp = sum(int(h) in cf for h in other)
+    assert fp / len(other) < 0.01  # 16-bit fingerprints: ~2^-13 expected
+
+
+def test_cuckoo_delete():
+    cf = CuckooFilter(capacity=1000)
+    hs = [int(h) for h in _hashes(100, seed=4)]
+    for h in hs:
+        cf.add(h)
+    assert cf.delete(hs[0]) and hs[0] not in cf
+    assert cf.add(hs[0])  # re-insertable after delete
+
+
+def test_seen_shard_cuckoo_modes_agree():
+    hs = [int(h) for h in _hashes(5000, seed=5)]
+    dup = hs[:100]
+    for mode in ("exact", "bloom", "cuckoo", "tandem", "tandem_cuckoo"):
+        shard = SeenShard(mode=mode, capacity=20000)
+        first = shard.add_batch(hs)
+        assert sum(first) >= len(hs) - 5  # approx modes may FP a few
+        again = shard.add_batch(dup)
+        assert not any(again)
+        if mode.startswith("tandem"):
+            assert shard.stats()["divergences"] == 0
+
+
+def test_politeness_virtual_budget():
+    shard = PolitenessShard()
+    shard.set_rule("a.test", 2, 1.0)  # 2 per second
+    shard.begin_round()
+    assert shard.acquire_round("a.test", 5, round_duration=1.0) == 2
+    assert shard.acquire_round("a.test", 5, round_duration=1.0) == 0
+    # unknown host with unlimited default
+    assert shard.acquire_round("b.test", 5) == 5
+    shard.begin_round()
+    assert shard.acquire_round("a.test", 5, round_duration=2.0) == 4
+
+
+def test_politeness_wall_clock_delays():
+    shard = PolitenessShard()
+    shard.set_rule("a.test", 1, 2.0)  # 1 request / 2 s (the reference's
+    # Frequency(1, 2) timing pin: 3 downloads must span >= 4 s of
+    # scheduled time; reference test_parsers.py:1326-1383)
+    delays = shard.acquire_batch("a.test", 3, now=100.0)
+    assert delays == [0.0, 2.0, 4.0]
+    # next batch continues from the reserved schedule
+    delays2 = shard.acquire_batch("a.test", 1, now=100.0)
+    assert delays2 == [6.0]
+    # unlimited host never waits
+    assert shard.acquire_batch("b.test", 3, now=0.0) == [0.0, 0.0, 0.0]

@@ -28,15 +28,22 @@ import numpy as np
 import ray
 
 from .bloom import BloomFilter
+from .cuckoo import CuckooFilter
 
 
 class SeenShard:
-    """One shard: exact set and/or bloom filter over uint64 hashes."""
+    """One shard: exact set, bloom, and/or cuckoo filter over uint64
+    hashes.  Modes: exact | bloom | cuckoo | tandem (exact + bloom,
+    divergence-counted) | tandem_cuckoo (exact + cuckoo)."""
 
     def __init__(self, mode: str = "tandem", capacity: int = 1_000_000):
         self.mode = mode
-        self.exact = set() if mode in ("exact", "tandem") else None
-        self.bloom = BloomFilter(capacity) if mode in ("bloom", "tandem") else None
+        self.exact = (set() if mode in ("exact", "tandem", "tandem_cuckoo")
+                      else None)
+        self.bloom = (BloomFilter(capacity)
+                      if mode in ("bloom", "tandem") else None)
+        if mode in ("cuckoo", "tandem_cuckoo"):
+            self.bloom = CuckooFilter(capacity)
         self.divergences = 0
         self.added = 0
 
