@@ -226,14 +226,35 @@ class CrawlRun:
         tmp.replace(self._state_path())
 
     def _reseed_filters(self, upto_round: int):
-        """Rebuild seen state from committed checkpoints (resume)."""
-        for r in range(upto_round):
-            d = self.pages_dir / f"round={r}"
-            if d.exists():
-                for f in sorted(d.glob("*.parquet")):
-                    t = pq.read_table(f, columns=["url_hash"])
-                    self.seen.add_batch(
-                        t["url_hash"].to_numpy(zero_copy_only=False))
+        """Rebuild seen state from committed checkpoints (resume).
+
+        The page checkpoints are the bulk of the state, so their
+        hashes are replayed task-parallel (read in tasks, pushed to
+        the shard actors in batches) — the driver never holds them."""
+        import ray.data as rd
+        page_dirs = [str(f) for r in range(upto_round)
+                     for f in sorted(
+                         (self.pages_dir / f"round={r}").glob("*.parquet"))
+                     if (self.pages_dir / f"round={r}").exists()]
+        if page_dirs:
+            shards = self.seen.shards
+            bits = self.seen.shard_bits
+
+            def push(t: pa.Table) -> pa.Table:
+                import ray as _ray
+                from collections import defaultdict
+                hashes = t["url_hash"].to_numpy(zero_copy_only=False) \
+                    .astype(np.uint64)
+                groups = defaultdict(list)
+                for h in hashes.tolist():
+                    groups[h >> (64 - bits)].append(h)
+                _ray.get([shards[sid].add_batch.remote(hs)
+                          for sid, hs in groups.items()])
+                return pa.table({"n": pa.array([t.num_rows], pa.int64())})
+
+            rd.read_parquet(page_dirs, columns=["url_hash"]) \
+                .map_batches(push, batch_format="pyarrow",
+                             batch_size=16384).count()
         if self.images.exists():
             t = self.images.to_table(columns=["src_url"])
             if t.num_rows:
@@ -406,28 +427,36 @@ class CrawlRun:
             _mark('images')
 
             # -- next frontier: links + politeness backlog -------------
-            # per-round link volume is bounded (granted x fanout), so the
-            # driver assembles the checkpoint; at full scale this becomes
-            # links.write_parquet(frontier_dir) task-parallel
-            link_tables = [t for t in ray.get(
-                pages.map_batches(_explode_links,
-                                  batch_format="pyarrow").to_arrow_refs())
-                if t.num_rows]
-            parts = list(link_tables)
-            backlog_rows = decided.filter(expr="granted == 0").select_columns(
-                ["url", "parent", "depth", "priority"]).to_pandas()
-            if len(backlog_rows):
-                parts.append(_frontier_table(
-                    backlog_rows["url"].tolist(),
-                    backlog_rows["parent"].tolist(),
-                    backlog_rows["depth"].tolist(),
-                    backlog_rows["priority"].tolist(),
-                    [1] * len(backlog_rows)))
-            next_frontier = (pa.concat_tables(parts) if parts
-                             else _frontier_table([], [], [], [], []))
-            n_next = next_frontier.num_rows
-            if n_next:
-                self._write_frontier(next_frontier, r + 1)
+            # written task-parallel straight into the round=r+1
+            # checkpoint dir — URLs never pass through the driver (at
+            # 10^10 scale the frontier checkpoint is the largest
+            # artifact of a round)
+            ndir = self.frontier_dir / f"round={r + 1}"
+            if ndir.exists():  # stale partial write from a crashed run
+                import shutil as _shutil
+                _shutil.rmtree(ndir)
+            ndir.mkdir(parents=True, exist_ok=True)
+            pages.map_batches(_explode_links, batch_format="pyarrow") \
+                .write_parquet(str(ndir))
+            if n_decided - n_granted > 0:
+
+                def as_backlog(t: pa.Table) -> pa.Table:
+                    t = t.select(["url", "parent", "depth", "priority"])
+                    return t.append_column(
+                        "seen_ok", pa.array([1] * t.num_rows, pa.int8()))
+
+                decided.filter(expr="granted == 0") \
+                    .map_batches(as_backlog, batch_format="pyarrow") \
+                    .write_parquet(str(ndir))
+            n_next = 0
+            for f in list(ndir.glob("*.parquet")):
+                rows = pq.read_metadata(f).num_rows
+                if rows == 0:
+                    f.unlink()
+                n_next += rows
+            if n_next == 0:
+                import shutil as _shutil
+                _shutil.rmtree(ndir, ignore_errors=True)
 
             _mark('frontier_next')
             self.metrics.append({
