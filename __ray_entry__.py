@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             relational.q3_shipping_priority(sf), ["o_orderdate"]),
         "nation_revenue": relational.nation_revenue,
         "distinct_segments": relational.distinct_segments,
+        "segment_order_stats": relational.segment_order_stats,
         "part_topk_price": relational.part_topk_price,
         # stream-shaped operators
         "events_tumbling": lambda sf: _ts_us(
@@ -135,6 +136,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "distinct_segments":
             "SELECT DISTINCT c_mktsegment FROM customer",
+        "segment_order_stats": """
+            SELECT c.c_mktsegment,
+                   ROUND(SUM(o.o_totalprice), 2) AS total_price,
+                   COUNT(*) AS n_orders
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+            GROUP BY 1
+        """,
         "part_topk_price": """
             SELECT p_partkey, p_name, p_retailprice FROM part
             ORDER BY p_retailprice DESC, p_partkey LIMIT 20

@@ -174,3 +174,21 @@ def test_jaccard_pairs_exact(docs_ds):
                   for a, b in combinations(sorted(rows), 2)
                   if jaccard(rows[a], rows[b]) >= 0.5)
     assert [tuple(r) for r in got.itertuples(index=False)] == want
+
+
+def test_hash_bucket_join_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from uniparser_ray.stages.combine import hash_bucket_join
+
+    left = pd.DataFrame({"k": [1, 2, 2, 3, 5], "lv": [10., 20., 21., 30., 50.]})
+    right = pd.DataFrame({"rk": [2, 3, 3, 4], "rv": ["b", "c", "c2", "d"]})
+    got = hash_bucket_join(rd.from_pandas(left), rd.from_pandas(right),
+                           "k", "rk", num_buckets=4).to_pandas()
+    want = left.merge(right, left_on="k", right_on="rk", how="inner")
+    cols = ["k", "lv", "rk", "rv"]
+    got = got[cols].sort_values(cols).reset_index(drop=True)
+    want = want[cols].sort_values(cols).reset_index(drop=True)
+    got["k"] = got["k"].astype("int64"); got["rk"] = got["rk"].astype("int64")
+    want["k"] = want["k"].astype("int64"); want["rk"] = want["rk"].astype("int64")
+    assert got.equals(want)

@@ -259,3 +259,24 @@ def events_json_k(sf_dir: str):
             [t["event_id"], t["k"].cast(pa.int64())],
             names=["event_id", "k"]),
         batch_format="pyarrow")
+
+
+def segment_order_stats(sf_dir: str):
+    """Orders JOIN customer as a distributed hash-bucket (shuffle)
+    join — both sides large, no broadcast — then a grouped aggregate
+    per market segment."""
+    from ..stages.combine import hash_bucket_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = hash_bucket_join(orders, cust, "o_custkey", "c_custkey")
+    out = partial_groupby(joined, ["c_mktsegment"],
+                          {"total_price": ("o_totalprice", "sum"),
+                           "n_orders": ("o_totalprice", "count")})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["total_price"] = df["total_price"].round(2)
+        df["n_orders"] = df["n_orders"].astype("int64")
+        return df
+
+    return out.map_batches(finish, batch_format="pandas")

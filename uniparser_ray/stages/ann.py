@@ -6,7 +6,11 @@
   batch), so the final groupby/sort fans in k·B rows, not n·Q.
 * :func:`ivf_topk` — the scale path: k-means-lite (seeded, fixed
   iterations) coarse quantizer; batches assign vectors to centroids;
-  search probes only the closest ``nprobe`` partitions.
+  search probes only the closest ``nprobe`` partitions.  (IVF design
+  per the public FAISS/IVFADC literature — Jegou et al., "Product
+  Quantization for Nearest Neighbor Search", TPAMI 2011 — minus the
+  product-quantization compression, which this engine doesn't need
+  at list<float> column sizes.)
 """
 
 from __future__ import annotations

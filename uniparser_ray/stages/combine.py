@@ -89,3 +89,76 @@ def grouped_aggregate(ds, keys: Sequence[str], agg_spec: Dict[str, tuple],
     partials = ds.map_batches(partial, batch_format="pandas",
                               batch_size=batch_size)
     return hash_bucket_combine(partials, keys, combine, num_buckets)
+
+
+def hash_bucket_join(left, right, left_on: str, right_on: str,
+                     how: str = "inner", num_buckets: int = 64):
+    """Distributed equi-join: both sides bucketed by a stable hash of
+    the join key, one vectorized pandas merge per bucket.
+
+    The broadcast join (ray.put the small side) is right for
+    dimension lookups; this is the shuffle join for two LARGE sides —
+    each side moves once, buckets are O(cluster cores), the merge is
+    vectorized per bucket.  Column sets of the two sides must be
+    disjoint apart from the join keys (standard star-schema shape).
+
+    Arrow->pandas padding would silently promote int columns to float
+    (NaN), so each side's dtypes are captured from the Arrow schema at
+    plan time and restored per bucket before the merge.
+    """
+    import pyarrow as pa
+
+    lschema, rschema = left.schema(), right.schema()
+    lcols, rcols = list(lschema.names), list(rschema.names)
+    overlap = (set(lcols) & set(rcols)) - {left_on, right_on}
+    if overlap:
+        raise ValueError(f"overlapping non-key columns: {sorted(overlap)}")
+
+    def dtype_map(schema) -> dict:
+        # schema types are Arrow DataTypes for parquet-backed datasets
+        # but numpy dtypes / python types for from_pandas datasets
+        out = {}
+        for name, typ in zip(schema.names, schema.types):
+            if isinstance(typ, pa.DataType):
+                if pa.types.is_integer(typ):
+                    out[name] = "int64"
+                elif pa.types.is_floating(typ):
+                    out[name] = "float64"
+                elif pa.types.is_timestamp(typ):
+                    out[name] = f"datetime64[{typ.unit}]"
+            else:
+                try:
+                    dt = np.dtype(typ) if typ is not object else None
+                except TypeError:
+                    dt = None
+                if dt is not None and np.issubdtype(dt, np.integer):
+                    out[name] = "int64"
+                elif dt is not None and np.issubdtype(dt, np.floating):
+                    out[name] = "float64"
+                elif dt is not None and np.issubdtype(dt, np.datetime64):
+                    out[name] = str(dt)
+        return out
+
+    ldt, rdt = dtype_map(lschema), dtype_map(rschema)
+    allcols = lcols + [c for c in rcols if c not in lcols]
+
+    def pad(side: int, key: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["_jkey"] = df[key].astype(str)
+            df["_side"] = np.int8(side)
+            for c in allcols:
+                if c not in df.columns:
+                    df[c] = None
+            return df[allcols + ["_jkey", "_side"]]
+        return fn
+
+    u = left.map_batches(pad(0, left_on), batch_format="pandas").union(
+        right.map_batches(pad(1, right_on), batch_format="pandas"))
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        l = bucket[bucket["_side"] == 0][lcols].astype(ldt)
+        r = bucket[bucket["_side"] == 1][rcols].astype(rdt)
+        return l.merge(r, left_on=left_on, right_on=right_on, how=how)
+
+    return hash_bucket_combine(u, ["_jkey"], merge, num_buckets)

@@ -19,6 +19,14 @@ Five families, each idiomatic Ray Data:
 At 100 TB: signatures are ~100 bytes/doc, so every shuffle here moves
 signatures — not documents; the band groupby fans in >=1000x smaller
 data than the input.
+
+Sketch designs are from the public literature: MinHash (Broder, "On
+the resemblance and containment of documents", 1997), banded LSH
+(Leskovec/Rajaraman/Ullman, Mining of Massive Datasets ch.3), SimHash
+(Charikar, "Similarity estimation techniques from rounding
+algorithms", STOC 2002; Manku et al., WWW 2007 for the Hamming-block
+trick), and the bloom-filter collections / vacuum-filter VLDB papers
+listed in PAPERS.md.
 """
 
 from __future__ import annotations

@@ -67,4 +67,4 @@ class PolitenessShard:
         return delays
 
 
-PolitenessShardActor = ray.remote(num_cpus=0.05)(PolitenessShard)
+PolitenessShardActor = ray.remote(num_cpus=0.01)(PolitenessShard)

@@ -75,7 +75,7 @@ class RobotsShard:
         return {"hosts_cached": len(self.cache), "fetches": self.fetches}
 
 
-RobotsShardActor = ray.remote(num_cpus=0.05)(RobotsShard)
+RobotsShardActor = ray.remote(num_cpus=0.01)(RobotsShard)
 
 
 class RobotsCache:

@@ -79,7 +79,7 @@ class SeenShard:
                 "bloom_bytes": self.bloom.approx_bytes if self.bloom else 0}
 
 
-SeenShardActor = ray.remote(num_cpus=0.05)(SeenShard)
+SeenShardActor = ray.remote(num_cpus=0.01)(SeenShard)
 
 
 class SeenFilter:
