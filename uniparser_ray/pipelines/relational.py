@@ -76,19 +76,26 @@ def q1_pricing_summary(sf_dir: str):
 
 
 def top_customers(sf_dir: str, k: int = 10):
-    """Total spend per customer, top-k, customer names broadcast-joined."""
+    """Total spend per customer, top-k; names resolved by streaming
+    the customer table against the k winning keys (broadcast of k ids
+    — the big table never lands on the driver)."""
     import ray
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     agg = partial_groupby(orders, ["o_custkey"],
                           {"total_spent": ("o_totalprice", "sum"),
                            "order_count": ("o_totalprice", "count")})
-    top = agg.sort(["total_spent", "o_custkey"],
-                   descending=[True, False]).limit(k)
-    names = _read(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
-    name_of = dict(zip(names["c_custkey"], names["c_name"]))
-    df = top.to_pandas()
-    df["c_name"] = df["o_custkey"].map(name_of)
+    df = agg.sort(["total_spent", "o_custkey"],
+                  descending=[True, False]).limit(k).to_pandas()
+    keys_ref = ray.put(set(df["o_custkey"]))
+
+    def pick(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b["c_custkey"].isin(ray.get(keys_ref))]
+
+    names = _read(sf_dir, "customer", ["c_custkey", "c_name"]) \
+        .map_batches(pick, batch_format="pandas").to_pandas()
+    df["c_name"] = df["o_custkey"].map(
+        dict(zip(names["c_custkey"], names["c_name"])))
     df = df.rename(columns={"o_custkey": "c_custkey"})
     df["total_spent"] = df["total_spent"].round(2)
     df["order_count"] = df["order_count"].astype("int64")
@@ -99,35 +106,41 @@ def top_customers(sf_dir: str, k: int = 10):
 
 def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
                          cutoff: str = "1998-01-01", k: int = 10):
-    """TPC-H Q3 shape: 3-way join as two broadcast probes + one
-    aggregate; top-k revenue orders."""
-    import ray
+    """TPC-H Q3 shape: push filters to the reads, two distributed
+    hash-bucket joins (customer⋈orders, then ⋈lineitem), grouped
+    revenue, top-k — no table ever lands on the driver."""
+    from ..stages.combine import hash_bucket_join
 
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    custkeys = set(cust.loc[cust["c_mktsegment"] == segment, "c_custkey"])
     cutoff_ts = pd.Timestamp(cutoff)
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
+        .map_batches(lambda df: df.loc[df["c_mktsegment"] == segment,
+                                       ["c_custkey"]],
+                     batch_format="pandas")
     orders = _read(sf_dir, "orders",
-                   ["o_orderkey", "o_custkey", "o_orderdate"]).to_pandas()
-    osel = orders[(orders["o_custkey"].isin(custkeys))
-                  & (orders["o_orderdate"] < cutoff_ts)]
-    order_date = dict(zip(osel["o_orderkey"], osel["o_orderdate"]))
-    odate_ref = ray.put(order_date)
+                   ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(lambda df: df[df["o_orderdate"] < cutoff_ts],
+                     batch_format="pandas")
+    oc = hash_bucket_join(orders, cust, "o_custkey", "c_custkey") \
+        .map_batches(lambda df: df[["o_orderkey", "o_orderdate"]],
+                     batch_format="pandas")
 
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
 
-    def probe(df: pd.DataFrame) -> pd.DataFrame:
-        od = ray.get(odate_ref)
-        df = df[(df["l_shipdate"] > cutoff_ts)
-                & df["l_orderkey"].isin(od.keys())]
-        rev = df["l_extendedprice"] * (1.0 - df["l_discount"])
-        return pd.DataFrame({"l_orderkey": df["l_orderkey"], "revenue": rev})
+    def li_filter(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_shipdate"] > cutoff_ts]
+        return pd.DataFrame({
+            "l_orderkey": df["l_orderkey"],
+            "revenue": df["l_extendedprice"] * (1.0 - df["l_discount"])})
 
-    agg = partial_groupby(li.map_batches(probe, batch_format="pandas"),
-                          ["l_orderkey"], {"revenue": ("revenue", "sum")})
+    joined = hash_bucket_join(li.map_batches(li_filter,
+                                             batch_format="pandas"),
+                              oc, "l_orderkey", "o_orderkey")
+    agg = partial_groupby(joined, ["l_orderkey", "o_orderdate"],
+                          {"revenue": ("revenue", "sum")})
     top = agg.sort(["revenue", "l_orderkey"],
                    descending=[True, False]).limit(k).to_pandas()
-    top["o_orderdate"] = top["l_orderkey"].map(order_date)
     top["revenue"] = top["revenue"].round(2)
     return pa.Table.from_pandas(top[["l_orderkey", "revenue", "o_orderdate"]],
                                 preserve_index=False)
