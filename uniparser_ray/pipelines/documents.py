@@ -47,14 +47,19 @@ def doc_fingerprint(sf_dir: str):
 
 
 def doc_signatures(sf_dir: str):
-    """Rolling-hash + simhash signatures (not SQL-expressible)."""
+    """Rolling-hash + simhash signatures (not SQL-expressible) — both
+    computed in one pass per batch (no driver-side merge)."""
     from ..stages.text import fingerprint_batch, simhash_batch
 
-    ds = _read(sf_dir, ["doc_id", "text"])
-    rolls = ds.map_batches(fingerprint_batch, batch_format="pyarrow") \
-        .to_pandas()
-    sims = ds.map_batches(simhash_batch, batch_format="pyarrow").to_pandas()
-    out = rolls.merge(sims, on="doc_id")[["doc_id", "fp_rolling", "simhash"]]
+    def both(t: pa.Table) -> pa.Table:
+        rolls = fingerprint_batch(t)
+        sims = simhash_batch(t)
+        return pa.Table.from_arrays(
+            [t["doc_id"], rolls["fp_rolling"], sims["simhash"]],
+            names=["doc_id", "fp_rolling", "simhash"])
+
+    out = _read(sf_dir, ["doc_id", "text"]) \
+        .map_batches(both, batch_format="pyarrow").to_pandas()
     return pa.Table.from_pandas(out.sort_values("doc_id"),
                                 preserve_index=False)
 

@@ -184,11 +184,15 @@ def minhash_neardup_pairs(ds, threshold: float = 0.7, num_perm: int = 64,
                          "doc_b": pa.array([], pa.int64()),
                          "jaccard_sim": pa.array([], pa.float64())})
     need_ids = set(cand_tbl["doc_a"]) | set(cand_tbl["doc_b"])
-    texts = {}
-    for b in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
-        for doc_id, text in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
-            if doc_id in need_ids:
-                texts[doc_id] = text
+    need_ref = ray.put(need_ids)
+
+    def pick(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b["doc_id"].isin(ray.get(need_ref))]
+
+    # stream the corpus against the candidate-id broadcast — only the
+    # candidates' texts ever reach the driver
+    cand_texts = ds.map_batches(pick, batch_format="pandas").to_pandas()
+    texts = dict(zip(cand_texts["doc_id"], cand_texts["text"]))
     texts_ref = ray.put(texts)
 
     def verify(batch: pa.Table) -> pa.Table:
