@@ -346,3 +346,18 @@ def test_oracle_crawler_recursive():
     # no rule matched
     result = crawler.crawl("http://nowhere.test/")
     assert isinstance(result, RuleNotFoundError)
+
+
+def test_read_seed_list(tmp_path):
+    from uniparser_ray.crawl.storage import read_seed_list
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    txt = tmp_path / "seeds.txt"
+    txt.write_text("# comment\nhttp://a.test/\n\nhttp://b.test/x\n")
+    assert read_seed_list(str(txt)) == ["http://a.test/", "http://b.test/x"]
+
+    pqf = tmp_path / "seeds.parquet"
+    pq.write_table(pa.table({"url": ["http://c.test/", "http://d.test/"]}),
+                   pqf)
+    assert read_seed_list(str(pqf)) == ["http://c.test/", "http://d.test/"]

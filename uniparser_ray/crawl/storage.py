@@ -107,3 +107,25 @@ class JSONRuleStorage(JsonSerializable, RulePackSource):
 
 # JsonSerializable.__slots__ is () but RulePackSource has no slots, so
 # instances get a __dict__ — file_path lives there.
+
+
+def read_seed_list(path: str, url_column: str = "url") -> list:
+    """Seed-list reader: ``.txt`` (one URL per line, '#' comments) or
+    ``.parquet`` (a ``url`` column).  Driver-side by design — seed
+    lists are the one crawl input that is naturally small relative to
+    the frontier they grow into; a parquet DIRECTORY of seeds can also
+    be passed straight to CrawlConfig via the round-0 checkpoint
+    instead."""
+    from pathlib import Path
+
+    p = Path(path)
+    if p.suffix == ".parquet" or p.is_dir():
+        import pyarrow.parquet as pq
+        t = pq.read_table(str(p), columns=[url_column])
+        return [u for u in t[url_column].to_pylist() if u]
+    urls = []
+    for line in p.read_text().splitlines():
+        line = line.strip()
+        if line and not line.startswith("#"):
+            urls.append(line)
+    return urls
