@@ -115,7 +115,7 @@ def test_crawl_skew_salted_grant_identical(ray_session, tmp_path,
                       seeds=web.seed_urls(), max_rounds=30,
                       per_host_budget=3, fetch_concurrency=2,
                       seen_shard_bits=2, skew_salts=4,
-                      max_pending_per_host=5)
+                      max_pending_per_host=5, small_grant_threshold=0)
     totals = run_crawl(cfg, web.rule_pack())
     assert totals["pages_ok"] > 0
     ray_rounds = _ray_rounds(tmp_path / "crawl3")

@@ -82,6 +82,10 @@ class CrawlConfig:
     # (any row in a host's global top (k + max_pending) is in its
     # salt's top (k + max_pending)); tests assert equality.
     skew_salts: int = 0
+    # frontiers at or below this row count grant in ONE vectorized
+    # task (no shuffle) — a pandas sort of 100k rows is milliseconds,
+    # while a Ray groupby shuffle has seconds of fixed cost
+    small_grant_threshold: int = 100_000
 
 
 def _frontier_table(urls: List[str], parents: List[str], depths: List[int],
@@ -323,9 +327,13 @@ class CrawlRun:
             # frontier serializes the whole round through one task)
             n_candidates = sum(pq.read_metadata(f).num_rows
                                for f in fdir.glob("*.parquet"))
-            n_blocks = max(1, min(4 * self.cfg.fetch_concurrency,
-                                  (n_candidates + 63) // 64))
-            frontier = rd.read_parquet(str(fdir)).repartition(n_blocks)
+            small_round = (n_candidates
+                           <= self.cfg.small_grant_threshold)
+            frontier = rd.read_parquet(str(fdir))
+            if not small_round:
+                n_blocks = max(1, min(4 * self.cfg.fetch_concurrency,
+                                      (n_candidates + 63) // 64))
+                frontier = frontier.repartition(n_blocks)
             admitted = (
                 frontier
                 .map_batches(canonicalize_batch, batch_format="pyarrow")
@@ -337,7 +345,15 @@ class CrawlRun:
             # and the per-host top-k grant is vectorized per bucket.
             # With skew_salts > 1, a salted pre-clip phase bounds the
             # per-task volume of hot hosts before the per-host merge.
-            if self.cfg.skew_salts > 1:
+            if small_round:
+                # adaptive fast path: below the threshold the whole
+                # frontier fits one vectorized task, so the per-host
+                # top-k runs without any shuffle — semantics identical
+                # (the granter is per-host regardless of partitioning)
+                decided = admitted.repartition(1).map_batches(
+                    granter, batch_format="pandas",
+                    batch_size=None).materialize()
+            elif self.cfg.skew_salts > 1:
                 salts = self.cfg.skew_salts
 
                 def add_salt(t: pa.Table) -> pa.Table:
@@ -436,8 +452,15 @@ class CrawlRun:
                 import shutil as _shutil
                 _shutil.rmtree(ndir)
             ndir.mkdir(parents=True, exist_ok=True)
-            pages.map_batches(_explode_links, batch_format="pyarrow") \
-                .write_parquet(str(ndir))
+            links = pages.map_batches(_explode_links,
+                                      batch_format="pyarrow")
+            if n_granted < 50_000:
+                # small rounds: compact so the next round reads a few
+                # files, not one tiny file per fetch block (at large
+                # rounds the extra exchange would cost more than many
+                # files do, so links stream straight to the sink)
+                links = links.repartition(max(1, n_granted // 1024))
+            links.write_parquet(str(ndir))
             if n_decided - n_granted > 0:
 
                 def as_backlog(t: pa.Table) -> pa.Table:
