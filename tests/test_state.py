@@ -79,3 +79,36 @@ def test_politeness_wall_clock_delays():
     assert delays2 == [6.0]
     # unlimited host never waits
     assert shard.acquire_batch("b.test", 3, now=0.0) == [0.0, 0.0, 0.0]
+
+
+def test_fetch_stage_wall_clock_politeness(ray_session):
+    """FetchParseStage + PolitenessShard actors in wall-clock mode:
+    the stage acquires per-host schedules and sleeps the batch delay
+    (sleep injected, so the test is instant and deterministic)."""
+    import pyarrow as pa
+    import ray
+
+    from uniparser_ray.sources.synthweb import SynthWeb
+    from uniparser_ray.stages.crawl_stages import FetchParseStage
+    from uniparser_ray.state.politeness import PolitenessShardActor
+
+    web_cfg = dict(num_hosts=2, base_pages=4, fanout=2, hot_factor=2.0)
+    web = SynthWeb(**web_cfg)
+    shard = PolitenessShardActor.remote()
+    ray.get(shard.set_rule.remote("host-0000.test", 1, 2.0))  # 1 req / 2 s
+
+    slept = []
+    stage = FetchParseStage(rule_pack=web.rule_pack(), web_config=web_cfg,
+                            politeness_shards=[shard], politeness_num=1,
+                            sleep_fn=slept.append)
+    urls = [web.page_url(0, p) for p in range(3)]
+    batch = pa.Table.from_pylist([
+        {"url": u, "url_hash": 0, "host": "host-0000.test", "depth": 0,
+         "priority": 0.0, "parent": ""} for u in urls])
+    out = stage(batch)
+    assert out.num_rows == 3
+    # 3 requests at 1/2s -> last request scheduled 4s out
+    assert slept and abs(slept[0] - 4.0) < 0.25
+    # a second batch continues the host's schedule
+    stage(batch)
+    assert len(slept) == 2 and slept[1] > 5.0

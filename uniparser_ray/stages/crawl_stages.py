@@ -180,7 +180,8 @@ class FetchParseStage:
     """
 
     def __init__(self, rule_pack_ref=None, web_config: dict = None,
-                 rule_pack: dict = None):
+                 rule_pack: dict = None, politeness_shards: List = None,
+                 politeness_num: int = 0, sleep_fn=None):
         import ray
         from ..crawl.storage import JSONRuleStorage
         from ..rulevm.transport import SyntheticWebAdapter
@@ -194,6 +195,38 @@ class FetchParseStage:
         self.adapter = SyntheticWebAdapter(self.web)
         self.vm = RuleVM()
         self._rule_cache: Dict[str, object] = {}
+        # wall-clock politeness (real-web mode): when shards are given,
+        # each batch acquires per-host delay schedules before fetching.
+        # The round-based virtual-clock grant is the deterministic
+        # default; this path is for continuous (non-round) fetching.
+        self.politeness_shards = politeness_shards or []
+        self.politeness_num = politeness_num
+        import time as _time
+        self._sleep = sleep_fn or _time.sleep
+        self._now = _time.monotonic
+
+    def _apply_politeness(self, hosts: List[str]):
+        """Acquire wall-clock delay schedules host-by-host and sleep
+        out the largest per-host delay once (requests within the batch
+        are sequential per actor anyway)."""
+        import ray
+        from collections import Counter
+        if not self.politeness_shards:
+            return
+        counts = Counter(hosts)
+        now = self._now()
+        futures = {}
+        for host, cnt in counts.items():
+            shard = self.politeness_shards[
+                url_hash64(host) % self.politeness_num]
+            futures[host] = shard.acquire_batch.remote(host, cnt, now)
+        max_delay = 0.0
+        for host, fut in futures.items():
+            delays = ray.get(fut)
+            if delays:
+                max_delay = max(max_delay, delays[-1])
+        if max_delay > 0:
+            self._sleep(max_delay)
 
     def _find_rule(self, url: str):
         # host-level cache: single-rule hosts resolve without regex scans
@@ -217,6 +250,7 @@ class FetchParseStage:
         urls = batch["url"].to_pylist()
         hashes = batch["url_hash"].to_pylist()
         hosts = batch["host"].to_pylist()
+        self._apply_politeness(hosts)
         depths = batch["depth"].to_pylist()
         priors = batch["priority"].to_pylist()
         parents = batch["parent"].to_pylist()
