@@ -11,6 +11,7 @@ nothing here calls ray.init()/ray.shutdown().
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
@@ -19,6 +20,151 @@ import pyarrow as pa
 _STOPWORDS_SQL = ("'the','a','an','and','or','of','to','in','is','are',"
                   "'was','be','on','for','with','as','at','by','it',"
                   "'this','that','from'")
+
+# ---------------------------------------------------------------------------
+# oracle SQL builders for the tokenhash sketch family
+# (see uniparser_ray/stages/tokenhash.py: every sketch is defined over
+# md5-derived 31-bit token ids + BIGINT Horner folds precisely so that
+# DuckDB can recompute the identical values)
+# ---------------------------------------------------------------------------
+
+_P = 2147483647        # tokenhash.P31
+_HB = 1000003          # tokenhash.HB
+_HB2 = 999983          # tokenhash.HB2
+
+
+def _horner_sql(terms, base=_HB):
+    expr = terms[0]
+    for t in terms[1:]:
+        expr = f"(({expr}) * {base} + {t}) % {_P}"
+    return expr
+
+
+_TOK_CTES = f"""toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    ids AS (
+      SELECT doc_id,
+             list_transform(t, s ->
+                 ('0x' || substr(md5(s), 1, 15))::BIGINT % {_P}) AS h,
+             len(t) AS n
+      FROM toks)"""
+
+
+def _sh_cte(with62: bool = False) -> str:
+    """Word-3-shingle hashes per doc: column s (31-bit, minhash/simhash
+    domain) and optionally s62 (dual-base 62-bit, exact-jaccard
+    domain — collision differences would otherwise diverge from the
+    numpy path)."""
+    h3a = _horner_sql(["h[i]", "h[i+1]", "h[i+2]"], _HB)
+    sh_a = (f"CASE WHEN n = 1 THEN h[1] "
+            f"ELSE ({_horner_sql(['h[1]', 'h[2]'], _HB)}) END")
+    cols_long, cols_short = f"{h3a} AS s", f"{sh_a} AS s"
+    if with62:
+        h3b = _horner_sql(["h[i]", "h[i+1]", "h[i+2]"], _HB2)
+        sh_b = (f"CASE WHEN n = 1 THEN h[1] "
+                f"ELSE ({_horner_sql(['h[1]', 'h[2]'], _HB2)}) END")
+        cols_long += f", (({h3a}) << 31) | ({h3b}) AS s62"
+        cols_short += f", (({sh_a}) << 31) | ({sh_b}) AS s62"
+    return f"""sh AS (
+      SELECT doc_id, {cols_long}
+      FROM ids, unnest(generate_series(1, n - 2)) AS u(i)
+      WHERE n >= 3
+      UNION ALL
+      SELECT doc_id, {cols_short}
+      FROM ids WHERE n IN (1, 2))"""
+
+
+def _params_cte(name: str, n: int, seed: int) -> str:
+    """Affine (a, b) parameter rows — the literal twin of
+    tokenhash.affine_params(n, seed)."""
+    from uniparser_ray.stages.tokenhash import affine_params
+    a, b = affine_params(n, seed)
+    vals = ", ".join(f"({i}, {int(a[i])}, {int(b[i])})" for i in range(n))
+    return (f"{name}(i, a, b) AS (SELECT * FROM (VALUES {vals}) "
+            f"AS _v(i, a, b))")
+
+
+def _simhash_ctes() -> str:
+    """acc + simh CTEs (require sh and sp in scope): 64 affine parity
+    bits per shingle, signed per-doc sums, bit j set iff sum > 0;
+    assembled as a two's-complement BIGINT."""
+    bit = f"(((sp.a * sh.s + sp.b) % {_P}) & 1)"
+    return f"""acc AS (
+      SELECT sh.doc_id, sp.i AS j,
+             SUM(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END) AS tally
+      FROM sh, sp GROUP BY 1, 2),
+    simh AS (
+      SELECT doc_id, CAST(SUM(CASE WHEN tally > 0 THEN
+          CASE WHEN j = 63 THEN -9223372036854775808
+               ELSE (1::BIGINT << j) END ELSE 0 END) AS BIGINT) AS simhash
+      FROM acc GROUP BY 1)"""
+
+
+def _roll_ctes() -> str:
+    """roll + fp CTEs: width-8 token-window Horner hashes, XOR-folded
+    per doc (tokenhash.rolling_fingerprints)."""
+    h8 = _horner_sql([f"h[i+{j}]" for j in range(8)])
+    shorts = " ".join(
+        f"WHEN {n} THEN "
+        f"({_horner_sql([f'h[{j}]' for j in range(1, n + 1)])})"
+        for n in range(1, 8))
+    return f"""roll AS (
+      SELECT doc_id, {h8} AS wh
+      FROM ids, unnest(generate_series(1, n - 7)) AS u(i)
+      WHERE n >= 8
+      UNION ALL
+      SELECT doc_id, CASE n {shorts} END AS wh
+      FROM ids WHERE n BETWEEN 1 AND 7),
+    fp AS (SELECT doc_id, bit_xor(wh) AS fp_rolling FROM roll GROUP BY 1)"""
+
+
+def _blocks_pred(a: str, b: str, num_blocks: int = 4, width: int = 16) -> str:
+    """Pigeonhole block-sharing predicate over 64-bit signatures
+    (arithmetic >> then mask equals the unsigned block value)."""
+    mask = (1 << width) - 1
+    return " OR ".join(
+        f"((({a} >> {width * blk}) & {mask}) = "
+        f"(({b} >> {width * blk}) & {mask}))"
+        for blk in range(num_blocks))
+
+
+def _sql_quote(v) -> str:
+    import numpy as np
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, (bool, np.bool_)):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (float, np.floating)):
+        return f"{float(v)!r}::DOUBLE"
+    return str(int(v))
+
+
+def _values_cte(name: str, tbl: pa.Table) -> str:
+    """Embed a small expected table as a VALUES CTE (keeps the oracle
+    a plain SQL string — no side files)."""
+    cols = tbl.column_names
+    rows = ", ".join(
+        "(" + ", ".join(_sql_quote(row[c]) for c in cols) + ")"
+        for row in tbl.to_pylist())
+    collist = ", ".join(cols)
+    return (f"{name}({collist}) AS (SELECT * FROM (VALUES {rows}) "
+            f"AS _v({collist}))")
+
+
+def _oracle_tag() -> str:
+    """The sf the driver runs oracles at (override for local checks)."""
+    return os.environ.get("UNIPARSER_ORACLE_SF", "sf0.01")
+
+
+def _hyperplanes_sql(dim: int = 64, num_planes: int = 8,
+                     seed: int = 42) -> list:
+    """The literal twin of embedding_neardup_pairs' random hyperplanes
+    (np.random.RandomState(seed).randn(dim, num_planes))."""
+    import numpy as np
+    planes = np.random.RandomState(seed).randn(dim, num_planes)
+    return [
+        "[" + ", ".join(f"{planes[k, j]!r}::DOUBLE" for k in range(dim)) + "]"
+        for j in range(num_planes)]
 
 
 def _ts_us(result, cols):
@@ -88,6 +234,201 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frames": images_q.video_frames_q,
         # the crawl itself
         "crawl_images": images_q.crawl_images,
+    }
+
+
+def _langid_sql() -> str:
+    """The literal twin of stages/text.langid_batch: non-overlapping
+    trigram counts per language, argmax with first-in-order tie-break,
+    CJK short-circuit on the first 200 chars; conf is the unrounded
+    small-int ratio (bit-identical doubles in both engines)."""
+    from uniparser_ray.stages.text import _LANG_TRIGRAMS
+
+    def count(g: str) -> str:
+        e = g.replace("'", "''")
+        return (f"((length(low) - length(replace(low, '{e}', ''))) "
+                f"// {len(g)})")
+
+    scores = {lang: " + ".join(count(g) for g in grams)
+              for lang, grams in _LANG_TRIGRAMS.items() if grams}
+    best = "GREATEST(s_en, s_es, s_de, s_fr)"
+    return f"""
+        WITH b AS (SELECT doc_id, lower(text) AS low FROM documents),
+        sc AS (
+          SELECT doc_id,
+                 {scores['en']} AS s_en,
+                 {scores['es']} AS s_es,
+                 {scores['de']} AS s_de,
+                 {scores['fr']} AS s_fr,
+                 regexp_matches(substr(low, 1, 200),
+                                '[\\x{{4e00}}-\\x{{9fff}}]') AS cjk,
+                 length(low) AS L
+          FROM b)
+        SELECT doc_id,
+               CASE WHEN cjk THEN 'zh'
+                    WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr
+                        THEN 'en'
+                    WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                    WHEN s_de >= s_fr THEN 'de'
+                    ELSE 'fr' END AS lang_pred,
+               CASE WHEN cjk THEN CAST(1.0 AS DOUBLE)
+                    ELSE LEAST(CAST(1.0 AS DOUBLE),
+                               CAST({best} AS DOUBLE)
+                                   / GREATEST(L // 3, 1)) END AS lang_conf
+        FROM sc
+    """
+
+
+def _signatures_sql() -> str:
+    from uniparser_ray.stages.tokenhash import SIMHASH_SEED
+    return f"""
+        WITH {_TOK_CTES},
+        {_sh_cte()},
+        {_params_cte("sp", 64, SIMHASH_SEED)},
+        {_simhash_ctes()},
+        {_roll_ctes()}
+        SELECT f.doc_id, f.fp_rolling, s.simhash
+        FROM fp f JOIN simh s ON s.doc_id = f.doc_id
+    """
+
+
+def _simhash_pairs_sql(max_hamming: int = 6) -> str:
+    """Simhash near-dup pairs — mirrors the pipeline's candidate rule
+    exactly: a pair is reported iff it shares at least one 16-bit
+    signature block (pigeonhole bucketing; complete for distance <= 3,
+    best-effort above) AND Hamming distance <= max_hamming."""
+    from uniparser_ray.stages.tokenhash import SIMHASH_SEED
+    ham = "bit_count(xor(a.simhash, b.simhash))"
+    return f"""
+        WITH {_TOK_CTES},
+        {_sh_cte()},
+        {_params_cte("sp", 64, SIMHASH_SEED)},
+        {_simhash_ctes()}
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {ham} AS hamming
+        FROM simh a JOIN simh b ON b.doc_id > a.doc_id
+        WHERE {ham} <= {max_hamming}
+          AND ({_blocks_pred('a.simhash', 'b.simhash')})
+    """
+
+
+def _minhash_pairs_sql(threshold: float = 0.6) -> str:
+    """MinHash+LSH near-dup pairs: 64-perm signatures, 16 bands of 4,
+    banded candidate generation, exact-jaccard verify over the 62-bit
+    distinct shingle sets — value-identical to the Ray pipeline."""
+    from uniparser_ray.stages.tokenhash import MINHASH_SEED
+    band_fold = _horner_sql(["vs[1]", "vs[2]", "vs[3]", "vs[4]"])
+    jac = "CAST(s.n AS DOUBLE) / (ca.c + cb.c - s.n)"
+    return f"""
+        WITH {_TOK_CTES},
+        {_sh_cte(with62=True)},
+        {_params_cte("mp", 64, MINHASH_SEED)},
+        sig AS (
+          SELECT sh.doc_id, mp.i AS i,
+                 MIN((mp.a * sh.s + mp.b) % {_P}) AS v
+          FROM sh, mp GROUP BY 1, 2),
+        bandl AS (
+          SELECT doc_id, i // 4 AS band_id, list(v ORDER BY i) AS vs
+          FROM sig GROUP BY 1, 2),
+        band AS (SELECT doc_id, band_id, {band_fold} AS bh FROM bandl),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+          FROM band x JOIN band y
+            ON x.band_id = y.band_id AND x.bh = y.bh
+               AND y.doc_id > x.doc_id),
+        shset AS (SELECT DISTINCT doc_id, s62 FROM sh),
+        cnt AS (SELECT doc_id, COUNT(*) AS c FROM shset GROUP BY 1),
+        shared AS (
+          SELECT c.doc_a, c.doc_b, COUNT(*) AS n
+          FROM cand c
+          JOIN shset a ON a.doc_id = c.doc_a
+          JOIN shset b ON b.doc_id = c.doc_b AND b.s62 = a.s62
+          GROUP BY 1, 2)
+        SELECT s.doc_a, s.doc_b, {jac} AS jaccard_sim
+        FROM shared s
+        JOIN cnt ca ON ca.doc_id = s.doc_a
+        JOIN cnt cb ON cb.doc_id = s.doc_b
+        WHERE {jac} >= {threshold}
+    """
+
+
+def _embedding_lsh_sql(threshold: float = 0.35, num_planes: int = 8,
+                       seed: int = 42) -> str:
+    """Random-hyperplane LSH near-dup: the seeded plane matrix is
+    embedded as literals; bucket = packed sign bits of the inner
+    products; in-bucket pairs verified by exact cosine."""
+    planes = _hyperplanes_sql(64, num_planes, seed)
+    bucket = " + ".join(
+        f"(CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), "
+        f"{planes[j]}) > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(num_planes))
+    cos = ("list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+           "CAST(b.embedding AS DOUBLE[]))")
+    return f"""
+        WITH sig AS (
+          SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               ROUND({cos}, 6) AS cosine_sim
+        FROM sig a JOIN sig b
+          ON a.bucket = b.bucket AND b.vec_id > a.vec_id
+        WHERE {cos} >= {threshold}
+    """
+
+
+def _multimodal_oracles() -> dict[str, str]:
+    """Value-checked oracles for the binary-payload pipelines: the
+    expected rows come from INDEPENDENT computations (the generator's
+    source pixel/sample arrays before any encoding; the single-process
+    conformance crawler for the crawl) embedded as VALUES literals, so
+    the compare proves the byte-level decode paths end-to-end while
+    the oracle stays a plain SQL string."""
+    from uniparser_ray.pipelines.images_q import (_AUDIO_BY_SF, _VIDEO_BY_SF,
+                                                  expected_crawl_images,
+                                                  expected_decode_stats,
+                                                  expected_images_meta,
+                                                  expected_thumbnails)
+    from uniparser_ray.stages.multimodal import (expected_audio_features,
+                                                 expected_video_frames)
+
+    tag = _oracle_tag()
+    meta = _values_cte("m", expected_images_meta(tag))
+    n_audio = _AUDIO_BY_SF.get(tag, 200)
+    n_video = _VIDEO_BY_SF.get(tag, 60)
+    ham = "bit_count(xor(a.phash, b.phash))"
+    return {
+        "images_decode_stats": f"""
+            WITH {_values_cte('e', expected_decode_stats(tag))}
+            SELECT image_id, mean_pixel, phash_ok, wh_ok FROM e
+        """,
+        "images_thumbnails": f"""
+            WITH {_values_cte('e', expected_thumbnails(tag))}
+            SELECT image_id, thumb_md5 FROM e
+        """,
+        "caption_token_stats": f"""
+            WITH {meta}
+            SELECT image_id,
+                   len(string_split(caption, ' ')) AS n_tokens,
+                   length(caption) AS n_chars
+            FROM m
+        """,
+        "images_neardup_phash": f"""
+            WITH {meta}
+            SELECT a.image_id AS image_a, b.image_id AS image_b,
+                   {ham} AS hamming
+            FROM m a JOIN m b ON b.image_id > a.image_id
+            WHERE {ham} <= 8 AND ({_blocks_pred('a.phash', 'b.phash')})
+        """,
+        "audio_features": f"""
+            WITH {_values_cte('e', expected_audio_features(n_audio))}
+            SELECT clip_id, duration_s, rms, zcr, peak FROM e
+        """,
+        "video_frames": f"""
+            WITH {_values_cte('e', expected_video_frames(n_video, k=3))}
+            SELECT video_id, frame_index, frame_md5, t_seconds FROM e
+        """,
+        "crawl_images": f"""
+            WITH {_values_cte('e', expected_crawl_images(tag))}
+            SELECT image_id, w, h, fmt, caption, phash, bytes_md5 FROM e
+        """,
     }
 
 
@@ -233,12 +574,34 @@ def oracle_sql() -> dict[str, str]:
                 ON a.shingle = b.shingle AND b.doc_id > a.doc_id
               GROUP BY 1, 2)
             SELECT da AS doc_a, db AS doc_b,
-                   ROUND(n * 1.0 / (ca.c + cb.c - n), 6) AS jaccard_sim
+                   CAST(n AS DOUBLE) / (ca.c + cb.c - n) AS jaccard_sim
             FROM pairs
             JOIN cnt ca ON ca.doc_id = da
             JOIN cnt cb ON cb.doc_id = db
-            WHERE n * 1.0 / (ca.c + cb.c - n) >= 0.5
+            WHERE CAST(n AS DOUBLE) / (ca.c + cb.c - n) >= 0.5
         """,
+        "doc_langid": _langid_sql(),
+        "doc_signatures": _signatures_sql(),
+        "doc_dedup_simhash": _simhash_pairs_sql(max_hamming=6),
+        "doc_dedup_minhash": _minhash_pairs_sql(threshold=0.6),
+        "embedding_neardup_lsh": _embedding_lsh_sql(threshold=0.35),
+        "label_centroids": """
+            WITH dim AS (
+              SELECT label, u.d AS d,
+                     CAST(e.embedding[u.d] AS DOUBLE) AS x
+              FROM embeddings e,
+                   unnest(generate_series(1, len(e.embedding))) AS u(d)),
+            cent AS (SELECT label, d, SUM(x) AS sx FROM dim GROUP BY 1, 2),
+            cnts AS (SELECT label, COUNT(*) AS n_vectors
+                     FROM embeddings GROUP BY 1)
+            SELECT c.label, n.n_vectors,
+                   ROUND(sqrt(SUM((c.sx / n.n_vectors)
+                                  * (c.sx / n.n_vectors))), 6)
+                       AS centroid_norm
+            FROM cent c JOIN cnts n USING (label)
+            GROUP BY 1, 2
+        """,
+        **_multimodal_oracles(),
         "embedding_neardup": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    ROUND(list_cosine_similarity(
@@ -265,10 +628,8 @@ def oracle_sql() -> dict[str, str]:
               FROM q CROSS JOIN embeddings e)
             WHERE rank <= 10
         """,
-        # doc_langid / doc_signatures / doc_dedup_minhash /
-        # doc_dedup_simhash / embedding_neardup_lsh / ann_ivf /
-        # label_centroids / images_* / audio_features / video_frames /
-        # crawl_images: not SQL-expressible
-        # (model-free heuristics, sketches, approximate search, binary
-        # payload pipelines, the crawl itself) -> rows-only checks.
+        # ann_ivf: intentionally no oracle — IVF is APPROXIMATE search
+        # (nprobe < nlist trades recall for speed); its recall-vs-exact
+        # contract is pinned by tests/test_stages.py instead.  Every
+        # other queries() entry above has a value-checked SQL oracle.
     }

@@ -44,8 +44,12 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main():
+    import os
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
+    # VALUES-embedded oracles (multimodal/crawl) are sf-scaled; tell
+    # oracle_sql() which sf this check runs at (driver default sf0.01)
+    os.environ["UNIPARSER_ORACLE_SF"] = Path(sf_dir).name or "sf0.01"
 
     import ray
     if not ray.is_initialized():

@@ -47,8 +47,9 @@ def doc_fingerprint(sf_dir: str):
 
 
 def doc_signatures(sf_dir: str):
-    """Rolling-hash + simhash signatures (not SQL-expressible) — both
-    computed in one pass per batch (no driver-side merge)."""
+    """Rolling-hash + simhash signatures, one pass per batch.  Both
+    use the tokenhash construction, so the DuckDB oracle recomputes
+    the identical values; the result streams (no driver merge/sort)."""
     from ..stages.text import fingerprint_batch, simhash_batch
 
     def both(t: pa.Table) -> pa.Table:
@@ -58,10 +59,8 @@ def doc_signatures(sf_dir: str):
             [t["doc_id"], rolls["fp_rolling"], sims["simhash"]],
             names=["doc_id", "fp_rolling", "simhash"])
 
-    out = _read(sf_dir, ["doc_id", "text"]) \
-        .map_batches(both, batch_format="pyarrow").to_pandas()
-    return pa.Table.from_pandas(out.sort_values("doc_id"),
-                                preserve_index=False)
+    return _read(sf_dir, ["doc_id", "text"]).map_batches(
+        both, batch_format="pyarrow")
 
 
 def doc_dedup_exact(sf_dir: str):
@@ -87,9 +86,12 @@ def doc_dedup_simhash(sf_dir: str, max_hamming: int = 6):
     from ..stages.dedup import simhash_neardup_pairs
     out = simhash_neardup_pairs(_read(sf_dir, ["doc_id", "text"]),
                                 max_hamming=max_hamming)
-    df = out.to_pandas().sort_values(["doc_a", "doc_b"])
-    df["hamming"] = df["hamming"].astype("int64")
-    return pa.Table.from_pandas(df, preserve_index=False)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["hamming"] = df["hamming"].astype("int64")
+        return df
+
+    return out.map_batches(finish, batch_format="pandas")
 
 
 def doc_parse_rules(sf_dir: str):
@@ -121,7 +123,5 @@ def doc_dedup_jaccard(sf_dir: str, threshold: float = 0.5):
     the SQL-checkable twin of doc_dedup_minhash."""
     from ..stages.dedup import jaccard_pairs
 
-    out = jaccard_pairs(_read(sf_dir, ["doc_id", "text"]),
-                        threshold=threshold).to_pandas()
-    return pa.Table.from_pandas(out.sort_values(["doc_a", "doc_b"]),
-                                preserve_index=False)
+    return jaccard_pairs(_read(sf_dir, ["doc_id", "text"]),
+                         threshold=threshold)

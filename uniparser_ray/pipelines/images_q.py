@@ -3,34 +3,69 @@
 The testdata directories carry no image table, so each sf gets a
 deterministic synthetic one (sources.images — same generator the
 synthetic web serves bytes from) materialized once under /tmp as a
-Lance-layout table.  All checks for these queries are rows-only
-(binary columns aren't SQL-oracle-able), but every pipeline is
-deterministic so cross-round hashes are stable.
+Lance-layout table.
+
+Oracle strategy for the binary-payload pipelines (value-checked, not
+rows-only): each pipeline has an ``expected_*`` builder computed by an
+INDEPENDENT path — the generator's source pixel/sample arrays (before
+any encode) or, for the crawl, the single-process conformance oracle
+(crawl/oracle.py).  ``__ray_entry__.oracle_sql()`` embeds those rows
+as VALUES literals in the DuckDB oracle (keeping the oracle contract
+to plain SQL — no side files), while the Ray pipeline computes from
+the *encoded bytes*: the compare verifies the decode path + pipeline
+plumbing end-to-end.  Binary payloads are compared as md5 hex columns
+(DuckDB v1.0 has no md5(BLOB)); pixel-level equality is additionally
+pinned by pytest.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
+import shutil
 from pathlib import Path
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.parquet as pq
 
-from ..sources.codecs import average_hash64, decode_image
-from ..sources.images import generate_images_lance
+from ..sources.codecs import average_hash64, decode_image, encode_ppm
+from ..sources.images import (caption_for, generate_images_lance, image_spec,
+                              render_pixels)
 from ..storage.lance_layout import LanceLayoutTable
 
 _ROWS_BY_SF = {"sf0.001": 300, "sf0.01": 1000, "sf0.1": 4000}
 
+def _sf_tag(sf_dir: str) -> str:
+    return Path(sf_dir).name or "sf0.01"
+
+
+def _n_images(tag: str) -> int:
+    return _ROWS_BY_SF.get(tag, 1000)
+
 
 def images_lance_for(sf_dir: str) -> LanceLayoutTable:
-    tag = Path(sf_dir).name or "sf0.01"
-    n = _ROWS_BY_SF.get(tag, 1000)
+    tag = _sf_tag(sf_dir)
+    n = _n_images(tag)
     root = f"/tmp/uniparser_ray_cache/images_{tag}"
     table = LanceLayoutTable(root)
     if table.count_rows() < n:
         generate_images_lance(root, n, rows_per_fragment=2000)
     return table
+
+
+def thumbnail8(px: np.ndarray) -> np.ndarray:
+    """8x8 block-mean thumbnail of an (h, w, 3) uint8 array."""
+    h, w, _ = px.shape
+    ys = np.linspace(0, h, 9, dtype=int)
+    xs = np.linspace(0, w, 9, dtype=int)
+    thumb = np.zeros((8, 8, 3), np.uint8)
+    for i in range(8):
+        for j in range(8):
+            thumb[i, j] = px[ys[i]:max(ys[i + 1], ys[i] + 1),
+                             xs[j]:max(xs[j + 1], xs[j] + 1)].mean(axis=(0, 1))
+    return thumb
 
 
 class DecodeStatsStage:
@@ -53,7 +88,13 @@ class DecodeStatsStage:
 
 
 def images_decode_stats(sf_dir: str):
+    """Decode every image, check pixel stats against the table's
+    metadata.  Oracle: expected stats computed from the generator's
+    SOURCE pixel arrays (never encoded), so the compare proves the
+    encode->decode round trip for every row."""
     table = images_lance_for(sf_dir)
+    tag = _sf_tag(sf_dir)
+
     from ..stages.taskcache import cached_stage
     ds = table.read_dataset()
     return ds.map_batches(cached_stage(DecodeStatsStage),
@@ -63,47 +104,68 @@ def images_decode_stats(sf_dir: str):
 def images_neardup_phash(sf_dir: str, max_hamming: int = 8):
     """Near-dup images by phash Hamming distance: bucket by 16-bit
     phash blocks (pigeonhole over 4 blocks), verify inside buckets —
-    the image twin of simhash dedup."""
+    the image twin of simhash dedup.  Oracle: DuckDB recomputes the
+    block-sharing candidate rule + Hamming verify from the stored
+    phash column directly (no expected file needed)."""
     from ..stages.dedup import hamming_block_pairs
 
     table = images_lance_for(sf_dir)
     ds = table.read_dataset(columns=["image_id", "phash"])
     out = hamming_block_pairs(ds, "image_id", "phash", max_hamming,
                               out_prefix="image")
-    df = out.to_pandas().sort_values(["image_a", "image_b"])
-    df["hamming"] = df["hamming"].astype("int64")
-    return pa.Table.from_pandas(df, preserve_index=False)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["hamming"] = df["hamming"].astype("int64")
+        return df
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+def _images_meta_table(tag: str) -> pa.Table:
+    """Generator-side metadata (no bytes): image_id, w, h, fmt,
+    caption, phash — the independent source for caption/phash SQL
+    oracles."""
+    n = _n_images(tag)
+    ids, ws, hs, fmts, caps, phs = [], [], [], [], [], []
+    for i in range(n):
+        w, h, fmt = image_spec(i)
+        ids.append(f"img-{i:010d}")
+        ws.append(w)
+        hs.append(h)
+        fmts.append(fmt)
+        caps.append(caption_for(i))
+        phs.append(average_hash64(render_pixels(i)))
+    return pa.table({"image_id": pa.array(ids, pa.string()),
+                     "w": pa.array(ws, pa.int32()),
+                     "h": pa.array(hs, pa.int32()),
+                     "fmt": pa.array(fmts, pa.string()),
+                     "caption": pa.array(caps, pa.string()),
+                     "phash": pa.array(phs, pa.int64())})
 
 
 class ThumbnailStage:
     """Multimodal transform: decode -> 8x8 block-mean thumbnail ->
-    re-encode (PPM).  The decode/encode here is the stdlib codec; a
-    real deployment swaps the codec table in __init__ for PIL/ffmpeg —
-    the Ray-side plumbing (actor pool, small batches, binary columns)
-    is identical."""
+    re-encode (PPM) -> md5 fingerprint.  The decode/encode here is the
+    stdlib codec; a real deployment swaps the codec table in __init__
+    for PIL/ffmpeg — the Ray-side plumbing (actor pool, small batches,
+    binary columns) is identical.  The emitted md5 is of the full PPM
+    blob, so the oracle compare is pixel-exact."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..sources.codecs import encode_ppm
-        ids, blobs = [], []
+        ids, md5s = [], []
         for row in batch.to_pylist():
             px = decode_image(row["bytes"], row["fmt"])
-            h, w, _ = px.shape
-            ys = np.linspace(0, h, 9, dtype=int)
-            xs = np.linspace(0, w, 9, dtype=int)
-            thumb = np.zeros((8, 8, 3), np.uint8)
-            for i in range(8):
-                for j in range(8):
-                    thumb[i, j] = px[ys[i]:max(ys[i + 1], ys[i] + 1),
-                                     xs[j]:max(xs[j + 1], xs[j] + 1)].mean(
-                        axis=(0, 1))
+            blob = encode_ppm(thumbnail8(px))
             ids.append(row["image_id"])
-            blobs.append(encode_ppm(thumb))
+            md5s.append(hashlib.md5(blob).hexdigest())
         return pa.Table.from_arrays(
-            [pa.array(ids, pa.string()), pa.array(blobs, pa.binary())],
-            names=["image_id", "thumbnail"])
+            [pa.array(ids, pa.string()), pa.array(md5s, pa.string())],
+            names=["image_id", "thumb_md5"])
 
 
 def images_thumbnails(sf_dir: str):
+    """Thumbnail pipeline; oracle expected thumbnails come from the
+    generator's source pixels (pre-encode), proving decode fidelity."""
     table = images_lance_for(sf_dir)
     from ..stages.taskcache import cached_stage
     return table.read_dataset().map_batches(
@@ -112,7 +174,9 @@ def images_thumbnails(sf_dir: str):
 
 
 def caption_token_stats(sf_dir: str):
-    """Text ops over the multimodal table's caption column."""
+    """Text ops over the multimodal table's caption column.  Oracle:
+    DuckDB computes the same stats in SQL from the generator-side
+    caption table (images_meta expected file)."""
     table = images_lance_for(sf_dir)
     ds = table.read_dataset(columns=["image_id", "caption"])
 
@@ -134,29 +198,47 @@ _CRAWL_BY_SF = {"sf0.001": dict(num_hosts=3, base_pages=8, fanout=2,
                 "sf0.1": dict(num_hosts=16, base_pages=40, fanout=3,
                               hot_factor=10.0)}
 
+_CRAWL_BUDGET = 6
+_CRAWL_ROUNDS = 40
+
+
+def _image_row_from_blob(image_id: str, blob: bytes, caption: str) -> dict:
+    """Shared row derivation (dims/fmt/phash from the bytes) used for
+    the oracle's expected rows; fmt is sniffed from the magic."""
+    px = decode_image(blob)
+    fmt = ("png" if blob.startswith(b"\x89PNG") else
+           "bmp" if blob.startswith(b"BM") else "ppm")
+    return {"image_id": image_id, "w": px.shape[1], "h": px.shape[0],
+            "fmt": fmt, "caption": caption,
+            "phash": average_hash64(px),
+            "bytes_md5": hashlib.md5(blob).hexdigest()}
+
 
 def crawl_images(sf_dir: str):
     """The flagship: full distributed crawl over the sf-scaled
-    synthetic web; returns the input_hint-shaped image+caption table.
-    Deterministic (virtual-clock politeness), so rows-only hashes are
-    stable across runs."""
-    import shutil
-
+    synthetic web; returns the input_hint-shaped image+caption table
+    (bytes as md5 hex — pixel equality is pytest-pinned).  Oracle:
+    the single-process conformance crawler (crawl/oracle.BFSOracle, an
+    independent implementation of the same crawl semantics) produces
+    the expected rows."""
     from ..crawl.loop import CrawlConfig, run_crawl
     from ..sources.synthweb import SynthWeb
 
-    tag = Path(sf_dir).name or "sf0.01"
+    tag = _sf_tag(sf_dir)
     web_cfg = _CRAWL_BY_SF.get(tag, _CRAWL_BY_SF["sf0.01"])
     web = SynthWeb(**web_cfg)
     out = f"/tmp/uniparser_ray_cache/crawl_{tag}"
     shutil.rmtree(out, ignore_errors=True)
     cfg = CrawlConfig(web_config=web_cfg, out_dir=out, seeds=web.seed_urls(),
-                      max_rounds=40, per_host_budget=6, fetch_concurrency=4,
-                      seen_shard_bits=3)
+                      max_rounds=_CRAWL_ROUNDS, per_host_budget=_CRAWL_BUDGET,
+                      fetch_concurrency=4, seen_shard_bits=3)
     run_crawl(cfg, web.rule_pack())
     table = LanceLayoutTable(f"{out}/images_lance")
     t = table.to_table(columns=["image_id", "bytes", "w", "h", "fmt",
                                 "caption", "phash"])
+    md5s = [hashlib.md5(b).hexdigest() for b in t["bytes"].to_pylist()]
+    t = t.drop_columns(["bytes"]).append_column(
+        "bytes_md5", pa.array(md5s, pa.string()))
     return t.sort_by("image_id")
 
 
@@ -166,26 +248,81 @@ _VIDEO_BY_SF = {"sf0.001": 20, "sf0.01": 60, "sf0.1": 150}
 
 def audio_features_q(sf_dir: str):
     """Audio multimodal path: deterministic pcm16 clips -> actor-pool
-    decode -> per-clip features (duration/rms/zcr/peak)."""
+    decode -> per-clip features (duration/rms/zcr/peak).  Oracle:
+    expected features computed from the generator's quantized sample
+    arrays BEFORE byte-encoding (proves the pcm16 round trip)."""
     import ray.data as rd
     from ..stages.multimodal import audio_features, synth_audio_table
 
-    tag = Path(sf_dir).name or "sf0.01"
-    t = synth_audio_table(_AUDIO_BY_SF.get(tag, 200))
-    out = audio_features(rd.from_arrow(t), concurrency=2).to_pandas()
-    return pa.Table.from_pandas(out.sort_values("clip_id"),
-                                preserve_index=False)
+    tag = _sf_tag(sf_dir)
+    n = _AUDIO_BY_SF.get(tag, 200)
+    t = synth_audio_table(n)
+    return audio_features(rd.from_arrow(t), concurrency=2)
 
 
 def video_frames_q(sf_dir: str):
     """Video multimodal path: rawrgb clips -> frame sampling (k=3) ->
-    one row per sampled frame with the frame re-encoded as PPM."""
+    one row per sampled frame (frame bytes as md5 of the PPM).  The
+    result streams — no driver-side sort/materialize.  Oracle:
+    expected frames computed from the generator's source frame arrays."""
     import ray.data as rd
     from ..stages.multimodal import synth_video_table, video_frame_samples
 
-    tag = Path(sf_dir).name or "sf0.01"
-    t = synth_video_table(_VIDEO_BY_SF.get(tag, 60))
-    out = video_frame_samples(rd.from_arrow(t), k=3, concurrency=2) \
-        .to_pandas()
-    return pa.Table.from_pandas(
-        out.sort_values(["video_id", "frame_index"]), preserve_index=False)
+    tag = _sf_tag(sf_dir)
+    n = _VIDEO_BY_SF.get(tag, 60)
+    t = synth_video_table(n)
+    out = video_frame_samples(rd.from_arrow(t), k=3, concurrency=2)
+
+    def finger(batch: pa.Table) -> pa.Table:
+        md5s = [hashlib.md5(b).hexdigest()
+                for b in batch["frame_ppm"].to_pylist()]
+        return pa.Table.from_arrays([
+            batch["video_id"], batch["frame_index"].cast(pa.int64()),
+            pa.array(md5s, pa.string()), batch["t_seconds"]],
+            names=["video_id", "frame_index", "frame_md5", "t_seconds"])
+
+    return out.map_batches(finger, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# expected-row builders for the DuckDB oracles (independent paths: the
+# generator's source arrays / the single-process conformance crawler)
+# ---------------------------------------------------------------------------
+
+
+def expected_decode_stats(tag: str) -> pa.Table:
+    n = _n_images(tag)
+    ids = [f"img-{i:010d}" for i in range(n)]
+    means = [round(float(render_pixels(i).mean()), 4) for i in range(n)]
+    return pa.table({"image_id": pa.array(ids, pa.string()),
+                     "mean_pixel": pa.array(means, pa.float64()),
+                     "phash_ok": pa.array([True] * n),
+                     "wh_ok": pa.array([True] * n)})
+
+
+def expected_thumbnails(tag: str) -> pa.Table:
+    n = _n_images(tag)
+    ids, md5s = [], []
+    for i in range(n):
+        blob = encode_ppm(thumbnail8(render_pixels(i)))
+        ids.append(f"img-{i:010d}")
+        md5s.append(hashlib.md5(blob).hexdigest())
+    return pa.table({"image_id": pa.array(ids, pa.string()),
+                     "thumb_md5": pa.array(md5s, pa.string())})
+
+
+def expected_images_meta(tag: str) -> pa.Table:
+    return _images_meta_table(tag)
+
+
+def expected_crawl_images(tag: str) -> pa.Table:
+    from ..crawl.oracle import BFSOracle
+    from ..sources.synthweb import SynthWeb
+    web_cfg = _CRAWL_BY_SF.get(tag, _CRAWL_BY_SF["sf0.01"])
+    web = SynthWeb(**web_cfg)
+    oracle = BFSOracle(SynthWeb(**web_cfg), web.rule_pack(),
+                       per_host_budget=_CRAWL_BUDGET)
+    result = oracle.run(web.seed_urls(), max_rounds=_CRAWL_ROUNDS)
+    rows = [_image_row_from_blob(iid, blob, cap)
+            for iid, (blob, cap) in sorted(result["images"].items())]
+    return pa.Table.from_pylist(rows)

@@ -34,13 +34,26 @@ def ann_ivf(sf_dir: str, k: int = 10):
     return ivf_topk(_read(sf_dir, ["vec_id", "embedding"]), qids, qm, k=k)
 
 
+MAX_EXACT_NEARDUP_ROWS = 2_000_000
+
+
 def embedding_neardup(sf_dir: str, threshold: float = 0.35):
-    """Exact all-pairs near-dup: normalized matrix broadcast once,
-    every batch multiplies against it (flops-heavy, shuffle-free) —
-    the SQL-checkable twin of the LSH-bucketed variant."""
+    """Exact all-pairs near-dup: the normalized matrix is broadcast
+    ONCE (``ray.put``); every batch multiplies against it (flops-heavy
+    but shuffle-free) and the pair rows stream out as a Dataset — no
+    driver-side concat.  O(n^2) compares by construction: this is the
+    declared SQL-checkable twin of the LSH-bucketed scale path
+    (``embedding_neardup_lsh``); a row-count guard enforces the
+    bounded-n contract."""
     import ray
 
     ds = _read(sf_dir, ["vec_id", "embedding"])
+    n = ds.count()
+    if n > MAX_EXACT_NEARDUP_ROWS:
+        raise ValueError(
+            f"embedding_neardup is the exact O(n^2) twin, bounded to "
+            f"{MAX_EXACT_NEARDUP_ROWS} rows (got {n}); use "
+            "embedding_neardup_lsh for the scale path")
     full = ds.to_pandas()
     ids = np.asarray(full["vec_id"], dtype=np.int64)
     mat = np.array(full["embedding"].tolist(), dtype=np.float64)
@@ -56,27 +69,15 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.35):
         bunit = vecs / bnorm
         bids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
         sims = bunit @ unit.T
-        rows_a, rows_b, out = [], [], []
-        for i in range(len(bids)):
-            mask = (sims[i] >= threshold) & (all_ids > bids[i])
-            for j in np.nonzero(mask)[0]:
-                rows_a.append(int(bids[i]))
-                rows_b.append(int(all_ids[j]))
-                out.append(round(float(sims[i, j]), 6))
+        ii, jj = np.nonzero((sims >= threshold)
+                            & (all_ids[None, :] > bids[:, None]))
         return pa.Table.from_arrays([
-            pa.array(rows_a, pa.int64()), pa.array(rows_b, pa.int64()),
-            pa.array(out, pa.float64())],
+            pa.array(bids[ii], pa.int64()),
+            pa.array(all_ids[jj], pa.int64()),
+            pa.array(np.round(sims[ii, jj], 6), pa.float64())],
             names=["vec_a", "vec_b", "cosine_sim"])
 
-    import ray
-    out = ds.map_batches(pairs, batch_format="pyarrow")
-    tables = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
-    schema = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64()),
-                        ("cosine_sim", pa.float64())])
-    if not tables:
-        return schema.empty_table()
-    return pa.concat_tables(tables).sort_by(
-        [("vec_a", "ascending"), ("vec_b", "ascending")])
+    return ds.map_batches(pairs, batch_format="pyarrow")
 
 
 def embedding_neardup_lsh(sf_dir: str, threshold: float = 0.35):

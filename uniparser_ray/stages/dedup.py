@@ -68,15 +68,6 @@ def exact_dedup_groups(ds, text_column: str = "text", id_column: str = "doc_id")
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-_MERSENNE = (1 << 61) - 1
-
-
-def _minhash_params(num_perm: int, seed: int = 42):
-    rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64)
-    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64)
-    return a.astype(np.uint64), b.astype(np.uint64)
-
 
 def _shingles(text: str, k: int = 3) -> List[str]:
     toks = text.split()
@@ -85,50 +76,39 @@ def _shingles(text: str, k: int = 3) -> List[str]:
     return [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
 
 
-def _hash64(s: str) -> np.uint64:
-    return np.uint64(int.from_bytes(
-        hashlib.blake2b(s.encode(), digest_size=8).digest(), "big"))
-
-
 class MinHashStage:
     """Per-batch minhash signatures + banded LSH keys.
 
-    Emits (doc_id, band_id, band_hash) rows — num_bands per doc."""
+    Emits (doc_id, band_id, band_hash) rows — num_bands per doc.  The
+    whole batch is hashed in a few numpy passes (tokenhash.py: one md5
+    per unique token, vectorized Horner shingling, one (shingles x
+    perms) grid + segmented min) — no per-document Python loops — and
+    the identical values are DuckDB-expressible, giving the pipeline a
+    true value-checked SQL oracle."""
 
     def __init__(self, num_perm: int = 64, num_bands: int = 16,
-                 shingle_k: int = 3, seed: int = 42):
-        self.a, self.b = _minhash_params(num_perm, seed)
+                 shingle_k: int = 3, seed: int = None):
+        from .tokenhash import MINHASH_SEED
         self.num_perm = num_perm
         self.num_bands = num_bands
-        self.rows_per_band = num_perm // num_bands
         self.shingle_k = shingle_k
-
-    def signature(self, text: str) -> np.ndarray:
-        sh = _shingles(text, self.shingle_k)
-        if not sh:
-            return np.zeros(self.num_perm, dtype=np.uint64)
-        base = np.fromiter((_hash64(s) for s in sh), dtype=np.uint64,
-                           count=len(sh))
-        # vectorized (a*x + b) mod p over the shingle x permutation grid
-        vals = (base[:, None] * self.a[None, :] + self.b[None, :]) \
-            % np.uint64(_MERSENNE)
-        return vals.min(axis=0)
+        self.seed = MINHASH_SEED if seed is None else seed
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids, band_ids, band_hashes = [], [], []
-        for doc_id, text in zip(batch["doc_id"].to_pylist(),
-                                batch["text"].to_pylist()):
-            sig = self.signature(text)
-            for band in range(self.num_bands):
-                chunk = sig[band * self.rows_per_band:(band + 1) * self.rows_per_band]
-                bh = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
-                doc_ids.append(doc_id)
-                band_ids.append(band)
-                band_hashes.append(int.from_bytes(bh, "big") >> 1)
+        from .tokenhash import (band_hashes, minhash_signatures,
+                                shingle_hashes)
+        texts = batch["text"].to_pylist()
+        sh, counts = shingle_hashes(texts, self.shingle_k)
+        sig = minhash_signatures(sh, counts, self.num_perm, self.seed)
+        bands = band_hashes(sig, self.num_bands)          # (ndocs, nbands)
+        ndocs = len(texts)
+        doc_ids = np.repeat(np.asarray(batch["doc_id"].to_pylist(),
+                                       dtype=np.int64), self.num_bands)
+        band_ids = np.tile(np.arange(self.num_bands, dtype=np.int32), ndocs)
         return pa.Table.from_arrays([
             pa.array(doc_ids, pa.int64()),
             pa.array(band_ids, pa.int32()),
-            pa.array(band_hashes, pa.int64()),
+            pa.array(bands.reshape(-1).astype(np.int64), pa.int64()),
         ], names=["doc_id", "band_id", "band_hash"])
 
 
@@ -168,48 +148,94 @@ def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+def shingle_set_rows(ds, shingle_k: int = 3, id_column: str = "doc_id",
+                     text_column: str = "text"):
+    """documents -> distinct (doc_id, shingle_hash) rows — the
+    inverted-index input shared by the jaccard and minhash-verify
+    paths.  Hashes are the 62-bit tokenhash construction (vectorized;
+    collision-free at corpus scale), ~10 bytes/row — the text never
+    shuffles."""
+    from .tokenhash import shingle_hashes62, to_int64
+
+    def rows(batch: pa.Table) -> pa.Table:
+        texts = batch[text_column].to_pylist()
+        sh, counts = shingle_hashes62(texts, shingle_k)
+        ids = np.repeat(np.asarray(batch[id_column].to_pylist(),
+                                   dtype=np.int64), counts)
+        # distinct within each doc (segments stay doc-ordered)
+        order = np.lexsort((sh, ids))
+        ids, sh = ids[order], sh[order]
+        keep = np.ones(len(sh), bool)
+        keep[1:] = (ids[1:] != ids[:-1]) | (sh[1:] != sh[:-1])
+        return pa.Table.from_arrays([
+            pa.array(ids[keep], pa.int64()),
+            pa.array(to_int64(sh[keep]), pa.int64())],
+            names=[id_column, "shingle_hash"])
+
+    return ds.map_batches(rows, batch_format="pyarrow")
+
+
 def minhash_neardup_pairs(ds, threshold: float = 0.7, num_perm: int = 64,
-                          num_bands: int = 16, concurrency: int = 4):
+                          num_bands: int = 16, concurrency: int = 4,
+                          shingle_k: int = 3):
     """Full near-dup pipeline: LSH candidates -> exact-Jaccard verify.
 
-    The verify stage broadcasts the candidate doc texts via ``ray.put``
-    (the candidate set is orders of magnitude smaller than the corpus);
-    at larger candidate volumes swap for a hash-bucketed self-join."""
+    The verify runs distributed over the shingle inverted index
+    restricted to candidate docs: candidate (pair, id) sets — LSH-
+    bounded, orders of magnitude smaller than the corpus — are
+    broadcast once via ``ray.put``; shared-shingle counts come from
+    the same bucketed combine as ``jaccard_pairs``.  Only ids and
+    counts ever reach the driver, never document text."""
     import ray
+    from .combine import grouped_aggregate, hash_bucket_combine
 
     cands = minhash_candidate_pairs(ds, num_perm, num_bands, concurrency)
     cand_tbl = cands.to_pandas()
+    empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64()),
+                      "jaccard_sim": pa.array([], pa.float64())})
     if not len(cand_tbl):
-        return pa.table({"doc_a": pa.array([], pa.int64()),
-                         "doc_b": pa.array([], pa.int64()),
-                         "jaccard_sim": pa.array([], pa.float64())})
-    need_ids = set(cand_tbl["doc_a"]) | set(cand_tbl["doc_b"])
-    need_ref = ray.put(need_ids)
+        return empty
+    cand_ids = set(cand_tbl["doc_a"]) | set(cand_tbl["doc_b"])
+    ids_ref = ray.put(cand_ids)
+    pairs_ref = ray.put(set(zip(cand_tbl["doc_a"].astype("int64"),
+                                cand_tbl["doc_b"].astype("int64"))))
 
-    def pick(b: pd.DataFrame) -> pd.DataFrame:
-        return b[b["doc_id"].isin(ray.get(need_ref))]
+    sh = shingle_set_rows(ds, shingle_k).map_batches(
+        lambda b: b[b["doc_id"].isin(ray.get(ids_ref))],
+        batch_format="pandas")
 
-    # stream the corpus against the candidate-id broadcast — only the
-    # candidates' texts ever reach the driver
-    cand_texts = ds.map_batches(pick, batch_format="pandas").to_pandas()
-    texts = dict(zip(cand_texts["doc_id"], cand_texts["text"]))
-    texts_ref = ray.put(texts)
+    # per-candidate-doc distinct-shingle counts (tiny, LSH-bounded)
+    counts = grouped_aggregate(sh, ["doc_id"],
+                               {"c": ("shingle_hash", "count")}).to_pandas()
+    count_of = dict(zip(counts["doc_id"], counts["c"]))
 
-    def verify(batch: pa.Table) -> pa.Table:
-        tx = ray.get(texts_ref)
-        sims = [jaccard(tx[a], tx[b])
-                for a, b in zip(batch["doc_a"].to_pylist(),
-                                batch["doc_b"].to_pylist())]
-        out = batch.append_column("jaccard_sim",
-                                  pa.array(np.round(sims, 6), pa.float64()))
-        return out.filter(pa.array([s >= threshold for s in sims]))
+    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on="shingle_hash")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        if len(m):
+            allow = ray.get(pairs_ref)
+            mask = [(a, b) in allow
+                    for a, b in zip(m["doc_id_x"], m["doc_id_y"])]
+            m = m[np.asarray(mask, bool)]
+        out = m.groupby(["doc_id_x", "doc_id_y"], sort=False) \
+            .size().reset_index(name="n_shared")
+        return out.rename(columns={"doc_id_x": "doc_a", "doc_id_y": "doc_b"})
 
-    import ray.data as rd
-    verified = rd.from_pandas(cand_tbl).map_batches(verify,
-                                                    batch_format="pyarrow")
-    out = verified.to_pandas().sort_values(["doc_a", "doc_b"])
-    return pa.Table.from_pandas(out[["doc_a", "doc_b", "jaccard_sim"]],
-                                preserve_index=False)
+    partial = hash_bucket_combine(sh, ["shingle_hash"], pairs_of_bucket)
+    shared = grouped_aggregate(partial, ["doc_a", "doc_b"],
+                               {"n_shared": ("n_shared", "sum")}).to_pandas()
+    if not len(shared):
+        return empty
+    ca = shared["doc_a"].map(count_of).to_numpy(np.float64)
+    cb = shared["doc_b"].map(count_of).to_numpy(np.float64)
+    n = shared["n_shared"].to_numpy(np.float64)
+    sim = n / (ca + cb - n)
+    out = pd.DataFrame({"doc_a": shared["doc_a"].astype("int64"),
+                        "doc_b": shared["doc_b"].astype("int64"),
+                        "jaccard_sim": sim})
+    out = out[sim >= threshold].sort_values(["doc_a", "doc_b"])
+    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 # ---------------------------------------------------------------------------
@@ -333,43 +359,42 @@ def embedding_neardup_pairs(ds, threshold: float = 0.95, num_planes: int = 8,
 # ---------------------------------------------------------------------------
 
 
-def jaccard_pairs(ds, threshold: float = 0.5, shingle_k: int = 3):
+def jaccard_pairs(ds, threshold: float = 0.5, shingle_k: int = 3,
+                  df_cap: int = 1024):
     """All pairs with shingle-Jaccard >= threshold, computed exactly:
 
     1. explode docs into distinct (shingle_hash, doc_id) rows — the
-       inverted index; only ~8-byte hashes + ids shuffle, never text;
-    2. bucket by shingle hash, self-merge per bucket -> per-shingle
-       co-occurring pairs, then a global grouped sum -> n_shared;
-    3. jaccard = n_shared / (|A| + |B| - n_shared) with per-doc
-       shingle counts broadcast (tiny).
+       inverted index (shingle_set_rows; vectorized 62-bit hashes);
+       only ~10-byte rows shuffle, never text;
+    2. bucket by shingle hash; inside each bucket drop *stop shingles*
+       whose document frequency exceeds ``df_cap`` (all rows of a
+       shingle land in one bucket, so the df cut is local — no extra
+       shuffle) then self-merge -> per-shingle co-occurring pairs, and
+       a global grouped sum -> n_shared;
+    3. per-doc shingle counts join back onto the pair rows via two
+       hash-bucket joins (no driver-side count dict), and
+       jaccard = n_shared / (|A| + |B| - n_shared).
 
-    This is the exact twin of the MinHash+LSH pipeline (same shingles)
-    and is verified value-for-value against a DuckDB oracle.
+    The df cap bounds the worst bucket at df_cap^2 pair rows (a stop
+    shingle in k docs would otherwise emit k^2 rows); with
+    df_cap >= n_docs the result is exact, which the DuckDB oracle
+    asserts at test scale.  This is the exact twin of the MinHash+LSH
+    pipeline (same shingles).
     """
-    import ray
-    from .combine import grouped_aggregate, hash_bucket_combine
+    from .combine import grouped_aggregate, hash_bucket_combine, \
+        hash_bucket_join
 
-    def shingle_rows(batch: pa.Table) -> pa.Table:
-        doc_ids, hashes = [], []
-        for doc_id, text in zip(batch["doc_id"].to_pylist(),
-                                batch["text"].to_pylist()):
-            for s in set(_shingles(text, shingle_k)):
-                doc_ids.append(doc_id)
-                hashes.append(int(_hash64(s)))
-        return pa.Table.from_arrays([
-            pa.array(doc_ids, pa.int64()),
-            pa.array(hashes, pa.uint64())],
-            names=["doc_id", "shingle_hash"])
+    sh = shingle_set_rows(ds, shingle_k)
 
-    sh = ds.map_batches(shingle_rows, batch_format="pyarrow")
-
-    # per-doc distinct-shingle counts (tiny: one row per doc)
+    # per-doc distinct-shingle counts — stays a Dataset (joined back
+    # below), never a driver-side dict
     counts = grouped_aggregate(sh, ["doc_id"],
-                               {"c": ("shingle_hash", "count")}).to_pandas()
-    count_of = dict(zip(counts["doc_id"], counts["c"]))
-    counts_ref = ray.put(count_of)
+                               {"c": ("shingle_hash", "count")})
 
     def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.groupby("shingle_hash", sort=False)["shingle_hash"] \
+            .transform("size")
+        g = g[df <= df_cap]
         m = g.merge(g, on="shingle_hash")
         m = m[m["doc_id_x"] < m["doc_id_y"]]
         out = m.groupby(["doc_id_x", "doc_id_y"], sort=False) \
@@ -382,16 +407,24 @@ def jaccard_pairs(ds, threshold: float = 0.5, shingle_k: int = 3):
     pairs = grouped_aggregate(partial_pairs, ["doc_a", "doc_b"],
                               {"n_shared": ("n_shared", "sum")})
 
+    counts_a = counts.map_batches(
+        lambda df: df.rename(columns={"doc_id": "_ka", "c": "ca"}),
+        batch_format="pandas")
+    counts_b = counts.map_batches(
+        lambda df: df.rename(columns={"doc_id": "_kb", "c": "cb"}),
+        batch_format="pandas")
+    joined = hash_bucket_join(pairs, counts_a, "doc_a", "_ka")
+    joined = hash_bucket_join(joined, counts_b, "doc_b", "_kb")
+
     def finish(df: pd.DataFrame) -> pd.DataFrame:
-        cnt = ray.get(counts_ref)
-        ca = df["doc_a"].map(cnt).to_numpy(dtype=np.float64)
-        cb = df["doc_b"].map(cnt).to_numpy(dtype=np.float64)
+        ca = df["ca"].to_numpy(dtype=np.float64)
+        cb = df["cb"].to_numpy(dtype=np.float64)
         n = df["n_shared"].to_numpy(dtype=np.float64)
         sim = n / (ca + cb - n)
-        df = df.assign(jaccard_sim=np.round(sim, 6))
+        df = df.assign(jaccard_sim=sim)
         df = df[sim >= threshold]
         df["doc_a"] = df["doc_a"].astype("int64")
         df["doc_b"] = df["doc_b"].astype("int64")
         return df[["doc_a", "doc_b", "jaccard_sim"]]
 
-    return pairs.map_batches(finish, batch_format="pandas")
+    return joined.map_batches(finish, batch_format="pandas")

@@ -55,27 +55,59 @@ def _stub_pcm(blob: bytes, n_samples: int) -> np.ndarray:
     return pcm.astype(np.float32) / 32768.0
 
 
+def _synth_audio_pcm(i: int, seed: int = 42,
+                     sample_rate: int = 8000) -> np.ndarray:
+    """Quantized int16 samples of clip i (pre-byte-encoding)."""
+    rng = np.random.default_rng(seed * 1_000_003 + i)
+    n = int(sample_rate * (0.25 + (i % 8) * 0.125))
+    t = np.arange(n, dtype=np.float32) / sample_rate
+    freq = 110.0 * (1 + (i % 12))
+    wave = (0.5 * np.sin(2 * np.pi * freq * t)
+            + 0.05 * rng.standard_normal(n).astype(np.float32))
+    return np.clip(wave * 32767.0, -32768, 32767).astype("<i2")
+
+
 def synth_audio_table(n_clips: int, seed: int = 42,
                       sample_rate: int = 8000) -> pa.Table:
     """Deterministic synthetic audio table (pcm16 sine+noise clips)."""
     ids, blobs, srs, ns, fmts = [], [], [], [], []
     for i in range(n_clips):
-        rng = np.random.default_rng(seed * 1_000_003 + i)
-        n = int(sample_rate * (0.25 + (i % 8) * 0.125))
-        t = np.arange(n, dtype=np.float32) / sample_rate
-        freq = 110.0 * (1 + (i % 12))
-        wave = (0.5 * np.sin(2 * np.pi * freq * t)
-                + 0.05 * rng.standard_normal(n).astype(np.float32))
-        pcm = np.clip(wave * 32767.0, -32768, 32767).astype("<i2")
+        pcm = _synth_audio_pcm(i, seed, sample_rate)
         ids.append(f"clip-{i:08d}")
         blobs.append(pcm.tobytes())
         srs.append(sample_rate)
-        ns.append(n)
+        ns.append(len(pcm))
         fmts.append("pcm16")
     return pa.Table.from_arrays([
         pa.array(ids, pa.string()), pa.array(blobs, pa.binary()),
         pa.array(srs, pa.int32()), pa.array(ns, pa.int32()),
         pa.array(fmts, pa.string())], schema=AUDIO_SCHEMA)
+
+
+def expected_audio_features(n_clips: int, seed: int = 42,
+                            sample_rate: int = 8000) -> pa.Table:
+    """Oracle-side expected feature rows, computed from the quantized
+    sample arrays directly (never byte-encoded): a mismatch against
+    the pipeline isolates the pcm16 bytes round trip."""
+    rows = []
+    for i in range(n_clips):
+        x = _synth_audio_pcm(i, seed, sample_rate).astype(np.float32) \
+            / 32768.0
+        d, r, z, p = audio_feature_values(x, sample_rate)
+        rows.append({"clip_id": f"clip-{i:08d}", "duration_s": d,
+                     "rms": r, "zcr": z, "peak": p})
+    return pa.Table.from_pylist(rows)
+
+
+def audio_feature_values(x: np.ndarray, sample_rate: int) -> tuple:
+    """(duration_s, rms, zcr, peak) of a float sample array — shared
+    by the decode stage and the generator-side expected builder, so a
+    value mismatch isolates the bytes round trip."""
+    sr = max(sample_rate, 1)
+    return (round(len(x) / sr, 6),
+            round(float(np.sqrt(np.mean(x * x))), 6),
+            round(float(np.mean(np.abs(np.diff(np.sign(x))) > 0)), 6),
+            round(float(np.max(np.abs(x))), 6))
 
 
 class AudioFeatureStage:
@@ -112,16 +144,13 @@ class AudioFeatureStage:
         return rng.standard_normal(max(n_samples, 1)).astype(np.float32)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, dur, rms, zcr, peak = [], [], [], [], []
+        ids, feats = [], []
         for row in batch.to_pylist():
             x = self._decode(row["bytes"], row["fmt"], row["n_samples"])
-            sr = max(row["sample_rate"], 1)
             ids.append(row["clip_id"])
-            dur.append(round(len(x) / sr, 6))
-            rms.append(round(float(np.sqrt(np.mean(x * x))), 6))
-            zcr.append(round(float(np.mean(np.abs(np.diff(np.sign(x))) > 0)),
-                             6))
-            peak.append(round(float(np.max(np.abs(x))), 6))
+            feats.append(audio_feature_values(x, row["sample_rate"]))
+        dur, rms, zcr, peak = (list(t) for t in zip(*feats)) if feats else \
+            ([], [], [], [])
         return pa.Table.from_arrays([
             pa.array(ids, pa.string()), pa.array(dur, pa.float64()),
             pa.array(rms, pa.float64()), pa.array(zcr, pa.float64()),
@@ -186,12 +215,17 @@ class VideoFrameSampleStage:
             names=["video_id", "frame_index", "frame_ppm", "t_seconds"])
 
 
+def _synth_video_frames(i: int, seed: int = 7) -> np.ndarray:
+    rng = np.random.default_rng(seed * 999_983 + i)
+    n, h, w = 6 + (i % 5), 16, 16
+    return rng.integers(0, 256, (n, h, w, 3), dtype=np.uint8)
+
+
 def synth_video_table(n_videos: int, seed: int = 7) -> pa.Table:
     ids, blobs, nfs, ws, hs, fps, fmts = [], [], [], [], [], [], []
     for i in range(n_videos):
-        rng = np.random.default_rng(seed * 999_983 + i)
-        n, h, w = 6 + (i % 5), 16, 16
-        frames = rng.integers(0, 256, (n, h, w, 3), dtype=np.uint8)
+        frames = _synth_video_frames(i, seed)
+        n, h, w, _ = frames.shape
         ids.append(f"vid-{i:08d}")
         blobs.append(frames.tobytes())
         nfs.append(n)
@@ -204,6 +238,27 @@ def synth_video_table(n_videos: int, seed: int = 7) -> pa.Table:
         pa.array(nfs, pa.int32()), pa.array(ws, pa.int32()),
         pa.array(hs, pa.int32()), pa.array(fps, pa.float32()),
         pa.array(fmts, pa.string())], schema=VIDEO_SCHEMA)
+
+
+def expected_video_frames(n_videos: int, k: int = 3,
+                          seed: int = 7) -> pa.Table:
+    """Oracle-side expected frame rows (frame bytes as md5 of the PPM
+    encoding), computed from the generator's source frame arrays —
+    independent of the rawrgb blob decode the pipeline performs."""
+    from ..sources.codecs import encode_ppm
+    rows = []
+    for i in range(n_videos):
+        frames = _synth_video_frames(i, seed)
+        n = frames.shape[0]
+        kk = min(k, n)
+        picks = np.linspace(0, n - 1, kk).round().astype(int)
+        for j in picks:
+            rows.append({
+                "video_id": f"vid-{i:08d}", "frame_index": int(j),
+                "frame_md5": hashlib.md5(
+                    encode_ppm(frames[j])).hexdigest(),
+                "t_seconds": round(j / 8.0, 6)})
+    return pa.Table.from_pylist(rows)
 
 
 def audio_features(ds, concurrency: int = 4):

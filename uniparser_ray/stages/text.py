@@ -99,66 +99,37 @@ def langid_batch(batch: pa.Table) -> pa.Table:
                 best, best_score = lang, score
         langs.append(best)
         total = max(1, len(low) // 3)
-        confs.append(round(min(1.0, best_score / total), 6))
+        # unrounded: small-int ratio, so the DuckDB oracle computes the
+        # bit-identical double (rounding would reintroduce half-even vs
+        # half-away divergence on exact ties)
+        confs.append(min(1.0, best_score / total))
     return pa.Table.from_arrays(
         [batch["doc_id"], pa.array(langs, pa.string()),
          pa.array(confs, pa.float64())],
         names=["doc_id", "lang_pred", "lang_conf"])
 
 
-def _rolling_hash64(text: str, window: int = 16) -> int:
-    """64-bit rolling (Rabin-Karp-style) content hash: xor of windowed
-    polynomial hashes — order-sensitive but local-shift tolerant."""
-    B, M = 1000003, (1 << 64) - 59
-    acc = 0
-    h = 0
-    power = pow(B, window - 1, M)
-    data = text.encode("utf-8")
-    for i, byte in enumerate(data):
-        h = (h * B + byte) % M
-        if i >= window - 1:
-            acc ^= h
-            h = (h - data[i - window + 1] * power) % M
-    return acc
-
-
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """md5 + rolling token-window fingerprint (tokenhash construction:
+    vectorized AND DuckDB-oracle-expressible)."""
+    from .tokenhash import rolling_fingerprints, to_int64
     texts = batch["text"].to_pylist()
     md5s = [hashlib.md5(t.encode()).hexdigest() for t in texts]
-    rolls = [np.int64(np.uint64(_rolling_hash64(t) & 0xFFFFFFFFFFFFFFFF))
-             for t in texts]
+    rolls = to_int64(rolling_fingerprints(texts))
     return pa.Table.from_arrays(
         [batch["doc_id"], pa.array(md5s, pa.string()),
          pa.array(rolls, pa.int64())],
         names=["doc_id", "fp_md5", "fp_rolling"])
 
 
-def _hash64(data: bytes) -> int:
-    return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "big")
-
-
-def simhash64(tokens) -> int:
-    """64-bit simhash over token 3-shingles."""
-    acc = np.zeros(64, dtype=np.int64)
-    n = len(tokens)
-    if n < 3:
-        shingles = [" ".join(tokens)] if tokens else []
-    else:
-        shingles = [" ".join(tokens[i:i + 3]) for i in range(n - 2)]
-    for sh in shingles:
-        h = _hash64(sh.encode("utf-8"))
-        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        acc += bits.astype(np.int64) * 2 - 1
-    val = 0
-    for i in range(64):
-        if acc[i] > 0:
-            val |= 1 << i
-    return val
-
-
 def simhash_batch(batch: pa.Table) -> pa.Table:
+    """64-bit simhash over token 3-shingles — one vectorized numpy
+    pass per batch (see stages/tokenhash.py for the construction and
+    its DuckDB twin)."""
+    from .tokenhash import shingle_hashes, simhash_values, to_int64
     texts = batch["text"].to_pylist()
-    out = [np.int64(np.uint64(simhash64(t.split()))) for t in texts]
+    sh, counts = shingle_hashes(texts, k=3)
+    out = to_int64(simhash_values(sh, counts))
     return pa.Table.from_arrays(
         [batch["doc_id"], pa.array(out, pa.int64())],
         names=["doc_id", "simhash"])
