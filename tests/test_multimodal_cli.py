@@ -93,6 +93,27 @@ def test_cli_test_rule(tmp_path):
     assert json.loads(out) == {"title": "/x"}
 
 
+def test_cli_crawl_seeds_file(ray_session, tmp_path, capsys):
+    """--seeds PATH populates CrawlConfig.seeds via read_seed_list —
+    the seed-list reader is reachable from the public CLI surface."""
+    from uniparser_ray.__main__ import main
+    from uniparser_ray.sources.synthweb import SynthWeb
+
+    web_cfg = dict(num_hosts=2, base_pages=4, fanout=2, hot_factor=2.0)
+    web = SynthWeb(**web_cfg)
+    cfg = {"web_config": web_cfg, "out_dir": str(tmp_path / "out"),
+           "max_rounds": 2, "per_host_budget": 2, "fetch_concurrency": 2,
+           "seen_shard_bits": 1}
+    (tmp_path / "cfg.json").write_text(json.dumps(cfg))
+    (tmp_path / "seeds.txt").write_text(
+        "# comment\n" + "\n".join(web.seed_urls()) + "\n")
+    rc = main(["crawl", "--config", str(tmp_path / "cfg.json"),
+               "--seeds", str(tmp_path / "seeds.txt")])
+    assert rc == 0
+    totals = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert totals["granted"] > 0
+
+
 def test_cli_curl_parse():
     out = subprocess.run(
         [sys.executable, "-m", "uniparser_ray", "curl-parse",

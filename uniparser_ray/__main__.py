@@ -77,7 +77,12 @@ def cmd_crawl(args) -> int:
 
     cfg_dict = json.loads(Path(args.config).read_text())
     rule_pack = cfg_dict.pop("rule_pack", None)
+    seeds_path = getattr(args, "seeds", None) or cfg_dict.pop("seeds_path",
+                                                              None)
     cfg = CrawlConfig(**cfg_dict)
+    if seeds_path:
+        from .crawl.storage import read_seed_list
+        cfg.seeds = (cfg.seeds or []) + read_seed_list(seeds_path)
     if rule_pack is None:
         rule_pack = SynthWeb(**cfg.web_config).rule_pack()
     _ensure_ray(args.num_cpus)
@@ -116,6 +121,9 @@ def main(argv=None) -> int:
                    help="CrawlConfig fields as JSON (+ optional rule_pack)")
     r.add_argument("--num-cpus", type=int, default=None)
     r.add_argument("--no-resume", action="store_true")
+    r.add_argument("--seeds", default=None,
+                   help="seed list file (.txt one-per-line or .parquet "
+                        "with a url column); appended to config seeds")
     r.set_defaults(fn=cmd_crawl)
 
     g = sub.add_parser("gen-images", help="generate the image+caption table")

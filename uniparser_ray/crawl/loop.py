@@ -72,6 +72,10 @@ class CrawlConfig:
     image_batch_size: int = 128       # keep small when payloads are MBs
     seen_shard_bits: int = 3
     seen_mode: str = "tandem"
+    # per-shard capacity for the bloom/cuckoo seen filters; size to
+    # (expected URLs) / 2^seen_shard_bits with headroom — cuckoo mode
+    # degrades to an overflow stash past ~84% load (state/cuckoo.py)
+    seen_capacity: int = 1_000_000
     use_robots: bool = True
     host_budgets: Dict[str, int] = field(default_factory=dict)
     # explicit skew-splitting of hot domains: 0 = single-phase grant;
@@ -183,8 +187,11 @@ class CrawlRun:
         self.pages_dir = self.out / "pages"
         self.images = LanceLayoutTable(str(self.out / "images_lance"))
         self.metrics: List[dict] = []
-        self.seen = SeenFilter(cfg.seen_shard_bits, cfg.seen_mode)
-        self.img_seen = SeenFilter(max(cfg.seen_shard_bits - 1, 1), cfg.seen_mode)
+        self.seen = SeenFilter(cfg.seen_shard_bits, cfg.seen_mode,
+                               capacity_per_shard=cfg.seen_capacity)
+        self.img_seen = SeenFilter(max(cfg.seen_shard_bits - 1, 1),
+                                   cfg.seen_mode,
+                                   capacity_per_shard=cfg.seen_capacity)
         if cfg.use_robots:
             from ..state.robots import RobotsShardActor
             from ..sources.synthweb import SynthWeb
@@ -465,8 +472,15 @@ class CrawlRun:
 
                 def as_backlog(t: pa.Table) -> pa.Table:
                     t = t.select(["url", "parent", "depth", "priority"])
-                    return t.append_column(
+                    t = t.append_column(
                         "seen_ok", pa.array([1] * t.num_rows, pa.int8()))
+                    # backlog blocks come pandas-converted (plain string
+                    # url/parent) while link blocks are large_string:
+                    # cast so EVERY file in a frontier checkpoint has
+                    # the identical FRONTIER_SCHEMA (read-side schema
+                    # unification across mixed files is pyarrow-version
+                    # fragile)
+                    return t.cast(FRONTIER_SCHEMA)
 
                 decided.filter(expr="granted == 0") \
                     .map_batches(as_backlog, batch_format="pyarrow") \

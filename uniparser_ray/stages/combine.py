@@ -145,20 +145,40 @@ def hash_bucket_join(left, right, left_on: str, right_on: str,
     def pad(side: int, key: str):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
             df = df.copy()
-            df["_jkey"] = df[key].astype(str)
+            # repr, not str: distinguishes int 1 from string "1" (and
+            # any other cross-type string-form collision) so keys of
+            # different types can never spuriously match
+            df["_jkey"] = df[key].map(repr)
             df["_side"] = np.int8(side)
             for c in allcols:
                 if c not in df.columns:
-                    df[c] = None
+                    # OBJECT dtype padding: a None-padded int64 column
+                    # must not promote to float64 in the union/concat —
+                    # 64-bit values (e.g. this repo's hashes) above
+                    # 2**53 would silently lose precision before the
+                    # dtype restore
+                    df[c] = pd.Series([None] * len(df), dtype=object,
+                                      index=df.index)
             return df[allcols + ["_jkey", "_side"]]
         return fn
 
     u = left.map_batches(pad(0, left_on), batch_format="pandas").union(
         right.map_batches(pad(1, right_on), batch_format="pandas"))
 
-    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
-        l = bucket[bucket["_side"] == 0][lcols].astype(ldt)
-        r = bucket[bucket["_side"] == 1][rcols].astype(rdt)
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_bucket"] = _bucket_of(df, ["_jkey"], num_buckets)
+        return df
+
+    def merge(bucket: pa.Table) -> pd.DataFrame:
+        # integer_object_nulls: a null-padded int64 column converts to
+        # object-of-python-ints instead of float64, so 64-bit values
+        # (hash keys) survive the arrow->pandas hop losslessly before
+        # the per-side dtype restore
+        pdf = bucket.to_pandas(integer_object_nulls=True)
+        l = pdf[pdf["_side"] == 0][lcols].astype(ldt)
+        r = pdf[pdf["_side"] == 1][rcols].astype(rdt)
         return l.merge(r, left_on=left_on, right_on=right_on, how=how)
 
-    return hash_bucket_combine(u, ["_jkey"], merge, num_buckets)
+    return u.map_batches(bucketize, batch_format="pandas") \
+        .groupby("_bucket").map_groups(merge, batch_format="pyarrow")

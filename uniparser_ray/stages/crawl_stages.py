@@ -205,28 +205,34 @@ class FetchParseStage:
         self._sleep = sleep_fn or _time.sleep
         self._now = _time.monotonic
 
-    def _apply_politeness(self, hosts: List[str]):
-        """Acquire wall-clock delay schedules host-by-host and sleep
-        out the largest per-host delay once (requests within the batch
-        are sequential per actor anyway)."""
+    def _politeness_targets(self, hosts: List[str]):
+        """Acquire wall-clock delay schedules host-by-host and return
+        (t0, per-url target offsets): before issuing request i the
+        fetcher sleeps until t0 + targets[i], so PACING WITHIN the
+        batch honors Frequency(n, interval) — requests are not fired
+        back-to-back after one bulk sleep.  Delays are computed on the
+        shard's own clock (one shard owns all of a host's schedule, so
+        timestamps never cross node clock domains); the RPC latency
+        between actor and fetcher only shifts the schedule later —
+        the polite direction."""
         import ray
-        from collections import Counter
+        from collections import Counter, defaultdict
         if not self.politeness_shards:
-            return
+            return None
         counts = Counter(hosts)
-        now = self._now()
         futures = {}
         for host, cnt in counts.items():
             shard = self.politeness_shards[
                 url_hash64(host) % self.politeness_num]
-            futures[host] = shard.acquire_batch.remote(host, cnt, now)
-        max_delay = 0.0
-        for host, fut in futures.items():
-            delays = ray.get(fut)
-            if delays:
-                max_delay = max(max_delay, delays[-1])
-        if max_delay > 0:
-            self._sleep(max_delay)
+            futures[host] = shard.acquire_batch.remote(host, cnt)
+        delays = {host: ray.get(fut) for host, fut in futures.items()}
+        t0 = self._now()
+        nth: Dict[str, int] = defaultdict(int)
+        targets = []
+        for h in hosts:
+            targets.append(delays[h][nth[h]])
+            nth[h] += 1
+        return t0, targets
 
     def _find_rule(self, url: str):
         # host-level cache: single-rule hosts resolve without regex scans
@@ -250,13 +256,18 @@ class FetchParseStage:
         urls = batch["url"].to_pylist()
         hashes = batch["url_hash"].to_pylist()
         hosts = batch["host"].to_pylist()
-        self._apply_politeness(hosts)
+        pacing = self._politeness_targets(hosts)
         depths = batch["depth"].to_pylist()
         priors = batch["priority"].to_pylist()
         parents = batch["parent"].to_pylist()
         out = {k: [] for k in ("status", "rule_name", "result_json", "links",
                                "img_srcs", "img_captions", "error")}
-        for url in urls:
+        for i, url in enumerate(urls):
+            if pacing is not None:
+                t0, targets = pacing
+                wait = targets[i] - (self._now() - t0)
+                if wait > 0:
+                    self._sleep(wait)
             rule = self._find_rule(url)
             if rule is None:
                 out["status"].append(0)

@@ -114,12 +114,13 @@ class MinHashStage:
 
 def minhash_candidate_pairs(ds, num_perm: int = 64, num_bands: int = 16,
                             concurrency: int = 4):
-    """documents -> distinct candidate (doc_a, doc_b) pairs via LSH.
+    """documents -> candidate (doc_a, doc_b) pairs via banded LSH.
 
     Shuffles only (band, doc_id) rows, bucketed by band hash; pairs
-    emerge from a vectorized per-bucket self-merge and are distinct-ed
-    by a second bucketed aggregate."""
-    from .combine import grouped_aggregate, hash_bucket_combine
+    emerge from a vectorized per-bucket self-merge, deduped within
+    each bucket.  Pairs colliding in multiple bands can appear once
+    per band — callers dedup the (LSH-bounded, tiny) result."""
+    from .combine import hash_bucket_combine
 
     from .taskcache import cached_stage
     bands = ds.map_batches(
@@ -131,12 +132,11 @@ def minhash_candidate_pairs(ds, num_perm: int = 64, num_bands: int = 16,
         m = g.merge(g, on=["band_id", "band_hash"])
         m = m[m["doc_id_x"] < m["doc_id_y"]]
         return pd.DataFrame({"doc_a": m["doc_id_x"].to_numpy(),
-                             "doc_b": m["doc_id_y"].to_numpy()})
+                             "doc_b": m["doc_id_y"].to_numpy()}) \
+            .drop_duplicates()
 
-    pairs = hash_bucket_combine(bands, ["band_id", "band_hash"],
-                                pairs_of_bucket)
-    return grouped_aggregate(pairs, ["doc_a", "doc_b"],
-                             {"n_bands": ("doc_a", "count")})
+    return hash_bucket_combine(bands, ["band_id", "band_hash"],
+                               pairs_of_bucket)
 
 
 def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
@@ -150,11 +150,17 @@ def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
 
 def shingle_set_rows(ds, shingle_k: int = 3, id_column: str = "doc_id",
                      text_column: str = "text"):
-    """documents -> distinct (doc_id, shingle_hash) rows — the
+    """documents -> distinct (doc_id, shingle_hash, c) rows — the
     inverted-index input shared by the jaccard and minhash-verify
     paths.  Hashes are the 62-bit tokenhash construction (vectorized;
-    collision-free at corpus scale), ~10 bytes/row — the text never
-    shuffles."""
+    collision-free at corpus scale), ~18 bytes/row — the text never
+    shuffles.
+
+    ``c`` is the doc's distinct-shingle count, computed exactly here
+    because each document lives wholly in one row: carrying it on
+    every index row lets the jaccard denominator ride through the
+    bucket merge — no second counts pass, no join, no driver-side
+    count dict."""
     from .tokenhash import shingle_hashes62, to_int64
 
     def rows(batch: pa.Table) -> pa.Table:
@@ -167,10 +173,15 @@ def shingle_set_rows(ds, shingle_k: int = 3, id_column: str = "doc_id",
         ids, sh = ids[order], sh[order]
         keep = np.ones(len(sh), bool)
         keep[1:] = (ids[1:] != ids[:-1]) | (sh[1:] != sh[:-1])
+        ids, sh = ids[keep], sh[keep]
+        # distinct count per doc, broadcast back onto the rows
+        uids, inv, ucnt = np.unique(ids, return_inverse=True,
+                                    return_counts=True)
         return pa.Table.from_arrays([
-            pa.array(ids[keep], pa.int64()),
-            pa.array(to_int64(sh[keep]), pa.int64())],
-            names=[id_column, "shingle_hash"])
+            pa.array(ids, pa.int64()),
+            pa.array(to_int64(sh), pa.int64()),
+            pa.array(ucnt[inv], pa.int64())],
+            names=[id_column, "shingle_hash", "c"])
 
     return ds.map_batches(rows, batch_format="pyarrow")
 
@@ -190,7 +201,7 @@ def minhash_neardup_pairs(ds, threshold: float = 0.7, num_perm: int = 64,
     from .combine import grouped_aggregate, hash_bucket_combine
 
     cands = minhash_candidate_pairs(ds, num_perm, num_bands, concurrency)
-    cand_tbl = cands.to_pandas()
+    cand_tbl = cands.to_pandas().drop_duplicates()
     empty = pa.table({"doc_a": pa.array([], pa.int64()),
                       "doc_b": pa.array([], pa.int64()),
                       "jaccard_sim": pa.array([], pa.float64())})
@@ -204,38 +215,18 @@ def minhash_neardup_pairs(ds, threshold: float = 0.7, num_perm: int = 64,
     sh = shingle_set_rows(ds, shingle_k).map_batches(
         lambda b: b[b["doc_id"].isin(ray.get(ids_ref))],
         batch_format="pandas")
-
-    # per-candidate-doc distinct-shingle counts (tiny, LSH-bounded)
-    counts = grouped_aggregate(sh, ["doc_id"],
-                               {"c": ("shingle_hash", "count")}).to_pandas()
-    count_of = dict(zip(counts["doc_id"], counts["c"]))
-
-    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        m = g.merge(g, on="shingle_hash")
-        m = m[m["doc_id_x"] < m["doc_id_y"]]
-        if len(m):
-            allow = ray.get(pairs_ref)
-            mask = [(a, b) in allow
-                    for a, b in zip(m["doc_id_x"], m["doc_id_y"])]
-            m = m[np.asarray(mask, bool)]
-        out = m.groupby(["doc_id_x", "doc_id_y"], sort=False) \
-            .size().reset_index(name="n_shared")
-        return out.rename(columns={"doc_id_x": "doc_a", "doc_id_y": "doc_b"})
-
-    partial = hash_bucket_combine(sh, ["shingle_hash"], pairs_of_bucket)
-    shared = grouped_aggregate(partial, ["doc_a", "doc_b"],
-                               {"n_shared": ("n_shared", "sum")}).to_pandas()
-    if not len(shared):
+    partial = hash_bucket_combine(
+        sh, ["shingle_hash"],
+        _pair_count_bucket(df_cap=1 << 62, allow_ref=pairs_ref))
+    pairs = grouped_aggregate(partial, ["doc_a", "doc_b"],
+                              {"n_shared": ("n_shared", "sum"),
+                               "ca": ("ca", "min"), "cb": ("cb", "min")})
+    out = pairs.map_batches(_jaccard_finish(threshold),
+                            batch_format="pandas").to_pandas()
+    if not len(out):
         return empty
-    ca = shared["doc_a"].map(count_of).to_numpy(np.float64)
-    cb = shared["doc_b"].map(count_of).to_numpy(np.float64)
-    n = shared["n_shared"].to_numpy(np.float64)
-    sim = n / (ca + cb - n)
-    out = pd.DataFrame({"doc_a": shared["doc_a"].astype("int64"),
-                        "doc_b": shared["doc_b"].astype("int64"),
-                        "jaccard_sim": sim})
-    out = out[sim >= threshold].sort_values(["doc_a", "doc_b"])
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return pa.Table.from_pandas(out.sort_values(["doc_a", "doc_b"]),
+                                preserve_index=False)
 
 
 # ---------------------------------------------------------------------------
@@ -359,37 +350,15 @@ def embedding_neardup_pairs(ds, threshold: float = 0.95, num_planes: int = 8,
 # ---------------------------------------------------------------------------
 
 
-def jaccard_pairs(ds, threshold: float = 0.5, shingle_k: int = 3,
-                  df_cap: int = 1024):
-    """All pairs with shingle-Jaccard >= threshold, computed exactly:
+def _pair_count_bucket(df_cap: int, allow_ref=None):
+    """Per-bucket self-merge of inverted-index rows (doc_id,
+    shingle_hash, c) -> partial (doc_a, doc_b, n_shared, ca, cb).
 
-    1. explode docs into distinct (shingle_hash, doc_id) rows — the
-       inverted index (shingle_set_rows; vectorized 62-bit hashes);
-       only ~10-byte rows shuffle, never text;
-    2. bucket by shingle hash; inside each bucket drop *stop shingles*
-       whose document frequency exceeds ``df_cap`` (all rows of a
-       shingle land in one bucket, so the df cut is local — no extra
-       shuffle) then self-merge -> per-shingle co-occurring pairs, and
-       a global grouped sum -> n_shared;
-    3. per-doc shingle counts join back onto the pair rows via two
-       hash-bucket joins (no driver-side count dict), and
-       jaccard = n_shared / (|A| + |B| - n_shared).
-
-    The df cap bounds the worst bucket at df_cap^2 pair rows (a stop
-    shingle in k docs would otherwise emit k^2 rows); with
-    df_cap >= n_docs the result is exact, which the DuckDB oracle
-    asserts at test scale.  This is the exact twin of the MinHash+LSH
-    pipeline (same shingles).
-    """
-    from .combine import grouped_aggregate, hash_bucket_combine, \
-        hash_bucket_join
-
-    sh = shingle_set_rows(ds, shingle_k)
-
-    # per-doc distinct-shingle counts — stays a Dataset (joined back
-    # below), never a driver-side dict
-    counts = grouped_aggregate(sh, ["doc_id"],
-                               {"c": ("shingle_hash", "count")})
+    All rows of a shingle land in one bucket, so the stop-shingle df
+    cut (df > df_cap) is local — no extra shuffle; the per-doc counts
+    ride along as min-combined columns.  ``allow_ref`` optionally
+    restricts output to a broadcast candidate-pair set (minhash
+    verify)."""
 
     def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
         df = g.groupby("shingle_hash", sort=False)["shingle_hash"] \
@@ -397,25 +366,22 @@ def jaccard_pairs(ds, threshold: float = 0.5, shingle_k: int = 3,
         g = g[df <= df_cap]
         m = g.merge(g, on="shingle_hash")
         m = m[m["doc_id_x"] < m["doc_id_y"]]
+        if allow_ref is not None and len(m):
+            import ray
+            allow = ray.get(allow_ref)
+            mask = [(a, b) in allow
+                    for a, b in zip(m["doc_id_x"], m["doc_id_y"])]
+            m = m[np.asarray(mask, bool)]
         out = m.groupby(["doc_id_x", "doc_id_y"], sort=False) \
-            .size().reset_index(name="n_shared")
+            .agg(n_shared=("shingle_hash", "size"), ca=("c_x", "min"),
+                 cb=("c_y", "min")).reset_index()
         return out.rename(columns={"doc_id_x": "doc_a",
                                    "doc_id_y": "doc_b"})
 
-    partial_pairs = hash_bucket_combine(sh, ["shingle_hash"],
-                                        pairs_of_bucket)
-    pairs = grouped_aggregate(partial_pairs, ["doc_a", "doc_b"],
-                              {"n_shared": ("n_shared", "sum")})
+    return pairs_of_bucket
 
-    counts_a = counts.map_batches(
-        lambda df: df.rename(columns={"doc_id": "_ka", "c": "ca"}),
-        batch_format="pandas")
-    counts_b = counts.map_batches(
-        lambda df: df.rename(columns={"doc_id": "_kb", "c": "cb"}),
-        batch_format="pandas")
-    joined = hash_bucket_join(pairs, counts_a, "doc_a", "_ka")
-    joined = hash_bucket_join(joined, counts_b, "doc_b", "_kb")
 
+def _jaccard_finish(threshold: float):
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         ca = df["ca"].to_numpy(dtype=np.float64)
         cb = df["cb"].to_numpy(dtype=np.float64)
@@ -427,4 +393,37 @@ def jaccard_pairs(ds, threshold: float = 0.5, shingle_k: int = 3,
         df["doc_b"] = df["doc_b"].astype("int64")
         return df[["doc_a", "doc_b", "jaccard_sim"]]
 
-    return joined.map_batches(finish, batch_format="pandas")
+    return finish
+
+
+def jaccard_pairs(ds, threshold: float = 0.5, shingle_k: int = 3,
+                  df_cap: int = 1024):
+    """All pairs with shingle-Jaccard >= threshold, computed exactly
+    in TWO shuffles and one pass over the corpus:
+
+    1. explode docs into distinct (doc_id, shingle_hash, c) rows — the
+       inverted index with the per-doc count attached
+       (shingle_set_rows; vectorized 62-bit hashes); only ~18-byte
+       rows shuffle, never text;
+    2. bucket by shingle hash; inside each bucket drop *stop shingles*
+       whose document frequency exceeds ``df_cap`` then self-merge ->
+       partial (doc_a, doc_b, n_shared, ca, cb);
+    3. one global grouped combine (sum n_shared, min ca/cb) and a
+       vectorized finish: jaccard = n_shared / (ca + cb - n_shared).
+
+    The df cap bounds the worst bucket at df_cap^2 pair rows (a stop
+    shingle in k docs would otherwise emit k^2 rows); with
+    df_cap >= n_docs the result is exact, which the DuckDB oracle
+    asserts at test scale.  This is the exact twin of the MinHash+LSH
+    pipeline (same shingles).
+    """
+    from .combine import grouped_aggregate, hash_bucket_combine
+
+    sh = shingle_set_rows(ds, shingle_k)
+    partial = hash_bucket_combine(sh, ["shingle_hash"],
+                                  _pair_count_bucket(df_cap))
+    pairs = grouped_aggregate(partial, ["doc_a", "doc_b"],
+                              {"n_shared": ("n_shared", "sum"),
+                               "ca": ("ca", "min"), "cb": ("cb", "min")})
+    return pairs.map_batches(_jaccard_finish(threshold),
+                             batch_format="pandas")

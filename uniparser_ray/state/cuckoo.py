@@ -37,6 +37,13 @@ class CuckooFilter:
                               if fingerprint_bits <= 16 else np.uint32)
         self.count = 0
         self._rng = np.random.RandomState(seed & 0x7FFFFFFF)
+        # graceful-degradation stash for items whose kickout chain
+        # failed (~84%+ load): (canonical_bucket, fp) pairs.  Lookups
+        # consult it, so an overfull filter degrades to a slightly
+        # slower exact-ish set instead of killing the crawl round —
+        # and the last evicted fingerprint is never silently dropped
+        # (which would be a false negative -> re-fetch loop).
+        self.overflow: set = set()
 
     def _fingerprint(self, h: int) -> int:
         fp = (h >> 48) & self.fp_mask
@@ -49,6 +56,9 @@ class CuckooFilter:
         # alternate bucket = i XOR hash(fp) (multiply-shift mix)
         return (i ^ ((fp * self.seed) & 0xFFFFFFFF)) & (self.num_buckets - 1)
 
+    def _canonical(self, i: int, fp: int) -> tuple:
+        return (min(i, self._alt_index(i, fp)), fp)
+
     def __contains__(self, h: int) -> bool:
         h = int(h)
         fp = self._fingerprint(h)
@@ -56,7 +66,9 @@ class CuckooFilter:
         if fp in self.table[i1]:
             return True
         i2 = self._alt_index(i1, fp)
-        return fp in self.table[i2]
+        if fp in self.table[i2]:
+            return True
+        return bool(self.overflow) and self._canonical(i1, fp) in self.overflow
 
     def _insert_at(self, i: int, fp: int) -> bool:
         row = self.table[i]
@@ -87,8 +99,13 @@ class CuckooFilter:
             if self._insert_at(i, fp):
                 self.count += 1
                 return True
-        raise RuntimeError(
-            f"cuckoo filter overfull ({self.count}/{self.num_buckets * _SLOTS})")
+        # overfull: the new item made it into the table along the
+        # chain; the currently-displaced fingerprint is stashed in the
+        # overflow set (graceful degradation, no false negative, no
+        # crash mid-round — the caller should still size capacity up)
+        self.overflow.add(self._canonical(i, fp))
+        self.count += 1
+        return True
 
     def delete(self, h: int) -> bool:
         h = int(h)
@@ -100,6 +117,11 @@ class CuckooFilter:
                     row[s] = 0
                     self.count -= 1
                     return True
+        key = self._canonical(self._index(h), fp)
+        if key in self.overflow:
+            self.overflow.discard(key)
+            self.count -= 1
+            return True
         return False
 
     def add_batch(self, hashes) -> list:

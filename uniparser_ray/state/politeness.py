@@ -55,8 +55,19 @@ class PolitenessShard:
         return grant
 
     # -- wall clock --------------------------------------------------------
-    def acquire_batch(self, host: str, count: int, now: float) -> List[float]:
-        """Delays (seconds from ``now``) before each of ``count`` requests."""
+    def acquire_batch(self, host: str, count: int,
+                      now: float = None) -> List[float]:
+        """Delays (seconds from now) before each of ``count`` requests.
+
+        ``now`` defaults to the SHARD's own monotonic clock — callers
+        must not pass their own timestamps on a multi-node cluster
+        (monotonic epochs are incomparable across nodes); all schedule
+        state for a host lives in its one shard, so the shard-local
+        clock is the consistent reference.  The explicit ``now``
+        parameter exists for deterministic unit tests."""
+        if now is None:
+            import time
+            now = time.monotonic()
         n, interval = self.rules.get(host, self.default)
         if not n:
             return [0.0] * count
