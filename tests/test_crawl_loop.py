@@ -38,17 +38,25 @@ def oracle_result():
     return oracle.run(web.seed_urls(), max_rounds=30)
 
 
-def test_crawl_matches_oracle(ray_session, tmp_path, oracle_result):
+@pytest.fixture(scope="module")
+def ray_crawl(ray_session, tmp_path_factory):
+    """One distributed crawl shared by the conformance tests."""
+    out = tmp_path_factory.mktemp("crawl_shared") / "crawl"
     web = SynthWeb(**WEB_CFG)
-    cfg = CrawlConfig(web_config=WEB_CFG, out_dir=str(tmp_path / "crawl"),
+    cfg = CrawlConfig(web_config=WEB_CFG, out_dir=str(out),
                       seeds=web.seed_urls(), max_rounds=30,
                       per_host_budget=3, fetch_concurrency=2,
                       seen_shard_bits=2)
     totals = run_crawl(cfg, web.rule_pack())
+    return out, totals
+
+
+def test_crawl_matches_oracle(ray_crawl, oracle_result):
+    out, totals = ray_crawl
     assert totals["pages_ok"] > 0
 
     # 1. crawl ordering: identical per-round fetched URL sets
-    ray_rounds = _ray_rounds(tmp_path / "crawl")
+    ray_rounds = _ray_rounds(out)
     oracle_rounds = [r["fetched"] for r in oracle_result["rounds"]]
     assert ray_rounds == oracle_rounds
 
@@ -58,7 +66,7 @@ def test_crawl_matches_oracle(ray_session, tmp_path, oracle_result):
 
     # 3. parsed values: titles from result_json match oracle bodies
     for r, _ in enumerate(ray_rounds):
-        d = tmp_path / "crawl" / "pages" / f"round={r}"
+        d = out / "pages" / f"round={r}"
         for f in sorted(d.glob("*.parquet")):
             t = pq.read_table(f, columns=["url", "status", "result_json"])
             for url, status, rj in zip(t["url"].to_pylist(),
@@ -71,7 +79,7 @@ def test_crawl_matches_oracle(ray_session, tmp_path, oracle_result):
                     assert body["title"] == o_body["title"]
 
     # 4. image rows: ids, captions, decoded pixels equal
-    images = LanceLayoutTable(str(tmp_path / "crawl" / "images_lance")).to_table()
+    images = LanceLayoutTable(str(out / "images_lance")).to_table()
     got = {row["image_id"]: row for row in images.to_pylist()}
     want = oracle_result["images"]
     assert set(got) == set(want)
@@ -80,6 +88,20 @@ def test_crawl_matches_oracle(ray_session, tmp_path, oracle_result):
         assert row["caption"] == caption
         assert np.array_equal(decode_image(row["bytes"]), decode_image(blob))
         assert row["w"] > 0 and row["h"] > 0
+
+
+def test_result_tree_assembly_matches_oracle(ray_crawl, oracle_result):
+    """Distributed groupby(parent) __result__ reassembly over the flat
+    page rows reproduces the reference-shaped nested trees the
+    single-process oracle builds (crawler.py:174-189 semantics)."""
+    from uniparser_ray.crawl.assemble import assemble_results_dict
+    from uniparser_ray.crawl.oracle import assemble_oracle_trees
+
+    out, _totals = ray_crawl
+    got = assemble_results_dict(str(out / "pages"))
+    want = assemble_oracle_trees(oracle_result)
+    assert set(got) == set(want)
+    assert got == want
 
 
 def test_crawl_resume(ray_session, tmp_path, oracle_result):

@@ -242,6 +242,20 @@ def test_udf_parser():
     assert uni.udf.parse("", "abc", {"locals": {"abc": True}}) is True
 
 
+def test_udf_async_parse_awaited():
+    """An ``async def parse`` UDF yields its awaited VALUE (reference
+    awaits awaitable UDF results, parsers.py:1424-1429) — never a bare
+    coroutine object flowing through as the parse result."""
+    uni = Uniparser()
+    scode = ("\nasync def parse(item):\n"
+             "    return item.upper()\n")
+    assert uni.udf.parse("abcd", scode, "") == "ABCD"
+    # async lambda-equivalent through the eval path
+    scode2 = ("parse = lambda item: _coro(item)\n"
+              "async def _coro(item):\n    return item[::-1]\n")
+    assert uni.udf.parse("abcd", scode2, "") == "dcba"
+
+
 def test_loader_parser():
     uni = Uniparser()
     assert uni.loader.parse(YAML, "yaml", "") == {

@@ -126,6 +126,29 @@ def test_host_rule_validation():
     assert host_rule.findall("https://importpython.com/")
 
 
+def test_host_rule_find_raises_on_multiple_matches():
+    """HostRule.find raises when >1 rule matches a url (reference:
+    parsers.py:1211-1212) — ambiguity is an error, not a pick."""
+    rules = {name: {"name": name,
+                    "request_args": {"method": "get",
+                                     "url": "http://h.test/x"},
+                    "parse_rules": [], "regex": r"^http://h\.test/.*"}
+             for name in ("r1", "r2")}
+    host_rule = HostRule("h.test", crawler_rules=rules)
+    with pytest.raises(ValueError):
+        host_rule.find("http://h.test/x")
+    # and adding an overlapping rule via the validated path raises too
+    with pytest.raises(ValueError):
+        host_rule.add_crawler_rule(CrawlerRule(
+            name="r3", request_args={"method": "get",
+                                     "url": "http://h.test/x"},
+            parse_rules=[], regex=r"^http://h\.test/.*"))
+    # single match resolves
+    assert host_rule.findall("http://h.test/x")
+    host_rule["crawler_rules"].pop("r2")
+    assert host_rule.find("http://h.test/x")["name"] == "r1"
+
+
 def test_host_rule_json_roundtrip():
     crawler_rule = CrawlerRule(
         "test_crawler_rule",

@@ -112,6 +112,8 @@ class BFSOracle:
         rounds = []          # [{fetched urls (sorted), ...}]
         pages = {}           # url -> (status, result_json-able body)
         images = {}          # image_id -> (bytes, caption)
+        parents = {}         # url -> fetching parent url ("" for seeds)
+        rule_names = {}      # url -> crawler rule name
         candidates = [(u, "", 0, 0.0, False) for u in seeds]
         for r in range(max_rounds):
             if not candidates:
@@ -144,6 +146,7 @@ class BFSOracle:
             fetched_urls = sorted(u for u, *_ in granted)
             next_candidates = []
             for url, parent, depth, prio, host, h in granted:
+                parents[url] = parent
                 rule = self.storage.find_crawler_rule(url)
                 if rule is None:
                     pages[url] = (0, None)
@@ -160,6 +163,7 @@ class BFSOracle:
                            "request_args": {"url": url, "method": "get"}}
                 body = self.vm.parse(text, rule, context)[rule["name"]]
                 pages[url] = (status, body)
+                rule_names[url] = rule["name"]
                 origin = url.split("/", 3)
                 origin = f"{origin[0]}//{origin[2]}"
                 for img in body.get("images") or []:
@@ -195,4 +199,39 @@ class BFSOracle:
                            "granted": len(granted), "backlog": len(backlog)})
             candidates = next_candidates
         return {"rounds": rounds, "pages": pages, "images": images,
-                "seen": seen}
+                "seen": seen, "parents": parents, "rule_names": rule_names}
+
+
+def assemble_oracle_trees(result: dict) -> dict:
+    """Single-process reference assembly of the nested ``__result__``
+    trees from a BFSOracle run — the independent twin the distributed
+    ``crawl.assemble.assemble_results`` stage is asserted against.
+
+    Shape per node (reference: crawler.py:174-189):
+    ``{rule_name: {**body, '__result__': [child trees]}}`` in the
+    page's ``__request__`` extraction order; a link whose page was
+    first fetched under a DIFFERENT parent (BFS dedup) contributes
+    ``None`` — documented deviation from the reference's refetching
+    recursion, identical in both assemblers."""
+    from ..config import EngineConfig
+    from ..rulevm.urlutil import canonicalize_url
+
+    pages, parents = result["pages"], result["parents"]
+    rule_names = result["rule_names"]
+
+    def node(url):
+        status, body = pages[url]
+        if status != 200 or body is None:
+            return None
+        out = dict(body)
+        links = body.get(EngineConfig.__request__) or []
+        if links:
+            kids = []
+            for link in links:
+                cu = canonicalize_url(link)
+                kids.append(node(cu) if parents.get(cu) == url else None)
+            out[EngineConfig.__result__] = kids
+        return {rule_names[url]: out}
+
+    roots = [u for u, p in parents.items() if p == ""]
+    return {u: node(u) for u in roots}

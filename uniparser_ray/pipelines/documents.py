@@ -8,8 +8,8 @@ import pyarrow as pa
 
 
 def _read(sf_dir: str, columns=None):
-    import ray.data as rd
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    from ..sources.parquet import read_parquet_clean
+    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 def doc_token_stats(sf_dir: str):

@@ -25,8 +25,8 @@ import pyarrow.compute as pc
 
 
 def _read(sf_dir: str, table: str, columns=None):
-    import ray.data as rd
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    from ..sources.parquet import read_parquet_clean
+    return read_parquet_clean(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 def partial_groupby(ds, keys, agg_spec, batch_size: int = 65536):

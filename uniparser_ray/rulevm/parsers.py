@@ -414,8 +414,21 @@ class UDFParser(BaseParser):
             parse_function = local_vars.get("parse")
             if not parse_function:
                 raise ValueError("UDF snippet should have a function named `parse`")
-            return parse_function(input_object)
-        return eval(code, local_vars, local_vars)
+            return self._maybe_await(parse_function(input_object))
+        return self._maybe_await(eval(code, local_vars, local_vars))
+
+    @staticmethod
+    def _maybe_await(result):
+        """The reference awaits awaitable UDF results in its async
+        chain (reference: parsers.py:1424-1429); this sync engine runs
+        them to completion on a private event loop, so an ``async def
+        parse`` rule yields its VALUE — never a bare coroutine object
+        flowing through as a parse result."""
+        import inspect
+        if inspect.isawaitable(result):
+            import asyncio
+            return asyncio.run(result)
+        return result
 
 
 class PythonParser(BaseParser):

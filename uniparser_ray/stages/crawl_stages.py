@@ -70,9 +70,13 @@ def canonicalize_batch(batch: pa.Table) -> pa.Table:
     hosts = [get_host(u, "") for u in canon]
     batch = batch.drop_columns([c for c in ("url", "url_hash", "host")
                                 if c in batch.column_names])
-    return batch.add_column(0, "url", pa.array(canon, pa.large_string())) \
+    out = batch.add_column(0, "url", pa.array(canon, pa.large_string())) \
         .append_column("url_hash", pa.array(hashes, pa.uint64())) \
         .append_column("host", pa.array(hosts, pa.string()))
+    # schemas with metadata (e.g. the 'pandas' blob parquet files
+    # carry) are UNHASHABLE, which defeats Ray's block-schema dedup
+    # and spams "Failed to hash the schemas" warnings — strip it
+    return out.replace_schema_metadata(None)
 
 
 class SeenRobotsStage:

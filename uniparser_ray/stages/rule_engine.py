@@ -117,7 +117,9 @@ class RuleEngine:
             out = out.append_column(name, arr)
         out = out.append_column("error", pa.array(errors, pa.string()))
         out = out.append_column("error_type", pa.array(error_types, pa.string()))
-        return out
+        # metadata-carrying schemas (pandas blob from parquet) are
+        # unhashable -> Ray can't dedup block schemas; strip it
+        return out.replace_schema_metadata(None)
 
 
 # per-worker-process engine cache for the task-pool form: Ray reuses
