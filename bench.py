@@ -87,6 +87,13 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     timed("embedding_neardup",
           lambda: consume(vectors.embedding_neardup(sf_dir)))
 
+    # -- wall-clock politeness mode (PolitenessShard acquire path):
+    # same fetch+parse stage, per-request pacing through the shard
+    # actors (unlimited rate, so the number measures the acquire/RPC
+    # overhead of the continuous-fetch path, not configured sleeps)
+    pol = politeness_fetch_rate(num_cpus)
+    timings["politeness_fetch"] = pol["sec"]
+
     total = round(sum(timings.values()), 3)
     return {
         "metric": "crawl+operator suite wall time",
@@ -99,7 +106,49 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         "frontier_ops_per_sec": frontier_ops_per_sec,
         "crawl_pages": pages,
         "crawl_images": totals["images"],
+        "politeness_pages_per_sec": pol["pages_per_sec"],
     }
+
+
+def politeness_fetch_rate(num_cpus: int, n_urls: int = 4096) -> dict:
+    """Throughput of the CONTINUOUS-fetch path: FetchParseStage with
+    wall-clock PolitenessShard actors attached (per-request pacing via
+    shard-clock schedules, stages/crawl_stages.py)."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from uniparser_ray.rulevm.request import get_host
+    from uniparser_ray.sources.synthweb import SynthWeb
+    from uniparser_ray.stages.crawl_stages import FetchParseStage
+    from uniparser_ray.stages.taskcache import cached_stage
+    from uniparser_ray.state.politeness import PolitenessShardActor
+
+    web_cfg = dict(num_hosts=32, base_pages=160, fanout=4, hot_factor=4.0)
+    web = SynthWeb(**web_cfg)
+    urls = web.all_page_urls()[:n_urls]
+    shards = [PolitenessShardActor.remote() for _ in range(4)]
+    t = pa.table({
+        "url": pa.array(urls, pa.large_string()),
+        "url_hash": pa.array([0] * len(urls), pa.uint64()),
+        "host": pa.array([get_host(u, "") for u in urls], pa.string()),
+        "depth": pa.array([0] * len(urls), pa.int32()),
+        "priority": pa.array([0.0] * len(urls), pa.float32()),
+        "parent": pa.array([""] * len(urls), pa.large_string()),
+    })
+    ds = rd.from_arrow(t).repartition(max(4, num_cpus))
+    rule_pack_ref = ray.put(web.rule_pack())
+    t0 = time.perf_counter()
+    n = ds.map_batches(
+        cached_stage(FetchParseStage, rule_pack_ref=rule_pack_ref,
+                     web_config=web_cfg, politeness_shards=shards,
+                     politeness_num=len(shards)),
+        batch_format="pyarrow", batch_size=256).count()
+    sec = time.perf_counter() - t0
+    for s in shards:
+        ray.kill(s)
+    return {"sec": round(sec, 3), "pages": n,
+            "pages_per_sec": round(n / sec, 1)}
 
 
 def run_steady(num_cpus: int) -> dict:
@@ -188,28 +237,38 @@ def main():
                 env=env, capture_output=True, text=True, check=True).stdout
             return json.loads(out.strip().splitlines()[-1])
 
-        def run(ncpu, repeats=2):
-            # best-of-N: this sandbox VM shows ±20-30% host-level noise
-            # between identical runs; min wall time is the standard
-            # way to measure the machine rather than its neighbors
-            best = None
+        def run(ncpu, repeats=3):
+            # this sandbox VM shows ±20-30% host-level noise between
+            # identical runs; report BOTH best-of-N (min wall time —
+            # measures the machine rather than its neighbors) and the
+            # median (robust central tendency, doesn't inflate
+            # efficiency when the slow legs are noisier)
+            runs = []
             for _ in range(repeats):
-                r = run_once(ncpu)
-                if best is None or r["sec"] < best["sec"]:
-                    best = r
+                runs.append(run_once(ncpu))
                 time.sleep(10)
-            return best
-        lo, hi = run(8), run(32)
-        eff = (hi["pages_per_sec"] / lo["pages_per_sec"]) / (32 / 8)
+            runs.sort(key=lambda r: r["sec"])
+            return runs[0], runs[len(runs) // 2]
+
+        (lo_best, lo_med), (hi_best, hi_med) = run(8), run(32)
+
+        def eff(lo, hi):
+            return round((hi["pages_per_sec"] / lo["pages_per_sec"])
+                         / (32 / 8), 3)
+
         print(json.dumps({
             "workload": "steady-state crawl "
-                        f"({lo['universe']} pages, ~8KB each)",
-            "sec_8": lo["sec"], "sec_32": hi["sec"],
-            "pages_per_sec_8": lo["pages_per_sec"],
-            "pages_per_sec_32": hi["pages_per_sec"],
-            "frontier_ops_per_sec_8": lo["frontier_ops_per_sec"],
-            "frontier_ops_per_sec_32": hi["frontier_ops_per_sec"],
-            "scaling_efficiency": round(eff, 3),
+                        f"({lo_best['universe']} pages, ~8KB each)",
+            "repeats": 3,
+            "sec_8": lo_best["sec"], "sec_32": hi_best["sec"],
+            "pages_per_sec_8": lo_best["pages_per_sec"],
+            "pages_per_sec_32": hi_best["pages_per_sec"],
+            "frontier_ops_per_sec_8": lo_best["frontier_ops_per_sec"],
+            "frontier_ops_per_sec_32": hi_best["frontier_ops_per_sec"],
+            "scaling_efficiency": eff(lo_best, hi_best),
+            "median_pages_per_sec_8": lo_med["pages_per_sec"],
+            "median_pages_per_sec_32": hi_med["pages_per_sec"],
+            "scaling_efficiency_median": eff(lo_med, hi_med),
         }))
         return
 

@@ -114,6 +114,41 @@ def test_cli_crawl_seeds_file(ray_session, tmp_path, capsys):
     assert totals["granted"] > 0
 
 
+def test_cli_console_session(tmp_path):
+    """The interactive rule console (reference webui's download-once /
+    parse-many loop): one loaded document, iterated chains + a rule
+    file, without refetching."""
+    (tmp_path / "page.html").write_text(
+        '<html><title>T</title><a class="u" href="/x">L</a>'
+        "<p>v=42</p></html>")
+    rule = {"name": "title",
+            "chain_rules": [["css", "title", "$text"],
+                            ["python", "getitem", "[0]"]],
+            "child_rules": []}
+    (tmp_path / "rule.json").write_text(json.dumps(rule))
+    script = "\n".join([
+        f"load {tmp_path / 'page.html'}",
+        "chain re v=(\\d+) $1",
+        "parse",
+        "clear",
+        f"rule {tmp_path / 'rule.json'}",
+        "parse",
+        "show",
+        "quit",
+    ])
+    (tmp_path / "script.txt").write_text(script)
+    out = subprocess.run(
+        [sys.executable, "-m", "uniparser_ray", "console",
+         "--script", str(tmp_path / "script.txt")],
+        cwd=REPO, capture_output=True, text=True, check=True).stdout
+    lines = [json.loads(l) for l in out.strip().splitlines()]
+    assert lines[0]["chars"] > 0
+    assert lines[2] == {"console": ["42"]}        # quick chain parse
+    assert lines[4] == {"rule": "title"}
+    assert lines[5] == {"title": "T"}             # rule parse, same input
+    assert lines[6]["rule"] == "title"
+
+
 def test_cli_curl_parse():
     out = subprocess.run(
         [sys.executable, "-m", "uniparser_ray", "curl-parse",

@@ -71,6 +71,99 @@ def cmd_curl_parse(args) -> int:
     return 0
 
 
+def cmd_console(args) -> int:
+    """Interactive rule console — the reference Web UI's
+    download-once / parse-many loop (reference: webui.py:72-134,
+    fastapi_ui/views.py:53-135) as a line REPL.  One input document is
+    loaded or downloaded ONCE, then rules/chains iterate against it
+    without refetching:
+
+        load <path>            read the input document from a file
+        download <url>         fetch the input document (once)
+        rule <path>            load a Parse/CrawlerRule JSON file
+        chain <parser> <param> [value]   append a quick chain step
+        clear                  drop the quick chain + loaded rule
+        parse                  run rule/chain against the input
+        show                   current state summary
+        quit
+    """
+    import sys as _sys
+
+    from .rulevm.rules import CrawlerRule, ParseRule
+    from .rulevm.vm import RuleVM
+
+    vm = RuleVM()
+    state = {"input": None, "rule": None, "chain": []}
+    out = _sys.stdout
+    stream = open(args.script) if getattr(args, "script", None) else _sys.stdin
+
+    def emit(obj):
+        print(json.dumps(_jsonable(obj), default=repr), file=out, flush=True)
+
+    for raw in stream:
+        line = raw.strip()
+        if not line or line.startswith("#"):
+            continue
+        # plain whitespace split — NO shell-style escape processing, so
+        # regex params like v=(\d+) pass through verbatim; the trailing
+        # piece (a path or a chain value) may contain spaces
+        head = line.split(None, 1)
+        cmd = head[0]
+        tail = head[1] if len(head) > 1 else ""
+        rest = tail.split(None, 2) if cmd == "chain" else ([tail] if tail
+                                                           else [])
+        if cmd in ("quit", "exit"):
+            break
+        try:
+            if cmd == "load":
+                state["input"] = Path(rest[0]).read_text()
+                emit({"loaded": rest[0], "chars": len(state["input"])})
+            elif cmd == "download":
+                text, resp = vm.download(url=rest[0], method="get")
+                if isinstance(resp, Exception):
+                    emit({"error_type": type(resp).__name__,
+                          "error": str(resp)})
+                else:
+                    state["input"] = text
+                    emit({"downloaded": rest[0],
+                          "status": getattr(resp, "status_code", None),
+                          "chars": len(text or "")})
+            elif cmd == "rule":
+                rd = json.loads(Path(rest[0]).read_text())
+                state["rule"] = (CrawlerRule(**rd) if "request_args" in rd
+                                 else ParseRule(**rd))
+                emit({"rule": state["rule"]["name"]})
+            elif cmd == "chain":
+                step = [rest[0], rest[1], rest[2] if len(rest) > 2 else ""]
+                state["chain"].append(step)
+                emit({"chain": state["chain"]})
+            elif cmd == "clear":
+                state["rule"] = None
+                state["chain"] = []
+                emit({"cleared": True})
+            elif cmd == "parse":
+                if state["input"] is None:
+                    emit({"error": "no input: use load/download first"})
+                    continue
+                rule = state["rule"]
+                if rule is None:
+                    rule = ParseRule(name="console",
+                                     chain_rules=state["chain"],
+                                     child_rules=[])
+                emit(vm.parse(state["input"], rule, context={}))
+            elif cmd == "show":
+                emit({"input_chars": (len(state["input"])
+                                      if state["input"] else None),
+                      "rule": state["rule"]["name"] if state["rule"]
+                      else None,
+                      "chain": state["chain"]})
+            else:
+                emit({"error": f"unknown command {cmd!r}"})
+        except Exception as e:
+            emit({"error_type": type(e).__name__, "error": str(e)})
+    return 0
+
+
 def cmd_crawl(args) -> int:
     from .crawl.loop import CrawlConfig, run_crawl
     from .sources.synthweb import SynthWeb
@@ -125,6 +218,12 @@ def main(argv=None) -> int:
                    help="seed list file (.txt one-per-line or .parquet "
                         "with a url column); appended to config seeds")
     r.set_defaults(fn=cmd_crawl)
+
+    c = sub.add_parser("console", help="interactive rule console "
+                                       "(download once, parse many)")
+    c.add_argument("--script", default=None,
+                   help="read commands from a file instead of stdin")
+    c.set_defaults(fn=cmd_console)
 
     g = sub.add_parser("gen-images", help="generate the image+caption table")
     g.add_argument("--out", required=True)

@@ -97,7 +97,9 @@ def assemble_results(pages: Union[str, "object"], num_buckets: int = 16):
             cmap = assembled.groupby("parent").map_groups(
                 _child_map, batch_format="pandas")
             joined = hash_bucket_join(level, cmap, "url", "_purl",
-                                      how="left", num_buckets=num_buckets)
+                                      how="left", num_buckets=num_buckets,
+                                      left_cols=_COLS,
+                                      right_cols=["_purl", "children_json"])
             out = joined.map_batches(_tree_builder(True),
                                      batch_format="pandas")
         assembled = out.materialize()

@@ -31,8 +31,8 @@ def doc_langid(sf_dir: str):
 
 
 def doc_fingerprint(sf_dir: str):
-    """md5 fingerprint (SQL-oracled); the rolling hash rides along in
-    doc_signatures (rows-only)."""
+    """md5 fingerprint (SQL-oracled); the rolling token-window hash
+    rides along in doc_signatures (also SQL-oracled via tokenhash)."""
     import hashlib
 
     def fp(t: pa.Table) -> pa.Table:

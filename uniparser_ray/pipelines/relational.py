@@ -121,7 +121,10 @@ def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
                    ["o_orderkey", "o_custkey", "o_orderdate"]) \
         .map_batches(lambda df: df[df["o_orderdate"] < cutoff_ts],
                      batch_format="pandas")
-    oc = hash_bucket_join(orders, cust, "o_custkey", "c_custkey") \
+    oc = hash_bucket_join(orders, cust, "o_custkey", "c_custkey",
+                          left_cols=["o_orderkey", "o_custkey",
+                                     "o_orderdate"],
+                          right_cols=["c_custkey"]) \
         .map_batches(lambda df: df[["o_orderkey", "o_orderdate"]],
                      batch_format="pandas")
 
@@ -136,7 +139,9 @@ def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
 
     joined = hash_bucket_join(li.map_batches(li_filter,
                                              batch_format="pandas"),
-                              oc, "l_orderkey", "o_orderkey")
+                              oc, "l_orderkey", "o_orderkey",
+                              left_cols=["l_orderkey", "revenue"],
+                              right_cols=["o_orderkey", "o_orderdate"])
     agg = partial_groupby(joined, ["l_orderkey", "o_orderdate"],
                           {"revenue": ("revenue", "sum")})
     top = agg.sort(["revenue", "l_orderkey"],
@@ -282,7 +287,9 @@ def segment_order_stats(sf_dir: str):
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    joined = hash_bucket_join(orders, cust, "o_custkey", "c_custkey")
+    joined = hash_bucket_join(orders, cust, "o_custkey", "c_custkey",
+                              left_cols=["o_custkey", "o_totalprice"],
+                              right_cols=["c_custkey", "c_mktsegment"])
     out = partial_groupby(joined, ["c_mktsegment"],
                           {"total_price": ("o_totalprice", "sum"),
                            "n_orders": ("o_totalprice", "count")})

@@ -92,7 +92,9 @@ def grouped_aggregate(ds, keys: Sequence[str], agg_spec: Dict[str, tuple],
 
 
 def hash_bucket_join(left, right, left_on: str, right_on: str,
-                     how: str = "inner", num_buckets: int = 64):
+                     how: str = "inner", num_buckets: int = 64,
+                     left_cols: Sequence[str] = None,
+                     right_cols: Sequence[str] = None):
     """Distributed equi-join: both sides bucketed by a stable hash of
     the join key, one vectorized pandas merge per bucket.
 
@@ -102,44 +104,19 @@ def hash_bucket_join(left, right, left_on: str, right_on: str,
     vectorized per bucket.  Column sets of the two sides must be
     disjoint apart from the join keys (standard star-schema shape).
 
-    Arrow->pandas padding would silently promote int columns to float
-    (NaN), so each side's dtypes are captured from the Arrow schema at
-    plan time and restored per bucket before the merge.
+    Pass ``left_cols``/``right_cols`` when known: ``Dataset.schema()``
+    on an unexecuted pipeline EXECUTES it, so sniffing names at plan
+    time would run each input twice (once for the sniff, once for the
+    join).  Restore dtypes come from each bucket's own Arrow schema at
+    merge time, so no plan-time type information is needed at all.
     """
-    import pyarrow as pa
-
-    lschema, rschema = left.schema(), right.schema()
-    lcols, rcols = list(lschema.names), list(rschema.names)
+    lcols = list(left_cols) if left_cols is not None \
+        else list(left.schema().names)
+    rcols = list(right_cols) if right_cols is not None \
+        else list(right.schema().names)
     overlap = (set(lcols) & set(rcols)) - {left_on, right_on}
     if overlap:
         raise ValueError(f"overlapping non-key columns: {sorted(overlap)}")
-
-    def dtype_map(schema) -> dict:
-        # schema types are Arrow DataTypes for parquet-backed datasets
-        # but numpy dtypes / python types for from_pandas datasets
-        out = {}
-        for name, typ in zip(schema.names, schema.types):
-            if isinstance(typ, pa.DataType):
-                if pa.types.is_integer(typ):
-                    out[name] = "int64"
-                elif pa.types.is_floating(typ):
-                    out[name] = "float64"
-                elif pa.types.is_timestamp(typ):
-                    out[name] = f"datetime64[{typ.unit}]"
-            else:
-                try:
-                    dt = np.dtype(typ) if typ is not object else None
-                except TypeError:
-                    dt = None
-                if dt is not None and np.issubdtype(dt, np.integer):
-                    out[name] = "int64"
-                elif dt is not None and np.issubdtype(dt, np.floating):
-                    out[name] = "float64"
-                elif dt is not None and np.issubdtype(dt, np.datetime64):
-                    out[name] = str(dt)
-        return out
-
-    ldt, rdt = dtype_map(lschema), dtype_map(rschema)
     allcols = lcols + [c for c in rcols if c not in lcols]
 
     def pad(side: int, key: str):
@@ -171,13 +148,30 @@ def hash_bucket_join(left, right, left_on: str, right_on: str,
         return df
 
     def merge(bucket: pa.Table) -> pd.DataFrame:
+        import pyarrow as pa_
+
         # integer_object_nulls: a null-padded int64 column converts to
         # object-of-python-ints instead of float64, so 64-bit values
         # (hash keys) survive the arrow->pandas hop losslessly before
         # the per-side dtype restore
         pdf = bucket.to_pandas(integer_object_nulls=True)
-        l = pdf[pdf["_side"] == 0][lcols].astype(ldt)
-        r = pdf[pdf["_side"] == 1][rcols].astype(rdt)
+
+        def restore(side: int, cols):
+            sub = pdf[pdf["_side"] == side][cols]
+            dt = {}
+            for c in cols:
+                typ = bucket.schema.field(c).type
+                if pa_.types.is_integer(typ):
+                    dt[c] = "int64"
+                elif pa_.types.is_floating(typ):
+                    dt[c] = "float64"
+                elif pa_.types.is_timestamp(typ):
+                    dt[c] = f"datetime64[{typ.unit}]"
+                # null-typed (all-null in this bucket) / string / bool:
+                # leave as converted
+            return sub.astype(dt)
+
+        l, r = restore(0, lcols), restore(1, rcols)
         return l.merge(r, left_on=left_on, right_on=right_on, how=how)
 
     return u.map_batches(bucketize, batch_format="pandas") \

@@ -198,7 +198,7 @@ def minhash_neardup_pairs(ds, threshold: float = 0.7, num_perm: int = 64,
     the same bucketed combine as ``jaccard_pairs``.  Only ids and
     counts ever reach the driver, never document text."""
     import ray
-    from .combine import grouped_aggregate, hash_bucket_combine
+    from .combine import hash_bucket_combine
 
     cands = minhash_candidate_pairs(ds, num_perm, num_bands, concurrency)
     cand_tbl = cands.to_pandas().drop_duplicates()
@@ -217,12 +217,17 @@ def minhash_neardup_pairs(ds, threshold: float = 0.7, num_perm: int = 64,
         batch_format="pandas")
     partial = hash_bucket_combine(
         sh, ["shingle_hash"],
-        _pair_count_bucket(df_cap=1 << 62, allow_ref=pairs_ref))
-    pairs = grouped_aggregate(partial, ["doc_a", "doc_b"],
-                              {"n_shared": ("n_shared", "sum"),
-                               "ca": ("ca", "min"), "cb": ("cb", "min")})
-    out = pairs.map_batches(_jaccard_finish(threshold),
-                            batch_format="pandas").to_pandas()
+        _pair_count_bucket(df_cap=1 << 62, allow_ref=pairs_ref)).to_pandas()
+    if not len(partial):
+        return empty
+    # final combine on the driver: the partial pair rows are bounded by
+    # the LSH candidate set (orders of magnitude smaller than the
+    # corpus), so this replaces a whole extra shuffle with a
+    # milliseconds-scale pandas groupby
+    pairs = partial.groupby(["doc_a", "doc_b"], sort=False) \
+        .agg(n_shared=("n_shared", "sum"), ca=("ca", "min"),
+             cb=("cb", "min")).reset_index()
+    out = _jaccard_finish(threshold)(pairs)
     if not len(out):
         return empty
     return pa.Table.from_pandas(out.sort_values(["doc_a", "doc_b"]),
