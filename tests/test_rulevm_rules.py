@@ -126,6 +126,54 @@ def test_host_rule_validation():
     assert host_rule.findall("https://importpython.com/")
 
 
+def test_async_twins_equal_sync():
+    """aparse / acrawl are real awaitables with results identical to
+    the sync engine (reference async API surface, parsers.py:1395-1482
+    / crawler.py:191-224)."""
+    import asyncio
+
+    from uniparser_ray.crawl.oracle import Crawler
+    from uniparser_ray.crawl.storage import JSONRuleStorage
+    from uniparser_ray.rulevm.transport import SyntheticWebAdapter
+    from uniparser_ray.rulevm.vm import Uniparser
+
+    class Web:
+        def get(self, url):
+            if url.endswith("/a"):
+                return 200, {}, (b"<html><title>A</title>"
+                                 b"<a href='/b'>x</a></html>")
+            return 200, {}, b"<html><title>B</title></html>"
+
+    rule = CrawlerRule(
+        name="page",
+        request_args={"url": "http://t.local/a", "method": "get"},
+        parse_rules=[
+            {"name": "title",
+             "chain_rules": [["css", "title", "$text"],
+                             ["python", "getitem", "[0]"]],
+             "child_rules": []},
+            {"name": "__request__",
+             "chain_rules": [["css", "a", "@href"],
+                             ["udf", "['http://t.local' + u for u in obj]",
+                              ""]],
+             "child_rules": []}],
+        regex="^http://t.local/")
+    html = "<html><title>A</title><a href='/b'>x</a></html>"
+
+    vm = Uniparser()
+    vm.request_adapter = SyntheticWebAdapter(Web())
+    sync_parse = vm.parse(html, rule)
+    assert asyncio.run(vm.aparse(html, rule)) == sync_parse
+
+    pack = {"t.local": {"host": "t.local",
+                        "crawler_rules": {"page": dict(rule)}}}
+    crawler = Crawler(vm, JSONRuleStorage(**pack))
+    sync_tree = crawler.crawl("http://t.local/a")
+    async_tree = asyncio.run(crawler.acrawl("http://t.local/a"))
+    assert async_tree == sync_tree
+    assert async_tree["page"]["__result__"][0]["page"]["title"] == "B"
+
+
 def test_host_rule_find_raises_on_multiple_matches():
     """HostRule.find raises when >1 rule matches a url (reference:
     parsers.py:1211-1212) — ambiguity is an error, not a pick."""

@@ -57,6 +57,14 @@ class OracleCrawler:
         return result
 
 
+    async def acrawl(self, request, context=None):
+        """Async twin (reference: crawler.py:191-224): awaitable, runs
+        the sync recursion on the loop's thread executor — identical
+        results, never blocks the event loop."""
+        import asyncio
+        return await asyncio.to_thread(self.crawl, request, context)
+
+
 # reference-shaped alias
 Crawler = OracleCrawler
 

@@ -190,6 +190,36 @@ class RuleVM:
         context["request_args"] = request_args
         return self.parse(input_object, crawler_rule, context)
 
+    # -- async twins (reference: parsers.py:1395-1482 aparse chain,
+    # crawler.py:191-224 acrawl).  The engine core is sync — Ray tasks
+    # supply the parallelism — so these are REAL awaitables that run
+    # the sync implementation on the event loop's thread executor:
+    # usable from async apps (won't block the loop), identical results,
+    # without duplicating the chain logic.  Natively-async transports
+    # (httpx/aiohttp) slot in by passing a request_adapter whose
+    # .request is sync-wrapped; async UDF *results* are awaited inside
+    # the chain itself (parsers.UDFParser._maybe_await).
+
+    async def aparse(self, input_object,
+                     rule_object: Union[CrawlerRule, ParseRule],
+                     context=None):
+        import asyncio
+        return await asyncio.to_thread(self.parse, input_object,
+                                       rule_object, context)
+
+    async def adownload(self, crawler_rule: CrawlerRule = None,
+                        request_adapter=None, **request):
+        import asyncio
+        return await asyncio.to_thread(
+            lambda: self.download(crawler_rule, request_adapter, **request))
+
+    async def acrawl(self, crawler_rule: CrawlerRule, request_adapter=None,
+                     context=None, **request):
+        import asyncio
+        return await asyncio.to_thread(
+            lambda: self.crawl(crawler_rule, request_adapter, context,
+                               **request))
+
     def set_frequency(self, host_or_url: str, n=0, interval=0):
         host = get_host(host_or_url, host_or_url)
         self._HOST_FREQUENCIES[host] = Frequency(n, interval)
