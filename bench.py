@@ -48,6 +48,22 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     out_dir = f"/tmp/uniparser_ray_bench/crawl_{num_cpus}"
     import shutil
     shutil.rmtree(out_dir, ignore_errors=True)
+
+    # untimed warm-up: the first pipeline after ray.init pays worker
+    # spawn + numpy/pandas import across num_cpus workers (~2x on the
+    # first run measured interleaved); the metric is SUSTAINED
+    # throughput, so warm every worker with a 2-round slice first —
+    # same methodology as run_steady
+    warm_dir = out_dir + "_warm"
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    warm_cfg = CrawlConfig(web_config=web_cfg, out_dir=warm_dir,
+                           seeds=web.seed_urls(), max_rounds=2,
+                           per_host_budget=8,
+                           fetch_concurrency=max(4, num_cpus // 2),
+                           fetch_batch_size=64, seen_shard_bits=4,
+                           seen_mode="tandem")
+    run_crawl(warm_cfg, web.rule_pack())
+    shutil.rmtree(warm_dir, ignore_errors=True)
     cfg = CrawlConfig(web_config=web_cfg, out_dir=out_dir,
                       seeds=web.seed_urls(), max_rounds=30,
                       per_host_budget=120,

@@ -212,9 +212,12 @@ def minhash_neardup_pairs(ds, threshold: float = 0.7, num_perm: int = 64,
     pairs_ref = ray.put(set(zip(cand_tbl["doc_a"].astype("int64"),
                                 cand_tbl["doc_b"].astype("int64"))))
 
-    sh = shingle_set_rows(ds, shingle_k).map_batches(
+    # restrict to candidate docs BEFORE shingling — the verify pass
+    # tokenizes/hashes only the LSH-selected docs, not the corpus
+    ds_f = ds.map_batches(
         lambda b: b[b["doc_id"].isin(ray.get(ids_ref))],
         batch_format="pandas")
+    sh = shingle_set_rows(ds_f, shingle_k)
     partial = hash_bucket_combine(
         sh, ["shingle_hash"],
         _pair_count_bucket(df_cap=1 << 62, allow_ref=pairs_ref)).to_pandas()
