@@ -48,7 +48,7 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.35):
     import ray
 
     ds = _read(sf_dir, ["vec_id", "embedding"])
-    n = ds.count()
+    n = _read(sf_dir, ["vec_id"]).count()   # cheap pruned-column count
     if n > MAX_EXACT_NEARDUP_ROWS:
         raise ValueError(
             f"embedding_neardup is the exact O(n^2) twin, bounded to "
