@@ -40,8 +40,14 @@ def _horner_sql(terms, base=_HB):
     return expr
 
 
+# tokenizer twin of python str.split(): any-whitespace runs, empties
+# dropped (plain string_split(text, ' ') would emit '' tokens on
+# double spaces / tabs and diverge from the pipeline)
+_SPLIT_SQL = (r"list_filter(string_split_regex(text, '\s+'), "
+              r"s -> s <> '')")
+
 _TOK_CTES = f"""toks AS (
-      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      SELECT doc_id, {_SPLIT_SQL} AS t FROM documents),
     ids AS (
       SELECT doc_id,
              list_transform(t, s ->
@@ -237,6 +243,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _jaccard_sql(threshold: float = 0.5) -> str:
+    """String-shingle exact-jaccard oracle (independent of tokenhash:
+    shingles compared as strings), incl. the short-doc whole-doc
+    shingle and the whitespace-robust tokenizer."""
+    return f"""
+            WITH toks AS (
+              SELECT doc_id, {_SPLIT_SQL} AS t FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_transform(
+                         generate_series(1, len(t) - 2),
+                         i -> array_to_string(t[i:i+2], ' '))) AS shingle
+              FROM toks
+              UNION
+              -- docs shorter than the shingle width contribute ONE
+              -- whole-doc shingle (pipeline: tokenhash fold over all
+              -- tokens)
+              SELECT doc_id, array_to_string(t, ' ') AS shingle
+              FROM toks WHERE len(t) BETWEEN 1 AND 2),
+            cnt AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY 1),
+            pairs AS (
+              SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n
+              FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND b.doc_id > a.doc_id
+              GROUP BY 1, 2)
+            SELECT da AS doc_a, db AS doc_b,
+                   CAST(n AS DOUBLE) / (ca.c + cb.c - n) AS jaccard_sim
+            FROM pairs
+            JOIN cnt ca ON ca.doc_id = da
+            JOIN cnt cb ON cb.doc_id = db
+            WHERE CAST(n AS DOUBLE) / (ca.c + cb.c - n) >= {threshold}
+        """
+
+
 def _langid_sql() -> str:
     """The literal twin of stages/text.langid_batch: non-overlapping
     trigram counts per language, argmax with first-in-order tie-break,
@@ -287,8 +327,12 @@ def _signatures_sql() -> str:
         {_params_cte("sp", 64, SIMHASH_SEED)},
         {_simhash_ctes()},
         {_roll_ctes()}
-        SELECT f.doc_id, f.fp_rolling, s.simhash
-        FROM fp f JOIN simh s ON s.doc_id = f.doc_id
+        SELECT d.doc_id,
+               COALESCE(f.fp_rolling, 0) AS fp_rolling,
+               COALESCE(s.simhash, 0) AS simhash
+        FROM documents d
+        LEFT JOIN fp f ON f.doc_id = d.doc_id
+        LEFT JOIN simh s ON s.doc_id = d.doc_id
     """
 
 
@@ -303,9 +347,14 @@ def _simhash_pairs_sql(max_hamming: int = 6) -> str:
         WITH {_TOK_CTES},
         {_sh_cte()},
         {_params_cte("sp", 64, SIMHASH_SEED)},
-        {_simhash_ctes()}
+        {_simhash_ctes()},
+        simh_all AS (
+          -- shingle-less docs (empty/whitespace text) sign as 0 in the
+          -- pipeline and must pair here too
+          SELECT d.doc_id, COALESCE(s.simhash, 0) AS simhash
+          FROM documents d LEFT JOIN simh s ON s.doc_id = d.doc_id)
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {ham} AS hamming
-        FROM simh a JOIN simh b ON b.doc_id > a.doc_id
+        FROM simh_all a JOIN simh_all b ON b.doc_id > a.doc_id
         WHERE {ham} <= {max_hamming}
           AND ({_blocks_pred('a.simhash', 'b.simhash')})
     """
@@ -374,13 +423,14 @@ def _embedding_lsh_sql(threshold: float = 0.35, num_planes: int = 8,
     """
 
 
-def _multimodal_oracles() -> dict[str, str]:
-    """Value-checked oracles for the binary-payload pipelines: the
-    expected rows come from INDEPENDENT computations (the generator's
-    source pixel/sample arrays before any encoding; the single-process
-    conformance crawler for the crawl) embedded as VALUES literals, so
-    the compare proves the byte-level decode paths end-to-end while
-    the oracle stays a plain SQL string."""
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _multimodal_oracles_cached(tag: str) -> tuple:
+    """The expected-table builds (BFS oracle crawl + generator renders)
+    cost seconds — memoize per sf tag so repeated oracle_sql() calls in
+    one process don't rebuild."""
     from uniparser_ray.pipelines.images_q import (_AUDIO_BY_SF, _VIDEO_BY_SF,
                                                   expected_crawl_images,
                                                   expected_decode_stats,
@@ -388,19 +438,32 @@ def _multimodal_oracles() -> dict[str, str]:
                                                   expected_thumbnails)
     from uniparser_ray.stages.multimodal import (expected_audio_features,
                                                  expected_video_frames)
+    return (expected_images_meta(tag), expected_decode_stats(tag),
+            expected_thumbnails(tag),
+            expected_audio_features(_AUDIO_BY_SF.get(tag, 200)),
+            expected_video_frames(_VIDEO_BY_SF.get(tag, 60), k=3),
+            expected_crawl_images(tag))
 
+
+def _multimodal_oracles() -> dict[str, str]:
+    """Value-checked oracles for the binary-payload pipelines: the
+    expected rows come from INDEPENDENT computations (the generator's
+    source pixel/sample arrays before any encoding; the single-process
+    conformance crawler for the crawl) embedded as VALUES literals, so
+    the compare proves the byte-level decode paths end-to-end while
+    the oracle stays a plain SQL string."""
     tag = _oracle_tag()
-    meta = _values_cte("m", expected_images_meta(tag))
-    n_audio = _AUDIO_BY_SF.get(tag, 200)
-    n_video = _VIDEO_BY_SF.get(tag, 60)
+    (meta_t, decode_t, thumb_t, audio_t, video_t,
+     crawl_t) = _multimodal_oracles_cached(tag)
+    meta = _values_cte("m", meta_t)
     ham = "bit_count(xor(a.phash, b.phash))"
     return {
         "images_decode_stats": f"""
-            WITH {_values_cte('e', expected_decode_stats(tag))}
+            WITH {_values_cte('e', decode_t)}
             SELECT image_id, mean_pixel, phash_ok, wh_ok FROM e
         """,
         "images_thumbnails": f"""
-            WITH {_values_cte('e', expected_thumbnails(tag))}
+            WITH {_values_cte('e', thumb_t)}
             SELECT image_id, thumb_md5 FROM e
         """,
         "caption_token_stats": f"""
@@ -418,15 +481,15 @@ def _multimodal_oracles() -> dict[str, str]:
             WHERE {ham} <= 8 AND ({_blocks_pred('a.phash', 'b.phash')})
         """,
         "audio_features": f"""
-            WITH {_values_cte('e', expected_audio_features(n_audio))}
+            WITH {_values_cte('e', audio_t)}
             SELECT clip_id, duration_s, rms, zcr, peak FROM e
         """,
         "video_frames": f"""
-            WITH {_values_cte('e', expected_video_frames(n_video, k=3))}
+            WITH {_values_cte('e', video_t)}
             SELECT video_id, frame_index, frame_md5, t_seconds FROM e
         """,
         "crawl_images": f"""
-            WITH {_values_cte('e', expected_crawl_images(tag))}
+            WITH {_values_cte('e', crawl_t)}
             SELECT image_id, w, h, fmt, caption, phash, bytes_md5 FROM e
         """,
     }
@@ -558,28 +621,7 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS dup_count
             FROM documents GROUP BY 1
         """,
-        "doc_dedup_jaccard": """
-            WITH toks AS (
-              SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-            sh AS (
-              SELECT DISTINCT doc_id,
-                     unnest(list_transform(
-                         generate_series(1, len(t) - 2),
-                         i -> array_to_string(t[i:i+2], ' '))) AS shingle
-              FROM toks),
-            cnt AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY 1),
-            pairs AS (
-              SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n
-              FROM sh a JOIN sh b
-                ON a.shingle = b.shingle AND b.doc_id > a.doc_id
-              GROUP BY 1, 2)
-            SELECT da AS doc_a, db AS doc_b,
-                   CAST(n AS DOUBLE) / (ca.c + cb.c - n) AS jaccard_sim
-            FROM pairs
-            JOIN cnt ca ON ca.doc_id = da
-            JOIN cnt cb ON cb.doc_id = db
-            WHERE CAST(n AS DOUBLE) / (ca.c + cb.c - n) >= 0.5
-        """,
+        "doc_dedup_jaccard": _jaccard_sql(),
         "doc_langid": _langid_sql(),
         "doc_signatures": _signatures_sql(),
         "doc_dedup_simhash": _simhash_pairs_sql(max_hamming=6),

@@ -52,9 +52,23 @@ def test_cuckoo_overfull_degrades_gracefully():
         cf.add(h)
     assert all(h in cf for h in hs)
     assert len(cf.overflow) > 0  # the stash was actually exercised
-    # delete reaches the overflow stash too
-    victim = next(h for h in hs if cf.delete(h) or True)
-    assert victim is not None
+    # delete reaches the overflow stash too: pick a key whose
+    # fingerprint currently lives ONLY in the overflow set (not in
+    # either of its table buckets) and delete it
+    victim = None
+    for h in hs:
+        fp = cf._fingerprint(h)
+        i1 = cf._index(h)
+        i2 = cf._alt_index(i1, fp)
+        if (cf._canonical(i1, fp) in cf.overflow
+                and fp not in cf.table[i1] and fp not in cf.table[i2]):
+            victim = h
+            break
+    if victim is not None:
+        n0 = len(cf.overflow)
+        assert cf.delete(victim) is True
+        assert len(cf.overflow) == n0 - 1
+        assert victim not in cf
 
 
 def test_seen_shard_cuckoo_modes_agree():

@@ -84,7 +84,9 @@ def assemble_results(pages: Union[str, "object"], num_buckets: int = 16):
 
     rows = pages.map_batches(prep, batch_format="pyarrow").materialize()
     if rows.count() == 0:
-        return rd.from_items([])
+        return rd.from_arrow(pa.table(
+            {"url": pa.array([], pa.string()),
+             "tree_json": pa.array([], pa.string())}))
     max_depth = int(rows.max("depth"))
 
     assembled = None

@@ -93,8 +93,6 @@ def images_decode_stats(sf_dir: str):
     SOURCE pixel arrays (never encoded), so the compare proves the
     encode->decode round trip for every row."""
     table = images_lance_for(sf_dir)
-    tag = _sf_tag(sf_dir)
-
     from ..stages.taskcache import cached_stage
     ds = table.read_dataset()
     return ds.map_batches(cached_stage(DecodeStatsStage),

@@ -421,14 +421,35 @@ class UDFParser(BaseParser):
     def _maybe_await(result):
         """The reference awaits awaitable UDF results in its async
         chain (reference: parsers.py:1424-1429); this sync engine runs
-        them to completion on a private event loop, so an ``async def
-        parse`` rule yields its VALUE — never a bare coroutine object
-        flowing through as a parse result."""
+        them to completion so an ``async def parse`` rule yields its
+        VALUE — never a bare coroutine object flowing through as a
+        parse result.  When the caller's thread already has a RUNNING
+        event loop (sync parse invoked from inside a coroutine),
+        asyncio.run would raise — the coroutine is driven on a
+        short-lived helper thread instead."""
         import inspect
-        if inspect.isawaitable(result):
-            import asyncio
+        if not inspect.isawaitable(result):
+            return result
+        import asyncio
+        try:
+            asyncio.get_running_loop()
+        except RuntimeError:
             return asyncio.run(result)
-        return result
+        import threading
+        box = {}
+
+        def _drive():
+            try:
+                box["value"] = asyncio.run(result)
+            except BaseException as e:  # re-raised on the caller
+                box["error"] = e
+
+        t = threading.Thread(target=_drive, daemon=True)
+        t.start()
+        t.join()
+        if "error" in box:
+            raise box["error"]
+        return box["value"]
 
 
 class PythonParser(BaseParser):

@@ -122,10 +122,13 @@ def hash_bucket_join(left, right, left_on: str, right_on: str,
     def pad(side: int, key: str):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
             df = df.copy()
-            # repr, not str: distinguishes int 1 from string "1" (and
-            # any other cross-type string-form collision) so keys of
-            # different types can never spuriously match
-            df["_jkey"] = df[key].map(repr)
+            # repr of the PYTHON scalar, not str: distinguishes int 1
+            # from string "1" (no cross-type string-form collisions),
+            # and .item() unwraps numpy scalars first so the key is
+            # stable across numpy versions (numpy>=2 reprs np.int64(1)
+            # as 'np.int64(1)') and across object/int64 dtype mixes
+            df["_jkey"] = df[key].map(
+                lambda v: repr(v.item() if hasattr(v, "item") else v))
             df["_side"] = np.int8(side)
             for c in allcols:
                 if c not in df.columns:

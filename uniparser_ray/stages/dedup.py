@@ -113,7 +113,8 @@ class MinHashStage:
 
 
 def minhash_candidate_pairs(ds, num_perm: int = 64, num_bands: int = 16,
-                            concurrency: int = 4):
+                            concurrency: int = 4, shingle_k: int = 3,
+                            seed: int = None):
     """documents -> candidate (doc_a, doc_b) pairs via banded LSH.
 
     Shuffles only (band, doc_id) rows, bucketed by band hash; pairs
@@ -124,7 +125,8 @@ def minhash_candidate_pairs(ds, num_perm: int = 64, num_bands: int = 16,
 
     from .taskcache import cached_stage
     bands = ds.map_batches(
-        cached_stage(MinHashStage, num_perm=num_perm, num_bands=num_bands),
+        cached_stage(MinHashStage, num_perm=num_perm, num_bands=num_bands,
+                     shingle_k=shingle_k, seed=seed),
         batch_format="pyarrow")
 
     def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -200,7 +202,8 @@ def minhash_neardup_pairs(ds, threshold: float = 0.7, num_perm: int = 64,
     import ray
     from .combine import hash_bucket_combine
 
-    cands = minhash_candidate_pairs(ds, num_perm, num_bands, concurrency)
+    cands = minhash_candidate_pairs(ds, num_perm, num_bands, concurrency,
+                                    shingle_k=shingle_k)
     cand_tbl = cands.to_pandas().drop_duplicates()
     empty = pa.table({"doc_a": pa.array([], pa.int64()),
                       "doc_b": pa.array([], pa.int64()),
@@ -220,7 +223,7 @@ def minhash_neardup_pairs(ds, threshold: float = 0.7, num_perm: int = 64,
     sh = shingle_set_rows(ds_f, shingle_k)
     partial = hash_bucket_combine(
         sh, ["shingle_hash"],
-        _pair_count_bucket(df_cap=1 << 62, allow_ref=pairs_ref)).to_pandas()
+        _pair_count_bucket(allow_ref=pairs_ref)).to_pandas()
     if not len(partial):
         return empty
     # final combine on the driver: the partial pair rows are bounded by
@@ -358,7 +361,7 @@ def embedding_neardup_pairs(ds, threshold: float = 0.95, num_planes: int = 8,
 # ---------------------------------------------------------------------------
 
 
-def _pair_count_bucket(df_cap: int, allow_ref=None):
+def _pair_count_bucket(df_cap=None, allow_ref=None):
     """Per-bucket self-merge of inverted-index rows (doc_id,
     shingle_hash, c) -> partial (doc_a, doc_b, n_shared, ca, cb).
 
@@ -369,9 +372,10 @@ def _pair_count_bucket(df_cap: int, allow_ref=None):
     verify)."""
 
     def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        df = g.groupby("shingle_hash", sort=False)["shingle_hash"] \
-            .transform("size")
-        g = g[df <= df_cap]
+        if df_cap is not None:
+            df = g.groupby("shingle_hash", sort=False)["shingle_hash"] \
+                .transform("size")
+            g = g[df <= df_cap]
         m = g.merge(g, on="shingle_hash")
         m = m[m["doc_id_x"] < m["doc_id_y"]]
         if allow_ref is not None and len(m):
@@ -405,7 +409,7 @@ def _jaccard_finish(threshold: float):
 
 
 def jaccard_pairs(ds, threshold: float = 0.5, shingle_k: int = 3,
-                  df_cap: int = 1024):
+                  df_cap: int = None):
     """All pairs with shingle-Jaccard >= threshold, computed exactly
     in TWO shuffles and one pass over the corpus:
 
@@ -419,11 +423,12 @@ def jaccard_pairs(ds, threshold: float = 0.5, shingle_k: int = 3,
     3. one global grouped combine (sum n_shared, min ca/cb) and a
        vectorized finish: jaccard = n_shared / (ca + cb - n_shared).
 
-    The df cap bounds the worst bucket at df_cap^2 pair rows (a stop
-    shingle in k docs would otherwise emit k^2 rows); with
-    df_cap >= n_docs the result is exact, which the DuckDB oracle
-    asserts at test scale.  This is the exact twin of the MinHash+LSH
-    pipeline (same shingles).
+    ``df_cap`` (default None = EXACT, matching the DuckDB oracle) is
+    the scale knob: a stop shingle in k docs emits k^2 pair rows in its
+    bucket, so a 100 TB run passes a cap to drop such shingles from the
+    numerator (standard stop-shingle cut; denominators keep them, so
+    similarity is underestimated, never inflated).  This is the exact
+    twin of the MinHash+LSH pipeline (same shingles).
     """
     from .combine import grouped_aggregate, hash_bucket_combine
 
