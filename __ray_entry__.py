@@ -230,6 +230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk": vectors.ann_topk,
         "ann_ivf": vectors.ann_ivf,
+        "ann_ivf_exhaustive": vectors.ann_ivf_exhaustive,
         "label_centroids": vectors.label_centroids,
         # multimodal (input_hint image+caption table)
         "images_decode_stats": images_q.images_decode_stats,
@@ -654,6 +655,23 @@ def oracle_sql() -> dict[str, str]:
                                          CAST(b.embedding AS DOUBLE[])) >= 0.35
         """,
         "ann_topk": """
+            WITH q AS (SELECT vec_id, embedding FROM embeddings
+                       WHERE vec_id < 5)
+            SELECT query_id, vec_id, cosine_sim, rank FROM (
+              SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+                     ROUND(list_cosine_similarity(
+                         CAST(q.embedding AS DOUBLE[]),
+                         CAST(e.embedding AS DOUBLE[])), 6) AS cosine_sim,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(
+                           CAST(q.embedding AS DOUBLE[]),
+                           CAST(e.embedding AS DOUBLE[])) DESC,
+                           e.vec_id) AS rank
+              FROM q CROSS JOIN embeddings e)
+            WHERE rank <= 10
+        """,
+        "ann_ivf_exhaustive": """
             WITH q AS (SELECT vec_id, embedding FROM embeddings
                        WHERE vec_id < 5)
             SELECT query_id, vec_id, cosine_sim, rank FROM (

@@ -34,6 +34,18 @@ def ann_ivf(sf_dir: str, k: int = 10):
     return ivf_topk(_read(sf_dir, ["vec_id", "embedding"]), qids, qm, k=k)
 
 
+def ann_ivf_exhaustive(sf_dir: str, k: int = 10, num_centroids: int = 16):
+    """IVF with nprobe = nlist: every list probed, so the result is
+    EXACT and shares the brute-force SQL oracle — value-checks the
+    whole IVF machinery (quantizer training, list assignment, probe
+    routing, distributed per-query top-k merge) in the exhaustive
+    limit, while ``ann_ivf`` keeps the approximate recall setting."""
+    from ..stages.ann import ivf_topk
+    qids, qm = _queries(sf_dir)
+    return ivf_topk(_read(sf_dir, ["vec_id", "embedding"]), qids, qm, k=k,
+                    num_centroids=num_centroids, nprobe=num_centroids)
+
+
 MAX_EXACT_NEARDUP_ROWS = 2_000_000
 
 
