@@ -104,6 +104,19 @@ def test_result_tree_assembly_matches_oracle(ray_crawl, oracle_result):
     assert got == want
 
 
+def test_result_tree_assembly_empty(ray_session):
+    """Empty crawl -> empty dict (typed empty dataset, no KeyError)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from uniparser_ray.crawl.assemble import _COLS, assemble_results_dict
+
+    empty = pa.table({c: pa.array([], pa.string() if c not in
+                                  ("depth", "status") else pa.int32())
+                      for c in _COLS})
+    assert assemble_results_dict(rd.from_arrow(empty)) == {}
+
+
 def test_crawl_resume(ray_session, tmp_path, oracle_result):
     """Stop after 2 rounds, resume, final state equals a clean run."""
     web = SynthWeb(**WEB_CFG)

@@ -113,4 +113,6 @@ def assemble_results_dict(pages) -> dict:
     """Driver-side convenience: {root_url: nested tree} (small roots
     only — the per-level assembly above is the distributed part)."""
     out = assemble_results(pages).to_pandas()
+    if "url" not in out.columns:  # ray to_pandas drops schema at 0 rows
+        return {}
     return {u: json.loads(t) for u, t in zip(out["url"], out["tree_json"])}
