@@ -10,8 +10,6 @@ tests assert that equivalence.
 
 from __future__ import annotations
 
-from typing import Optional
-
 from ..config import EngineConfig
 from ..exceptions import RuleNotFoundError
 from ..rulevm.request import ensure_request

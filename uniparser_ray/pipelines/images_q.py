@@ -21,14 +21,12 @@ pinned by pytest.
 from __future__ import annotations
 
 import hashlib
-import os
 import shutil
 from pathlib import Path
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.parquet as pq
 
 from ..sources.codecs import average_hash64, decode_image, encode_ppm
 from ..sources.images import (caption_for, generate_images_lance, image_spec,

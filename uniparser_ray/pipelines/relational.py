@@ -18,7 +18,6 @@ whose column names match its oracle SQL in __ray_entry__.
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc

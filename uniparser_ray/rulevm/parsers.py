@@ -18,7 +18,6 @@ compiled rule pack per actor, applied row-wise over Arrow batches.
 
 from __future__ import annotations
 
-import json
 import re as _re
 from base64 import (b16decode, b16encode, b32decode, b32encode, b64decode,
                     b64encode, b85decode, b85encode)

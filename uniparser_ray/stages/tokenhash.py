@@ -35,7 +35,7 @@ banded LSH (MMDS ch.3), SimHash (Charikar 2002).
 from __future__ import annotations
 
 import hashlib
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 
