@@ -26,4 +26,13 @@ def __getattr__(name):
     if name in ("RuleVM", "Uniparser"):
         from .rulevm import vm
         return getattr(vm, name)
+    if name == "Crawler":
+        from .crawl import oracle
+        return oracle.Crawler
+    if name in ("CrawlConfig", "run_crawl"):
+        from .crawl import loop
+        return getattr(loop, name)
+    if name == "parse_dataset":
+        from .stages import rule_engine
+        return rule_engine.parse_dataset
     raise AttributeError(name)
