@@ -119,16 +119,29 @@ def hash_bucket_join(left, right, left_on: str, right_on: str,
         raise ValueError(f"overlapping non-key columns: {sorted(overlap)}")
     allcols = lcols + [c for c in rcols if c not in lcols]
 
+    def _canonical_key(k: pd.Series) -> pd.Series:
+        """Vectorized canonical join key: integer-kind (incl. the
+        object-of-python-ints the padding path produces) casts to
+        int64 — an 8-byte shuffle column with no per-row Python —
+        everything else casts to str.  Equal values of the same kind
+        always canonicalize identically on both sides; keys of
+        DIFFERENT kinds (int 1 vs string "1") canonicalize to
+        different dtypes, land in different buckets, and never match —
+        the same no-cross-type-equijoin semantics as a typed engine."""
+        kind = getattr(k.dtype, "kind", "O")
+        if kind in ("i", "u"):
+            return k.astype("int64")
+        if kind == "O":
+            try:
+                return k.astype("int64")
+            except (ValueError, TypeError):
+                return k.astype(str)
+        return k.astype(str)
+
     def pad(side: int, key: str):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
             df = df.copy()
-            # repr of the PYTHON scalar, not str: distinguishes int 1
-            # from string "1" (no cross-type string-form collisions),
-            # and .item() unwraps numpy scalars first so the key is
-            # stable across numpy versions (numpy>=2 reprs np.int64(1)
-            # as 'np.int64(1)') and across object/int64 dtype mixes
-            df["_jkey"] = df[key].map(
-                lambda v: repr(v.item() if hasattr(v, "item") else v))
+            df["_jkey"] = _canonical_key(df[key])
             df["_side"] = np.int8(side)
             for c in allcols:
                 if c not in df.columns:
