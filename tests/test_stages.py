@@ -210,3 +210,64 @@ def test_hash_bucket_join_64bit_values_lossless(ray_session):
     got = got.sort_values("k").reset_index(drop=True)
     assert got["lv"].astype("int64").tolist() == big
     assert got["rv"].astype("int64").tolist() == [b + 7 for b in big]
+
+
+def test_hash_bucket_join_mixed_kind_batches(ray_session):
+    """A value's bucket must not depend on its batch neighbors: an
+    object-dtype key batch that happens to be all-numeric ('101')
+    must canonicalize the same as a mixed batch containing '101',
+    so equal keys always meet.  Also: python ints >= 2**63 must not
+    raise OverflowError, and float-valued object keys must not be
+    truncated to ints (1.5 != 1)."""
+    import ray.data as rd
+
+    from uniparser_ray.stages.combine import hash_bucket_join
+
+    # left: two 1-row blocks -> one all-numeric object batch ('101')
+    # and one mixed batch ('101' again + 'x') — pre-fix these bucketed
+    # differently and the self-join silently dropped matches.
+    l1 = pd.DataFrame({"k": pd.Series(["101"], dtype=object), "lv": [1]})
+    l2 = pd.DataFrame({"k": pd.Series(["101", "x"], dtype=object),
+                       "lv": [2, 3]})
+    left = rd.from_pandas(l1).union(rd.from_pandas(l2))
+    right = rd.from_pandas(pd.DataFrame(
+        {"rk": pd.Series(["101", "x"], dtype=object), "rv": [10, 20]}))
+    got = hash_bucket_join(left, right, "k", "rk", num_buckets=64,
+                           left_cols=["k", "lv"], right_cols=["rk", "rv"]) \
+        .to_pandas().sort_values(["lv"]).reset_index(drop=True)
+    assert got["lv"].tolist() == [1, 2, 3]
+    assert got["rv"].tolist() == [10, 10, 20]
+
+    # huge uint64 keys (>= 2**63 — the old int64 cast raised
+    # OverflowError): no crash, exact match.  (Object columns of
+    # python ints >= 2**63 can't enter an Arrow block at all —
+    # pyarrow infers int64 with no uint64 fallback — so uint64 dtype
+    # is the reachable carrier for such keys.)
+    huge = (1 << 63) + 3
+    lh = rd.from_pandas(pd.DataFrame(
+        {"k": pd.Series([huge, 7], dtype="uint64"), "lv": [1, 2]}))
+    rh = rd.from_pandas(pd.DataFrame(
+        {"rk": pd.Series([huge], dtype="uint64"), "rv": ["big"]}))
+    goth = hash_bucket_join(lh, rh, "k", "rk", num_buckets=8,
+                            left_cols=["k", "lv"], right_cols=["rk", "rv"]) \
+        .to_pandas()
+    assert goth["lv"].tolist() == [1] and goth["rv"].tolist() == ["big"]
+
+    # float keys keep their value (no 1.5 -> 1 truncation) and int 1
+    # never matches float 1.5; int-kind vs str-kind sides produce an
+    # empty join (no schema-unification error), not a crash.
+    lf = rd.from_pandas(pd.DataFrame(
+        {"k": pd.Series([1.5, 1.0], dtype=object), "lv": [1, 2]}))
+    rf = rd.from_pandas(pd.DataFrame(
+        {"rk": pd.Series([1.5, 1], dtype=object), "rv": ["f", "i"]}))
+    gotf = hash_bucket_join(lf, rf, "k", "rk", num_buckets=8,
+                            left_cols=["k", "lv"], right_cols=["rk", "rv"]) \
+        .to_pandas()
+    assert gotf["lv"].tolist() == [1] and gotf["rv"].tolist() == ["f"]
+
+    li = rd.from_pandas(pd.DataFrame({"k": [1, 2], "lv": [1, 2]}))
+    rs = rd.from_pandas(pd.DataFrame({"rk": ["1", "2"], "rv": ["a", "b"]}))
+    goti = hash_bucket_join(li, rs, "k", "rk", num_buckets=2,
+                            left_cols=["k", "lv"], right_cols=["rk", "rv"]) \
+        .to_pandas()
+    assert len(goti) == 0

@@ -27,6 +27,23 @@ import numpy as np
 import pandas as pd
 
 
+def _canon_elem(x) -> str:
+    """Per-element canonical join key for object-dtype columns — the
+    tag + repr scheme of ``_canonical_key`` applied value by value, so
+    heterogeneous batches canonicalize each value the same way an
+    all-one-kind batch would.  bool is checked before int (bool is an
+    int subclass)."""
+    if x is None or x is pd.NA:
+        return "n:"
+    if isinstance(x, (bool, np.bool_)):
+        return "b:" + str(bool(x))
+    if isinstance(x, (int, np.integer)):
+        return "i:" + str(int(x))
+    if isinstance(x, (float, np.floating)):
+        return "n:" if np.isnan(x) else "f:" + str(float(x))
+    return "s:" + str(x)
+
+
 def _bucket_of(df: pd.DataFrame, keys: Sequence[str],
                num_buckets: int) -> np.ndarray:
     h = pd.util.hash_pandas_object(
@@ -120,23 +137,28 @@ def hash_bucket_join(left, right, left_on: str, right_on: str,
     allcols = lcols + [c for c in rcols if c not in lcols]
 
     def _canonical_key(k: pd.Series) -> pd.Series:
-        """Vectorized canonical join key: integer-kind (incl. the
-        object-of-python-ints the padding path produces) casts to
-        int64 — an 8-byte shuffle column with no per-row Python —
-        everything else casts to str.  Equal values of the same kind
-        always canonicalize identically on both sides; keys of
-        DIFFERENT kinds (int 1 vs string "1") canonicalize to
-        different dtypes, land in different buckets, and never match —
-        the same no-cross-type-equijoin semantics as a typed engine."""
+        """Canonical join key: one stable physical type (string) with a
+        per-ELEMENT kind tag — ``i:<int>`` / ``f:<float>`` / ``b:<bool>``
+        / ``s:<str>`` / ``n:`` (null).  A value's canonical form never
+        depends on its batch neighbors (an all-numeric object batch and
+        a mixed one tag '101' identically), python ints >= 2**63 never
+        overflow (no int64 cast), floats keep their repr (no 1.5 -> 1
+        truncation), and the unioned ``_jkey`` column is always string —
+        one Arrow schema regardless of the two sides' key dtypes.  Keys
+        of different kinds get different tags and never match — the
+        no-cross-type-equijoin semantics of a typed engine."""
         kind = getattr(k.dtype, "kind", "O")
-        if kind in ("i", "u"):
-            return k.astype("int64")
+        if kind == "i":
+            return "i:" + k.astype("int64").astype(str)
+        if kind == "u":
+            return "i:" + k.astype("uint64").astype(str)
+        if kind == "b":
+            return "b:" + k.astype(str)
+        if kind == "f":
+            return ("f:" + k.astype(str)).where(~k.isna(), "n:")
         if kind == "O":
-            try:
-                return k.astype("int64")
-            except (ValueError, TypeError):
-                return k.astype(str)
-        return k.astype(str)
+            return k.map(_canon_elem)
+        return "s:" + k.astype(str)
 
     def pad(side: int, key: str):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
@@ -158,10 +180,19 @@ def hash_bucket_join(left, right, left_on: str, right_on: str,
     u = left.map_batches(pad(0, left_on), batch_format="pandas").union(
         right.map_batches(pad(1, right_on), batch_format="pandas"))
 
-    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["_bucket"] = _bucket_of(df, ["_jkey"], num_buckets)
-        return df
+    def bucketize(t):
+        # Arrow in, Arrow out: keeps the groupby shuffle on Arrow
+        # blocks, so group assembly uses Arrow schema unification
+        # (uint64 + null -> uint64) instead of a pandas->Arrow
+        # re-inference that chokes on object-of->2**63-int columns.
+        import pyarrow as pa_
+        s = t.column("_jkey").to_pandas()
+        h = pd.util.hash_pandas_object(s, index=False).to_numpy()
+        # drop the pandas metadata blob: schemas carrying it are
+        # unhashable, which defeats Ray's block-schema dedup in the
+        # groupby shuffle ("Failed to hash the schemas" warning)
+        return t.replace_schema_metadata(None).append_column(
+            "_bucket", pa_.array((h % np.uint64(num_buckets)).astype("int64")))
 
     def merge(bucket: pa.Table) -> pd.DataFrame:
         import pyarrow as pa_
@@ -177,7 +208,9 @@ def hash_bucket_join(left, right, left_on: str, right_on: str,
             dt = {}
             for c in cols:
                 typ = bucket.schema.field(c).type
-                if pa_.types.is_integer(typ):
+                if pa_.types.is_unsigned_integer(typ):
+                    dt[c] = "uint64"
+                elif pa_.types.is_integer(typ):
                     dt[c] = "int64"
                 elif pa_.types.is_floating(typ):
                     dt[c] = "float64"
@@ -187,8 +220,22 @@ def hash_bucket_join(left, right, left_on: str, right_on: str,
                 # leave as converted
             return sub.astype(dt)
 
-        l, r = restore(0, lcols), restore(1, rcols)
-        return l.merge(r, left_on=left_on, right_on=right_on, how=how)
+        # Merge on the canonical tagged key itself — both sides carry
+        # the same string dtype, so a bucket mixing int-kind and
+        # str-kind keys merges cleanly (they simply never match) and
+        # the restored natural-typed key columns ride through as data.
+        l = restore(0, lcols + ["_jkey"])
+        r = restore(1, rcols + ["_jkey"])
+        if left_on == right_on:
+            r = r.rename(columns={right_on: "_rkey_dup"})
+            out = l.merge(r, on="_jkey", how=how)
+            if how in ("right", "outer"):
+                out[left_on] = out[left_on].where(
+                    out[left_on].notna(), out["_rkey_dup"])
+            out = out.drop(columns=["_rkey_dup", "_jkey"])
+        else:
+            out = l.merge(r, on="_jkey", how=how).drop(columns=["_jkey"])
+        return out[allcols]
 
-    return u.map_batches(bucketize, batch_format="pandas") \
+    return u.map_batches(bucketize, batch_format="pyarrow") \
         .groupby("_bucket").map_groups(merge, batch_format="pyarrow")
