@@ -80,6 +80,24 @@ def test_minhash_neardup(docs_ds):
     assert float(exact["jaccard_sim"].iloc[0]) == 1.0
 
 
+def test_minhash_neardup_distributed_path_equal(docs_ds):
+    """broadcast_limit=0 forces the fully distributed verify (candidate
+    Datasets + bucketed joins, nothing on the driver); its thresholded
+    pairs must equal the bounded-broadcast path exactly."""
+    from uniparser_ray.stages.dedup import minhash_neardup_pairs
+
+    def norm(res):
+        df = res.to_pandas()[["doc_a", "doc_b", "jaccard_sim"]]
+        df["jaccard_sim"] = df["jaccard_sim"].round(9)
+        return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+    fast = norm(minhash_neardup_pairs(docs_ds, threshold=0.5))
+    dist = norm(minhash_neardup_pairs(docs_ds, threshold=0.5,
+                                      broadcast_limit=0))
+    assert len(fast) > 0
+    pd.testing.assert_frame_equal(fast, dist)
+
+
 def test_simhash_neardup(docs_ds):
     from uniparser_ray.stages.dedup import simhash_neardup_pairs
 

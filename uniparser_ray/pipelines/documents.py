@@ -77,8 +77,16 @@ def doc_dedup_exact(sf_dir: str):
 
 def doc_dedup_minhash(sf_dir: str, threshold: float = 0.6):
     from ..stages.dedup import minhash_neardup_pairs
+
+    # parquet footer row count (no scan, no Ray): lets the pipeline
+    # choose its adaptive no-shuffle fast paths only when the corpus
+    # is provably small enough (band rows = docs x 16)
+    import pyarrow.parquet as pq
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    driver_limit = 4_000_000 if n_docs * 16 <= 4_000_000 else None
     return minhash_neardup_pairs(_read(sf_dir, ["doc_id", "text"]),
-                                 threshold=threshold)
+                                 threshold=threshold,
+                                 driver_limit_rows=driver_limit)
 
 
 def doc_dedup_simhash(sf_dir: str, max_hamming: int = 6):

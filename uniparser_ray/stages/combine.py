@@ -54,10 +54,30 @@ def _bucket_of(df: pd.DataFrame, keys: Sequence[str],
 
 def hash_bucket_combine(ds, keys: Sequence[str],
                         combine_fn: Callable[[pd.DataFrame], pd.DataFrame],
-                        num_buckets: int = 64):
+                        num_buckets: int = 64,
+                        driver_limit_rows: int = None):
     """Bucket rows by hash(keys), run ``combine_fn`` once per bucket
-    (all rows of a key land in one bucket)."""
+    (all rows of a key land in one bucket).
+
+    ``driver_limit_rows`` opts into the adaptive no-shuffle fast path
+    (same design as the crawl loop's small-round path): the input is
+    materialized and counted; at or below the limit the whole input is
+    combined in one driver-side ``combine_fn`` call — valid because
+    combine_fns only assume "all rows of a key are together", which
+    one bucket trivially satisfies — skipping a multi-second Ray
+    all-to-all for kilobyte inputs.  Above the limit the materialized
+    input flows into the normal shuffle.  Callers should pass it only
+    when the input is plausibly small (e.g. known row bounds from
+    parquet metadata); driver memory is bounded by the limit."""
     keys = list(keys)
+
+    if driver_limit_rows:
+        import ray.data
+        m = ds.materialize()
+        if m.count() <= driver_limit_rows:
+            df = m.to_pandas()
+            return ray.data.from_pandas(combine_fn(df))
+        ds = m  # reuse: don't re-execute the upstream for the shuffle
 
     def bucketize(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()

@@ -114,13 +114,17 @@ class MinHashStage:
 
 def minhash_candidate_pairs(ds, num_perm: int = 64, num_bands: int = 16,
                             concurrency: int = 4, shingle_k: int = 3,
-                            seed: int = None):
+                            seed: int = None, driver_limit_rows: int = None):
     """documents -> candidate (doc_a, doc_b) pairs via banded LSH.
 
     Shuffles only (band, doc_id) rows, bucketed by band hash; pairs
     emerge from a vectorized per-bucket self-merge, deduped within
     each bucket.  Pairs colliding in multiple bands can appear once
-    per band — callers dedup the (LSH-bounded, tiny) result."""
+    per band — callers dedup the (LSH-bounded, tiny) result.
+
+    ``driver_limit_rows``: opt-in no-shuffle fast path for the band
+    combine (see hash_bucket_combine) — pass only when the corpus is
+    known small (e.g. parquet-footer row count x num_bands)."""
     from .combine import hash_bucket_combine
 
     from .taskcache import cached_stage
@@ -138,7 +142,8 @@ def minhash_candidate_pairs(ds, num_perm: int = 64, num_bands: int = 16,
             .drop_duplicates()
 
     return hash_bucket_combine(bands, ["band_id", "band_hash"],
-                               pairs_of_bucket)
+                               pairs_of_bucket,
+                               driver_limit_rows=driver_limit_rows)
 
 
 def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
@@ -190,54 +195,130 @@ def shingle_set_rows(ds, shingle_k: int = 3, id_column: str = "doc_id",
 
 def minhash_neardup_pairs(ds, threshold: float = 0.7, num_perm: int = 64,
                           num_bands: int = 16, concurrency: int = 4,
-                          shingle_k: int = 3):
+                          shingle_k: int = 3, df_cap: int = None,
+                          broadcast_limit: int = 200_000,
+                          driver_limit_rows: int = None):
     """Full near-dup pipeline: LSH candidates -> exact-Jaccard verify.
 
-    The verify runs distributed over the shingle inverted index
-    restricted to candidate docs: candidate (pair, id) sets — LSH-
-    bounded, orders of magnitude smaller than the corpus — are
-    broadcast once via ``ray.put``; shared-shingle counts come from
-    the same bucketed combine as ``jaccard_pairs``.  Only ids and
-    counts ever reach the driver, never document text."""
+    The verify is adaptive on the RAW candidate-row count (which
+    bounds the distinct-pair count from above, so the decision needs
+    no extra shuffle):
+
+    * ``<= broadcast_limit`` raw candidate rows: broadcast the
+      (bounded!) deduped pair table once via ``ray.put``, restrict the corpus to
+      candidate docs before shingling, and filter each shingle
+      bucket's self-merge with a vectorized pandas merge against the
+      broadcast table.  Driver memory is capped by ``broadcast_limit``
+      — never O(corpus dups).
+    * above the limit (dup-heavy corpora at scale): never collect the
+      candidates at all.  The shingle inverted index (18-byte rows;
+      text never shuffles) is semi-joined against the candidate-id
+      Dataset, pair counts combine through bucketed aggregates, and
+      banded-candidate membership is enforced by a second bucketed
+      join on the (doc_a, doc_b) pair key.  Every step is a Dataset;
+      the only driver materialization is the final thresholded result.
+
+    Both paths compute identical values (pytest pins broadcast_limit=0
+    against the default); returns a Dataset-compatible result
+    (``.to_pandas()``-able) of (doc_a, doc_b, jaccard_sim)."""
     import ray
-    from .combine import hash_bucket_combine
+    import ray.data
+    from .combine import grouped_aggregate, hash_bucket_combine, \
+        hash_bucket_join
 
     cands = minhash_candidate_pairs(ds, num_perm, num_bands, concurrency,
-                                    shingle_k=shingle_k)
-    cand_tbl = cands.to_pandas().drop_duplicates()
+                                    shingle_k=shingle_k,
+                                    driver_limit_rows=driver_limit_rows) \
+        .materialize()
     empty = pa.table({"doc_a": pa.array([], pa.int64()),
                       "doc_b": pa.array([], pa.int64()),
                       "jaccard_sim": pa.array([], pa.float64())})
-    if not len(cand_tbl):
+    # raw rows bound distinct pairs from above, so the path choice is
+    # decided without an extra distinct shuffle; the bounded path may
+    # therefore collect at most broadcast_limit rows — never O(dups)
+    n_cands = cands.count()
+    if not n_cands:
         return empty
-    cand_ids = set(cand_tbl["doc_a"]) | set(cand_tbl["doc_b"])
-    ids_ref = ray.put(cand_ids)
-    pairs_ref = ray.put(set(zip(cand_tbl["doc_a"].astype("int64"),
-                                cand_tbl["doc_b"].astype("int64"))))
 
-    # restrict to candidate docs BEFORE shingling — the verify pass
-    # tokenizes/hashes only the LSH-selected docs, not the corpus
-    ds_f = ds.map_batches(
-        lambda b: b[b["doc_id"].isin(ray.get(ids_ref))],
+    if n_cands <= broadcast_limit:
+        cand_tbl = cands.to_pandas()[["doc_a", "doc_b"]] \
+            .drop_duplicates().astype("int64")
+        ids_ref = ray.put(np.unique(np.concatenate(
+            [cand_tbl["doc_a"].to_numpy(), cand_tbl["doc_b"].to_numpy()])))
+        allow_ref = ray.put(cand_tbl)
+        # restrict to candidate docs BEFORE shingling — the verify
+        # pass tokenizes/hashes only the LSH-selected docs
+        ds_f = ds.map_batches(
+            lambda b: b[b["doc_id"].isin(ray.get(ids_ref))],
+            batch_format="pandas")
+        sh = shingle_set_rows(ds_f, shingle_k)
+        partial = hash_bucket_combine(
+            sh, ["shingle_hash"],
+            _pair_count_bucket(df_cap, allow_ref=allow_ref),
+            driver_limit_rows=driver_limit_rows).to_pandas()
+        if not len(partial):
+            return empty
+        # final combine on the driver: bounded by broadcast_limit
+        pairs = partial.groupby(["doc_a", "doc_b"], sort=False) \
+            .agg(n_shared=("n_shared", "sum"), ca=("ca", "min"),
+                 cb=("cb", "min")).reset_index()
+        out = _jaccard_finish(threshold)(pairs)
+        if not len(out):
+            return empty
+        return pa.Table.from_pandas(out.sort_values(["doc_a", "doc_b"]),
+                                    preserve_index=False)
+
+    # ---- fully distributed verify (no driver candidate set) ----
+    # distributed distinct: band-collision duplicates combine in the
+    # shuffle, not in a driver drop_duplicates
+    cands_d = grouped_aggregate(cands, ["doc_a", "doc_b"],
+                                {"n_bands": ("doc_b", "count")}) \
+        .materialize()
+
+    def explode_ids(t: pa.Table) -> pa.Table:
+        ids = pa.concat_arrays([t["doc_a"].combine_chunks().cast(pa.int64()),
+                                t["doc_b"].combine_chunks().cast(pa.int64())])
+        return pa.table({"cand_id": ids})
+
+    ids_ds = grouped_aggregate(
+        cands_d.map_batches(explode_ids, batch_format="pyarrow"),
+        ["cand_id"], {"n_pairs": ("cand_id", "count")})
+
+    # semi-join index rows (not text) against candidate ids
+    sh = shingle_set_rows(ds, shingle_k)
+    sh_c = hash_bucket_join(
+        sh, ids_ds, "doc_id", "cand_id",
+        left_cols=["doc_id", "shingle_hash", "c"],
+        right_cols=["cand_id", "n_pairs"]) \
+        .map_batches(lambda t: t.select(["doc_id", "shingle_hash", "c"]),
+                     batch_format="pyarrow")
+
+    partial = hash_bucket_combine(sh_c, ["shingle_hash"],
+                                  _pair_count_bucket(df_cap))
+    agg = grouped_aggregate(partial, ["doc_a", "doc_b"],
+                            {"n_shared": ("n_shared", "sum"),
+                             "ca": ("ca", "min"), "cb": ("cb", "min")})
+
+    def _with_pair_key(a_col: str, b_col: str, key: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df[key] = df[a_col].astype("int64").astype(str) + ":" + \
+                df[b_col].astype("int64").astype(str)
+            return df
+        return fn
+
+    agg_k = agg.map_batches(_with_pair_key("doc_a", "doc_b", "_pk"),
+                            batch_format="pandas")
+    cand_k = cands_d.map_batches(
+        lambda df: _with_pair_key("doc_a", "doc_b", "_ck")(df)[["_ck"]],
         batch_format="pandas")
-    sh = shingle_set_rows(ds_f, shingle_k)
-    partial = hash_bucket_combine(
-        sh, ["shingle_hash"],
-        _pair_count_bucket(allow_ref=pairs_ref)).to_pandas()
-    if not len(partial):
-        return empty
-    # final combine on the driver: the partial pair rows are bounded by
-    # the LSH candidate set (orders of magnitude smaller than the
-    # corpus), so this replaces a whole extra shuffle with a
-    # milliseconds-scale pandas groupby
-    pairs = partial.groupby(["doc_a", "doc_b"], sort=False) \
-        .agg(n_shared=("n_shared", "sum"), ca=("ca", "min"),
-             cb=("cb", "min")).reset_index()
-    out = _jaccard_finish(threshold)(pairs)
-    if not len(out):
-        return empty
-    return pa.Table.from_pandas(out.sort_values(["doc_a", "doc_b"]),
-                                preserve_index=False)
+    # banded-candidate membership: bucketed join on the pair key
+    verified = hash_bucket_join(
+        agg_k, cand_k, "_pk", "_ck",
+        left_cols=["doc_a", "doc_b", "n_shared", "ca", "cb", "_pk"],
+        right_cols=["_ck"])
+    return verified.map_batches(_jaccard_finish(threshold),
+                                batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -380,10 +461,10 @@ def _pair_count_bucket(df_cap=None, allow_ref=None):
         m = m[m["doc_id_x"] < m["doc_id_y"]]
         if allow_ref is not None and len(m):
             import ray
-            allow = ray.get(allow_ref)
-            mask = [(a, b) in allow
-                    for a, b in zip(m["doc_id_x"], m["doc_id_y"])]
-            m = m[np.asarray(mask, bool)]
+            allow = ray.get(allow_ref)  # pandas (doc_a, doc_b), bounded
+            m = m.merge(allow, left_on=["doc_id_x", "doc_id_y"],
+                        right_on=["doc_a", "doc_b"]) \
+                .drop(columns=["doc_a", "doc_b"])
         out = m.groupby(["doc_id_x", "doc_id_y"], sort=False) \
             .agg(n_shared=("shingle_hash", "size"), ca=("c_x", "min"),
                  cb=("c_y", "min")).reset_index()
