@@ -139,6 +139,30 @@ def test_ivf_recall(ray_session):
     assert recall >= 0.5  # approximate by design; sanity floor
 
 
+def test_ivf_pruned_read(ray_session, tmp_path):
+    """The persisted index reads ONLY the probed partitions (the 100 TB
+    contract), and the exhaustive limit equals brute force exactly."""
+    import ray.data as rd
+    from uniparser_ray.stages.ann import IVFIndex, brute_topk
+
+    rng = np.random.RandomState(2)
+    vecs = rng.randn(300, 8)
+    ds = rd.from_items([{"vec_id": i, "embedding": vecs[i].tolist()}
+                        for i in range(300)])
+    idx = IVFIndex.build(ds, str(tmp_path / "ivf"), num_centroids=8,
+                         sample_size=300, seed=3)
+    # nprobe=2 with one query: exactly <=2 partition dirs opened
+    idx.search([0], vecs[:1], k=10, nprobe=2).materialize()
+    assert 0 < len(idx.last_read_paths) <= 2
+    all_lists = idx.search([0], vecs[:1], k=10, nprobe=8)
+    n_all = len(idx.last_read_paths)
+    assert n_all > 2  # pruning actually skipped partitions earlier
+    exact = brute_topk(ds, [0], vecs[:1], k=10).to_pandas()
+    got = all_lists.to_pandas().sort_values("rank")
+    assert list(got["vec_id"]) == list(
+        exact.sort_values("rank")["vec_id"])
+
+
 def test_text_stages(ray_session):
     import ray.data as rd
     from uniparser_ray.stages.text import (fingerprint_batch, langid_batch,

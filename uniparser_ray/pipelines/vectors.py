@@ -28,22 +28,49 @@ def ann_topk(sf_dir: str, k: int = 10):
     return brute_topk(_read(sf_dir, ["vec_id", "embedding"]), qids, qm, k=k)
 
 
-def ann_ivf(sf_dir: str, k: int = 10):
-    from ..stages.ann import ivf_topk
+def _ivf_index_for(sf_dir: str, num_centroids: int, sample_size: int = 2048,
+                   seed: int = 42):
+    """Build-or-reuse the persisted IVF index for an sf dir's
+    embeddings table under /tmp, fingerprinted by source file stat +
+    quantizer params — repeat queries reuse the one-time bucketed
+    write and pay only the pruned read."""
+    import hashlib
+    import os
+
+    from ..stages.ann import IVFIndex
+
+    src = f"{sf_dir}/embeddings.parquet"
+    st = os.stat(src)
+    fp = f"{src}|{st.st_size}|{st.st_mtime_ns}|" \
+         f"{num_centroids}|{sample_size}|{seed}"
+    tag = hashlib.md5(fp.encode()).hexdigest()[:16]
+    index_dir = os.path.join("/tmp", "uniparser_ray_ivf", tag)
+    return IVFIndex.build_or_open(
+        lambda: _read(sf_dir, ["vec_id", "embedding"]), index_dir,
+        fingerprint=fp, num_centroids=num_centroids,
+        sample_size=sample_size, seed=seed)
+
+
+def ann_ivf(sf_dir: str, k: int = 10, num_centroids: int = 16,
+            nprobe: int = 4):
+    """Persisted-index IVF: one-time bucketed write partitioned by
+    centroid list, search = pruned read of only the probed
+    partitions."""
     qids, qm = _queries(sf_dir)
-    return ivf_topk(_read(sf_dir, ["vec_id", "embedding"]), qids, qm, k=k)
+    return _ivf_index_for(sf_dir, num_centroids).search(
+        qids, qm, k=k, nprobe=nprobe)
 
 
 def ann_ivf_exhaustive(sf_dir: str, k: int = 10, num_centroids: int = 16):
     """IVF with nprobe = nlist: every list probed, so the result is
     EXACT and shares the brute-force SQL oracle — value-checks the
-    whole IVF machinery (quantizer training, list assignment, probe
-    routing, distributed per-query top-k merge) in the exhaustive
-    limit, while ``ann_ivf`` keeps the approximate recall setting."""
-    from ..stages.ann import ivf_topk
+    whole IVF machinery (quantizer training, persisted list
+    assignment, pruned-read probe routing, distributed per-query
+    top-k merge) in the exhaustive limit, while ``ann_ivf`` keeps the
+    approximate recall setting."""
     qids, qm = _queries(sf_dir)
-    return ivf_topk(_read(sf_dir, ["vec_id", "embedding"]), qids, qm, k=k,
-                    num_centroids=num_centroids, nprobe=num_centroids)
+    return _ivf_index_for(sf_dir, num_centroids).search(
+        qids, qm, k=k, nprobe=num_centroids)
 
 
 MAX_EXACT_NEARDUP_ROWS = 2_000_000

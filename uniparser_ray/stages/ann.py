@@ -90,24 +90,32 @@ def brute_topk(ds, query_ids, query_matrix: np.ndarray, k: int = 10,
 # ---------------------------------------------------------------------------
 
 
-class IVFStage:
-    """Per-batch IVF search against broadcast (queries, centroids,
-    probe lists) state."""
+def _assign_lists(vecs: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """Nearest-centroid assignment via the expanded-norm identity —
+    O(B·C) memory instead of the O(B·C·D) broadcast difference."""
+    d = ((vecs ** 2).sum(axis=1)[:, None] - 2.0 * (vecs @ cents.T)
+         + (cents ** 2).sum(axis=1)[None, :])
+    return d.argmin(axis=1)
+
+
+class IVFSearchStage:
+    """Per-batch search over PRE-ASSIGNED vectors: the batch carries a
+    ``list_id`` column (from the persisted partitioned index), so no
+    per-batch re-assignment; each query scores only rows whose list is
+    in its probe set."""
 
     def __init__(self, state_ref, k: int):
         import ray
-        self.query_ids, self.qm, self.cents, self.probes = ray.get(state_ref)
+        self.query_ids, self.qm, self.probes = ray.get(state_ref)
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vecs = _as_matrix(batch["embedding"])
         ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        d = ((vecs[:, None, :] - self.cents[None, :, :]) ** 2).sum(axis=2)
-        assign = d.argmin(axis=1)
-        unit = _unit(vecs)
+        lists = np.asarray(batch["list_id"].to_pylist(), dtype=np.int64)
+        unit = _unit(_as_matrix(batch["embedding"]))
         out_q, out_v, out_s = [], [], []
         for qi, query_id in enumerate(self.query_ids):
-            mask = np.isin(assign, list(self.probes[query_id]))
+            mask = np.isin(lists, self.probes[qi])
             if not mask.any():
                 continue
             row = self.qm[qi] @ unit[mask].T
@@ -138,37 +146,200 @@ def _kmeans_lite(sample: np.ndarray, num_centroids: int, iters: int = 5,
     return cents
 
 
+def _hash_sample(ds, sample_size: int, seed: int) -> np.ndarray:
+    """Deterministic randomized sample of the embedding column.
+
+    A splitmix-style hash of ``vec_id`` orders rows pseudo-randomly —
+    unbiased w.r.t. physical layout (``limit()`` would take the first
+    blocks, biasing centroids under clustered tables).  One filtered
+    pass collects ~3×sample_size rows; the driver keeps the
+    ``sample_size`` smallest hashes."""
+    n = ds.count()
+    frac = min(1.0, (3.0 * sample_size) / max(n, 1))
+    thresh = np.uint64(min(int(frac * float(2 ** 64 - 1)), 2 ** 64 - 1))
+    mult = np.uint64(0x9E3779B97F4A7C15)
+    off = np.uint64(seed * 2 + 1)
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            h = (ids + off) * mult
+            h ^= h >> np.uint64(31)
+            h *= np.uint64(0xBF58476D1CE4E5B9)
+        m = h <= thresh
+        return t.filter(pa.array(m)).append_column(
+            "_h", pa.array(h[m].astype("uint64")))
+
+    samp = ds.map_batches(keep, batch_format="pyarrow").to_pandas()
+    samp = samp.sort_values("_h", kind="mergesort").head(sample_size)
+    return np.array(samp["embedding"].tolist(), dtype=np.float64)
+
+
+class IVFIndex:
+    """Persisted IVF index: a ONE-TIME bucketed write of the vector
+    table partitioned by centroid list id (hive layout
+    ``lists/list_id=K/``), plus a centroids sidecar + manifest.
+    Search is a PRUNED READ — only the ``nprobe`` probed partitions'
+    files are opened; the rest of the corpus never leaves storage.
+    This is the 100 TB shape: assignment cost is paid once at build,
+    every query set after that touches nprobe/nlist of the data."""
+
+    def __init__(self, index_dir: str, centroids: np.ndarray,
+                 manifest: dict):
+        self.index_dir = index_dir
+        self.centroids = centroids
+        self.manifest = manifest
+        self.last_read_paths: list = []   # testability: pruned-read proof
+
+    # -- build -------------------------------------------------------------
+
+    @classmethod
+    def build(cls, ds, index_dir: str, num_centroids: int = 16,
+              sample_size: int = 2048, seed: int = 42,
+              fingerprint: str = "") -> "IVFIndex":
+        import json
+        import os
+
+        import ray
+
+        sm = _hash_sample(ds, sample_size, seed)
+        cents = _kmeans_lite(sm, num_centroids, seed=seed)
+        cents_ref = ray.put(cents)
+
+        def assign(t: pa.Table) -> pa.Table:
+            vecs = _as_matrix(t["embedding"])
+            lid = pa.array(_assign_lists(vecs, ray.get(cents_ref))
+                           .astype("int32"), pa.int32())
+            # list_id twice: `lp` becomes the hive partition dir (and
+            # is stripped from the files); `list_id` stays IN the
+            # files so the pruned read needs no partition-column
+            # reconstruction
+            return t.append_column("list_id", lid).append_column("lp", lid)
+
+        os.makedirs(index_dir, exist_ok=True)
+        ds.map_batches(assign, batch_format="pyarrow") \
+            .write_parquet(os.path.join(index_dir, "lists"),
+                           partition_cols=["lp"])
+        np.save(os.path.join(index_dir, "centroids.npy"), cents)
+        manifest = {"layout": 2, "num_centroids": int(len(cents)),
+                    "sample_size": int(sample_size), "seed": int(seed),
+                    "fingerprint": fingerprint, "dims": int(cents.shape[1])}
+        with open(os.path.join(index_dir, "manifest.json"), "w") as f:
+            json.dump(manifest, f)
+        return cls(index_dir, cents, manifest)
+
+    @classmethod
+    def open(cls, index_dir: str) -> "IVFIndex":
+        import json
+        import os
+        with open(os.path.join(index_dir, "manifest.json")) as f:
+            manifest = json.load(f)
+        cents = np.load(os.path.join(index_dir, "centroids.npy"))
+        return cls(index_dir, cents, manifest)
+
+    @classmethod
+    def build_or_open(cls, ds_factory, index_dir: str, fingerprint: str,
+                      num_centroids: int = 16, sample_size: int = 2048,
+                      seed: int = 42) -> "IVFIndex":
+        """Reuse a persisted index when its manifest fingerprint matches
+        (same source + params); otherwise (re)build from
+        ``ds_factory()``."""
+        import os
+        import shutil
+        man = os.path.join(index_dir, "manifest.json")
+        if os.path.exists(man):
+            try:
+                idx = cls.open(index_dir)
+                if (idx.manifest.get("fingerprint") == fingerprint
+                        and idx.manifest.get("layout") == 2):
+                    return idx
+            except Exception:
+                pass
+            shutil.rmtree(index_dir, ignore_errors=True)
+        return cls.build(ds_factory(), index_dir,
+                         num_centroids=num_centroids,
+                         sample_size=sample_size, seed=seed,
+                         fingerprint=fingerprint)
+
+    # -- search ------------------------------------------------------------
+
+    def probe_lists(self, query_matrix: np.ndarray,
+                    nprobe: int) -> np.ndarray:
+        qm = np.asarray(query_matrix, dtype=np.float64)
+        qd = ((qm ** 2).sum(axis=1)[:, None] - 2.0 * (qm @ self.centroids.T)
+              + (self.centroids ** 2).sum(axis=1)[None, :])
+        return np.argsort(qd, axis=1)[:, :nprobe]
+
+    def search(self, query_ids, query_matrix: np.ndarray, k: int = 10,
+               nprobe: int = 4):
+        """Pruned-read IVF search: union of only the probed
+        partitions → one scoring ``map_batches`` → per-query top-k."""
+        import os
+
+        import ray
+
+        from ..sources.parquet import read_parquet_clean
+        from .taskcache import cached_stage
+
+        probes = self.probe_lists(query_matrix, nprobe)
+        probed_union = sorted(set(probes.ravel().tolist()))
+        read_paths = [p for lid in probed_union
+                      if os.path.isdir(
+                          p := os.path.join(self.index_dir, "lists",
+                                            f"lp={lid}"))]
+        self.last_read_paths = read_paths
+        if not read_paths:
+            import ray.data as rd
+            schema = pa.schema([("query_id", pa.int64()),
+                                ("vec_id", pa.int64()),
+                                ("cosine_sim", pa.float64()),
+                                ("rank", pa.int64())])
+            return rd.from_arrow(schema.empty_table())
+        # ONE read over exactly the probed partitions' files — the
+        # rest of the corpus never leaves storage
+        import glob
+        files = sorted(f for p in read_paths
+                       for f in glob.glob(os.path.join(p, "*.parquet")))
+        ds = read_parquet_clean(files,
+                                columns=["vec_id", "embedding", "list_id"])
+
+        qm = _unit(np.asarray(query_matrix, dtype=np.float64))
+        ref = ray.put((list(query_ids), qm, [p for p in probes]))
+        local = ds.map_batches(
+            cached_stage(IVFSearchStage, state_ref=ref, k=k),
+            batch_format="pyarrow")
+
+        def global_topk(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["cosine_sim", "vec_id"],
+                              ascending=[False, True],
+                              kind="mergesort").head(k)
+            g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
+            g["cosine_sim"] = g["cosine_sim"].round(6)
+            return g
+
+        return local.groupby("query_id").map_groups(global_topk,
+                                                    batch_format="pandas")
+
+
 def ivf_topk(ds, query_ids, query_matrix: np.ndarray, k: int = 10,
              num_centroids: int = 16, nprobe: int = 4,
              sample_size: int = 2048, concurrency: int = 4,
-             seed: int = 42):
-    """IVF-style ANN: train a coarse quantizer on a driver-side sample,
-    broadcast centroids, assign + search only the nprobe closest lists.
+             seed: int = 42, index_dir: str = None, fingerprint: str = ""):
+    """IVF ANN via a persisted partitioned index + pruned read.
 
-    Recall is approximate by design; tests compare against
-    :func:`brute_topk` for recall, not equality."""
-    import ray
+    Builds (or reuses, when ``index_dir`` holds a manifest with a
+    matching ``fingerprint``) the one-time bucketed index, then
+    searches only the ``nprobe`` probed partitions.  Recall is
+    approximate by design; tests compare against :func:`brute_topk`
+    for recall, not equality."""
+    import tempfile
 
-    sample = ds.limit(sample_size).to_pandas()
-    sm = np.array(sample["embedding"].tolist(), dtype=np.float64)
-    cents = _kmeans_lite(sm, num_centroids, seed=seed)
-    qm = np.asarray(query_matrix, dtype=np.float64)
-    # which centroid lists each query probes
-    qd = ((qm[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-    probes = {query_id: set(np.argsort(qd[i])[:nprobe].tolist())
-              for i, query_id in enumerate(query_ids)}
-    ref = ray.put((list(query_ids), _unit(qm), cents, probes))
-
-    from .taskcache import cached_stage
-    local = ds.map_batches(cached_stage(IVFStage, state_ref=ref, k=k),
-                           batch_format="pyarrow")
-
-    def global_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cosine_sim", "vec_id"],
-                          ascending=[False, True], kind="mergesort").head(k)
-        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
-        g["cosine_sim"] = g["cosine_sim"].round(6)
-        return g
-
-    return local.groupby("query_id").map_groups(global_topk,
-                                                batch_format="pandas")
+    if index_dir is None:
+        index_dir = tempfile.mkdtemp(prefix="ivf_index_")
+        idx = IVFIndex.build(ds, index_dir, num_centroids=num_centroids,
+                             sample_size=sample_size, seed=seed)
+    else:
+        idx = IVFIndex.build_or_open(
+            lambda: ds, index_dir, fingerprint=fingerprint,
+            num_centroids=num_centroids, sample_size=sample_size, seed=seed)
+    return idx.search(query_ids, query_matrix, k=k, nprobe=nprobe)
