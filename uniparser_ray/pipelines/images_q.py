@@ -230,12 +230,21 @@ def crawl_images(sf_dir: str):
                       fetch_concurrency=4, seen_shard_bits=3)
     run_crawl(cfg, web.rule_pack())
     table = LanceLayoutTable(f"{out}/images_lance")
-    t = table.to_table(columns=["image_id", "bytes", "w", "h", "fmt",
-                                "caption", "phash"])
-    md5s = [hashlib.md5(b).hexdigest() for b in t["bytes"].to_pylist()]
-    t = t.drop_columns(["bytes"]).append_column(
-        "bytes_md5", pa.array(md5s, pa.string()))
-    return t.sort_by("image_id")
+    # md5 the payloads WHERE THEY LIVE: a map_batches over the Lance
+    # fragments hashes each block's bytes in parallel; the driver only
+    # ever materializes (image_id, meta, bytes_md5) — never the bytes
+    ds = table.read_dataset(columns=["image_id", "bytes", "w", "h", "fmt",
+                                     "caption", "phash"])
+
+    def md5_batch(t: pa.Table) -> pa.Table:
+        md5s = pa.array([hashlib.md5(b).hexdigest()
+                         for b in t["bytes"].to_pylist()], pa.string())
+        return t.drop_columns(["bytes"]).append_column("bytes_md5", md5s)
+
+    hashed = ds.map_batches(md5_batch, batch_format="pyarrow",
+                            batch_size=256).to_pandas()
+    return pa.Table.from_pandas(hashed.sort_values("image_id"),
+                                preserve_index=False)
 
 
 _AUDIO_BY_SF = {"sf0.001": 60, "sf0.01": 200, "sf0.1": 600}
