@@ -142,38 +142,45 @@ def _make_preclipper(budgets: Dict[str, int], default_budget: int,
 
 
 def _explode_links(batch: pa.Table) -> pa.Table:
-    urls, parents, depths, priors = [], [], [], []
-    for url, depth, links in zip(batch["url"].to_pylist(),
-                                 batch["depth"].to_pylist(),
-                                 batch["links"].to_pylist()):
-        for link in links or []:
-            urls.append(link)
-            parents.append(url)
-            depths.append(depth + 1)
-            priors.append(float(depth + 1))
-    return _frontier_table(urls, parents, depths, priors, [0] * len(urls))
+    """One page row -> N frontier rows, all-Arrow: ``list_flatten`` +
+    ``list_parent_indices`` + ``take`` (no per-row Python)."""
+    import pyarrow.compute as pc
+    links = batch["links"]
+    flat = pc.list_flatten(links).cast(pa.large_string())
+    idx = pc.list_parent_indices(links)
+    parents = pc.take(batch["url"], idx).cast(pa.large_string())
+    depths = pc.add(pc.take(batch["depth"], idx),
+                    pa.scalar(1, pa.int32())).cast(pa.int32())
+    return pa.Table.from_arrays([
+        flat, parents, depths, depths.cast(pa.float32()),
+        pa.array(np.zeros(len(flat), dtype=np.int8), pa.int8()),
+    ], schema=FRONTIER_SCHEMA)
 
 
 def _explode_images(batch: pa.Table) -> pa.Table:
-    img_urls, caps, parents = [], [], []
-    for url, srcs, captions in zip(batch["url"].to_pylist(),
-                                   batch["img_srcs"].to_pylist(),
-                                   batch["img_captions"].to_pylist()):
-        base = url.split("/", 3)
-        origin = f"{base[0]}//{base[2]}" if len(base) >= 3 else ""
-        for src, cap in zip(srcs or [], captions or []):
-            img_urls.append(src if src.startswith("http") else origin + src)
-            caps.append(cap)
-            parents.append(url)
-    t = pa.Table.from_arrays([
-        pa.array(img_urls, pa.large_string()),
-        pa.array(caps, pa.large_string()),
-        pa.array(parents, pa.large_string()),
-    ], names=["img_url", "caption", "parent"])
+    """Page rows -> image-candidate rows.  Flatten/take/regex are Arrow
+    kernels; only the seen-filter hash (md5-backed, must match the
+    oracle's url_hash64) stays per-element."""
+    import pyarrow.compute as pc
+    srcs_col = batch["img_srcs"]
+    flat_src = pc.list_flatten(srcs_col).cast(pa.large_string())
+    flat_cap = pc.list_flatten(batch["img_captions"]).cast(pa.large_string())
+    idx = pc.list_parent_indices(srcs_col)
+    parents = pc.take(batch["url"], idx).cast(pa.large_string())
+    # origin (scheme://host) of the parent for relative srcs
+    origins = pc.struct_field(
+        pc.extract_regex(parents, r"^(?P<o>[^/]+//[^/]*)"), "o")
+    joined = pc.binary_join_element_wise(
+        pc.fill_null(origins.cast(pa.large_string()), ""), flat_src,
+        pa.scalar("", pa.large_string()))
+    img_urls_arr = pc.if_else(pc.starts_with(flat_src, "http"),
+                              flat_src, joined)
+    img_urls = img_urls_arr.to_pylist()
+    t = pa.Table.from_arrays([img_urls_arr, flat_cap, parents],
+                             names=["img_url", "caption", "parent"])
     # in-batch dedup by image URL (cross-batch dedup via the seen shards)
     hashes = pa.array([url_hash64("img|" + u) for u in img_urls], pa.uint64())
-    t = t.append_column("url_hash", hashes)
-    return t
+    return t.append_column("url_hash", hashes)
 
 
 class CrawlRun:
@@ -359,7 +366,7 @@ class CrawlRun:
                 # (the granter is per-host regardless of partitioning)
                 decided = admitted.repartition(1).map_batches(
                     granter, batch_format="pandas",
-                    batch_size=None).materialize()
+                    batch_size=None)
             elif self.cfg.skew_salts > 1:
                 salts = self.cfg.skew_salts
 
@@ -378,10 +385,19 @@ class CrawlRun:
                 decided = hash_bucket_combine(
                     preclipped, ["host"],
                     lambda b: granter(b.drop(columns=["_salt"])),
-                    num_buckets=64).materialize()
+                    num_buckets=64)
             else:
                 decided = hash_bucket_combine(
-                    admitted, ["host"], granter, num_buckets=64).materialize()
+                    admitted, ["host"], granter, num_buckets=64)
+            # the grant ran in pandas batch_format: its Arrow blocks
+            # carry the unhashable 'pandas' schema-metadata blob, which
+            # defeats Ray's block-schema dedup in every downstream
+            # concat ("Failed to hash the schemas" spam) — strip it
+            # block-at-a-time before materializing
+            from ..sources.parquet import _strip_meta
+            decided = decided.map_batches(
+                _strip_meta, batch_format="pyarrow", batch_size=None,
+                zero_copy_batch=True).materialize()
             _mark('grant')
             n_decided = decided.count()
             granted = decided.filter(expr="granted == 1")

@@ -79,6 +79,28 @@ def canonicalize_batch(batch: pa.Table) -> pa.Table:
     return out.replace_schema_metadata(None)
 
 
+def _sharded_add_batch(shards: List, shard_bits: int,
+                       hashes: np.ndarray) -> np.ndarray:
+    """One test-and-set RPC per shard per batch, shard runs found by a
+    vectorized argsort over shard ids (no per-row Python grouping)."""
+    import ray
+    out = np.zeros(hashes.size, dtype=bool)
+    if not hashes.size:
+        return out
+    sids = (hashes >> np.uint64(64 - shard_bits)).astype(np.int64)
+    order = np.argsort(sids, kind="stable")
+    ssorted = sids[order]
+    bounds = np.flatnonzero(np.diff(ssorted)) + 1
+    starts = np.concatenate(([0], bounds))
+    ends = np.concatenate((bounds, [ssorted.size]))
+    slices = [order[s:e] for s, e in zip(starts, ends)]
+    futures = [shards[int(ssorted[s])].add_batch.remote(
+        hashes[idxs].tolist()) for s, idxs in zip(starts, slices)]
+    for idxs, res in zip(slices, ray.get(futures)):
+        out[idxs] = res
+    return out
+
+
 class SeenRobotsStage:
     """Anti-join against the seen shards + robots allow filter.
 
@@ -93,39 +115,33 @@ class SeenRobotsStage:
         self.robots_num = robots_num
 
     def _seen_mask(self, hashes: np.ndarray) -> np.ndarray:
-        import ray
-        from collections import defaultdict
-        out = np.zeros(hashes.size, dtype=bool)
-        groups = defaultdict(list)
-        sids = (hashes >> np.uint64(64 - self.shard_bits)).astype(np.int64)
-        for idx, sid in enumerate(sids):
-            groups[int(sid)].append(idx)
-        futures = {sid: self.seen_shards[sid].add_batch.remote(
-            hashes[idxs].tolist()) for sid, idxs in groups.items()}
-        for sid, idxs in groups.items():
-            out[idxs] = ray.get(futures[sid])
-        return out
+        return _sharded_add_batch(self.seen_shards, self.shard_bits, hashes)
 
     def _robots_mask(self, hosts: List[str], urls: List[str]) -> np.ndarray:
         import ray
-        from collections import defaultdict
-        if not self.robots_shards:
+        if not self.robots_shards or not urls:
             return np.ones(len(urls), dtype=bool)
         out = np.ones(len(urls), dtype=bool)
-        # group by SHARD (one RPC per shard per batch) — grouping by
-        # host would mean O(hosts) RPC roundtrips per batch
-        groups = defaultdict(list)
-        for idx, (host, url) in enumerate(zip(hosts, urls)):
-            path = "/" + url.split("/", 3)[3] if url.count("/") >= 3 else "/"
-            groups[url_hash64(host) % self.robots_num].append(
-                (idx, host, path))
-        futures = {sid: self.robots_shards[sid].allowed_many.remote(
-            [(h, p) for _, h, p in items])
-            for sid, items in groups.items()}
-        for sid, items in groups.items():
-            mask = ray.get(futures[sid])
-            for (idx, _h, _p), ok in zip(items, mask):
-                out[idx] = ok
+        # group by SHARD (one RPC per shard per batch) — the shard id
+        # hash runs once per UNIQUE host, runs found by argsort
+        paths = ["/" + u.split("/", 3)[3] if u.count("/") >= 3 else "/"
+                 for u in urls]
+        uniq, inv = np.unique(np.asarray(hosts, dtype=object),
+                              return_inverse=True)
+        host_sid = np.array([url_hash64(h) % self.robots_num for h in uniq],
+                            dtype=np.int64)
+        sids = host_sid[inv]
+        order = np.argsort(sids, kind="stable")
+        ssorted = sids[order]
+        bounds = np.flatnonzero(np.diff(ssorted)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [ssorted.size]))
+        slices = [order[s:e] for s, e in zip(starts, ends)]
+        futures = [self.robots_shards[int(ssorted[s])].allowed_many.remote(
+            [(hosts[i], paths[i]) for i in idxs])
+            for s, idxs in zip(starts, slices)]
+        for idxs, mask in zip(slices, ray.get(futures)):
+            out[idxs] = mask
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -157,20 +173,10 @@ class HashSeenStage:
         self.shard_bits = shard_bits
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import ray
-        from collections import defaultdict
         if batch.num_rows == 0:
             return batch
         hashes = batch["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        out = np.zeros(hashes.size, dtype=bool)
-        sids = (hashes >> np.uint64(64 - self.shard_bits)).astype(np.int64)
-        groups = defaultdict(list)
-        for idx, sid in enumerate(sids):
-            groups[int(sid)].append(idx)
-        futures = {sid: self.seen_shards[sid].add_batch.remote(
-            hashes[idxs].tolist()) for sid, idxs in groups.items()}
-        for sid, idxs in groups.items():
-            out[idxs] = ray.get(futures[sid])
+        out = _sharded_add_batch(self.seen_shards, self.shard_bits, hashes)
         return batch.filter(pa.array(out))
 
 
