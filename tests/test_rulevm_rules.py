@@ -302,6 +302,46 @@ def test_input_callback():
     assert result == {"test_input_callback": {"rule1": "http"}}
 
 
+def test_input_callback_content_switch():
+    """use_content_for_default_callbacks: bytes bodies whose transport-
+    guessed encoding is wrong but whose bytes declare the real charset
+    decode correctly (reference: utils.py:757-773)."""
+    from uniparser_ray.rulevm.vm import InputCallbacks
+
+    class BytesWeb:
+        def get(self, url):
+            body = ('<html><head><meta charset="gbk"></head>'
+                    '<body><p id="t">你好</p></body></html>'
+                    ).encode("gbk")
+            return 200, {"Content-Type": "text/html"}, body
+
+    uni = Uniparser()
+    crawler_rule = CrawlerRule(
+        "gbk_page", {"url": "http://synth.test/gbk", "method": "get"},
+        [{"name": "rule1", "chain_rules": [["css", "#t", "$text"],
+                                           ["python", "getitem", "[0]"]],
+          "child_rules": []}],
+        "https?://synth.test/gbk", input_callback="css")
+    # text mode: the response's (wrong) utf-8 guess mangles the body
+    bad = uni.crawl(crawler_rule, SyntheticWebAdapter(BytesWeb()))
+    assert bad["gbk_page"]["rule1"] != "你好"
+    # content mode: bytes re-decoded per the in-document charset
+    InputCallbacks.use_content_for_default_callbacks()
+    try:
+        good = uni.crawl(crawler_rule, SyntheticWebAdapter(BytesWeb()))
+        assert good["gbk_page"]["rule1"] == "你好"
+    finally:
+        InputCallbacks.use_text_for_default_callbacks()
+    # kwargs extension installs alongside, and restore really restores
+    InputCallbacks.use_content_for_default_callbacks(
+        upper=lambda text, context: text.upper())
+    try:
+        assert InputCallbacks.callback("abc", {}, "upper") == "ABC"
+    finally:
+        InputCallbacks.use_text_for_default_callbacks()
+        InputCallbacks._CALLBACKS.pop("upper", None)
+
+
 def test_object_rebinding():
     uni = Uniparser()
     crawler_rule = CrawlerRule(

@@ -22,11 +22,49 @@ from .rules import CrawlerRule, ParseRule
 from .transport import Frequency, NullFrequency, TransportAdapter
 
 
+def _sniff_decode(content: bytes, declared: str = None) -> str:
+    """bytes -> str for the content-mode callbacks.  The reference hands
+    raw bytes to bs4/selectolax which sniff the in-document charset
+    (utils.py:759-773); our DOM engine takes str, so sniff here: BOM,
+    then ``<meta charset=…>`` / ``<?xml encoding=…?>`` declaration in
+    the head bytes, then the response-declared encoding, then utf-8."""
+    import codecs
+    import re as _re
+
+    if not isinstance(content, (bytes, bytearray)):
+        return content
+    for bom, enc in ((codecs.BOM_UTF8, "utf-8"),
+                     (codecs.BOM_UTF16_LE, "utf-16-le"),
+                     (codecs.BOM_UTF16_BE, "utf-16-be")):
+        if content.startswith(bom):
+            return content[len(bom):].decode(enc, "replace")
+    head = bytes(content[:2048])
+    m = (_re.search(rb'<meta[^>]+charset=["\']?([\w.\-]+)', head, _re.I)
+         or _re.search(rb'<\?xml[^>]+encoding=["\']?([\w.\-]+)', head, _re.I))
+    for enc in ((m.group(1).decode("ascii", "ignore"),) if m else ()) + \
+               ((declared,) if declared else ()):
+        try:
+            return content.decode(enc)
+        except (LookupError, UnicodeDecodeError):
+            continue
+    return content.decode("utf-8", "replace")
+
+
+def _resp_content(context, as_text: bool = True):
+    """``context['resp'].content`` (the raw bytes body), decoded for our
+    str-based engines unless ``as_text`` is False."""
+    resp = context["resp"]
+    content = resp.content
+    if not as_text:
+        return content
+    return _sniff_decode(content, getattr(resp, "encoding", None))
+
+
 class InputCallbacks:
     """Named pre-parse decode of the fetched body, selected by
     ``CrawlerRule['input_callback']`` (reference: utils.py:745-803)."""
 
-    _CALLBACKS: Dict[str, Callable] = {
+    _TEXT_CALLBACKS: Dict[str, Callable] = {
         "json": lambda text, context: EngineConfig.json_loads(text),
         "se": lambda text, context: dom.parse_html(text),
         "selectolax": lambda text, context: dom.parse_html(text),
@@ -34,7 +72,33 @@ class InputCallbacks:
         "html": lambda text, context: dom.parse_html(text),
         "xml": lambda text, context: dom.parse_xml(text),
     }
+    # content-mode twins: ignore the pre-decoded text, re-decode from the
+    # raw response bytes (reference: use_content_for_default_callbacks,
+    # utils.py:757-773 — fixes bodies whose transport-guessed encoding is
+    # wrong but whose bytes declare the real charset)
+    _CONTENT_CALLBACKS: Dict[str, Callable] = {
+        "json": lambda text, context: EngineConfig.json_loads(
+            _resp_content(context, as_text=False)),
+        "se": lambda text, context: dom.parse_html(_resp_content(context)),
+        "selectolax": lambda text, context: dom.parse_html(_resp_content(context)),
+        "css": lambda text, context: dom.parse_html(_resp_content(context)),
+        "html": lambda text, context: dom.parse_html(_resp_content(context)),
+        "xml": lambda text, context: dom.parse_xml(_resp_content(context)),
+    }
+    _CALLBACKS: Dict[str, Callable] = dict(_TEXT_CALLBACKS)
     CATCH_EXCEPTIONS = (Exception,)
+
+    @classmethod
+    def use_content_for_default_callbacks(cls, **kwargs):
+        """Switch the default named callbacks to decode from
+        ``resp.content`` bytes; extra ``name=callable`` pairs install
+        alongside (reference: utils.py:757-773)."""
+        cls._CALLBACKS.update(cls._CONTENT_CALLBACKS, **kwargs)
+
+    @classmethod
+    def use_text_for_default_callbacks(cls, **kwargs):
+        """Restore the text-mode defaults (inverse of the switch)."""
+        cls._CALLBACKS.update(cls._TEXT_CALLBACKS, **kwargs)
 
     @classmethod
     def callback(cls, text, context, callback_name=None):
