@@ -158,3 +158,77 @@ def test_cli_curl_parse():
     assert args["url"] == "http://example.com/p"
     assert args["method"] == "post"
     assert args["headers"]["X-K"] == "v"
+
+
+def test_http_console_endpoints():
+    """The HTTP rule console (reference webui.py:72-134): /request
+    downloads once and stashes the sticky context, /parse iterates
+    against it, /curl_parse converts curl commands, GET / lists the
+    parser registry."""
+    import threading
+    import urllib.request
+
+    from uniparser_ray.rulevm.transport import SyntheticWebAdapter
+    from uniparser_ray.webconsole import make_server
+
+    class DictWeb:
+        def get(self, url):
+            body = ('<html><title>T</title><p id="v">v=42</p></html>'
+                    .encode("utf-8"))
+            return 200, {"Content-Type": "text/html"}, body
+
+    server = make_server(port=0, request_adapter=SyntheticWebAdapter(DictWeb()))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+
+    def call(path, data=None, raw=False):
+        url = f"http://127.0.0.1:{port}{path}"
+        if data is None:
+            req = urllib.request.Request(url)
+        else:
+            body = data if raw else json.dumps(data).encode()
+            req = urllib.request.Request(url, data=body, method="POST")
+        with urllib.request.urlopen(req, timeout=10) as resp:
+            return json.loads(resp.read().decode())
+
+    try:
+        index = call("/")
+        assert "css" in index["parsers"] and "json" in index["cb_names"]
+
+        rule = {"name": "page",
+                "request_args": {"url": "http://synth.test/a",
+                                 "method": "get"},
+                "parse_rules": [
+                    {"name": "num",
+                     "chain_rules": [["re", r"v=(\d+)", "$1"],
+                                     ["python", "getitem", "[0]"]],
+                     "child_rules": []}],
+                "regex": "https?://synth.test/.*"}
+        got = call("/request", rule)
+        assert got["ok"] and got["msg"] == "" and "v=42" in got["text"]
+
+        # parse many against the sticky downloaded context
+        parsed = call("/parse", {"input_object": got["text"],
+                                 "rule": json.dumps(rule)})
+        assert json.loads(parsed["json"]) == {"page": {"num": "42"}}
+
+        # regex mismatch is reported but download still succeeds
+        bad = dict(rule, regex="https?://other.example/.*")
+        got2 = call("/request", bad)
+        assert got2["ok"] and "does not match" in got2["msg"]
+
+        curl = call("/curl_parse",
+                    b'curl -H "X-K: v" http://example.com/p', raw=True)
+        assert curl["ok"] and curl["result"]["url"] == "http://example.com/p"
+
+        # unknown path -> 404 JSON error
+        import urllib.error
+        try:
+            call("/nope", {})
+            assert False, "expected 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        server.shutdown()
+        server.server_close()

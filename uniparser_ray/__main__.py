@@ -164,6 +164,16 @@ def cmd_console(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """HTTP rule console (reference: webui.py) — /request, /parse,
+    /curl_parse over stdlib http.server."""
+    from .webconsole import serve
+    print(f"uniparser-ray console on http://{args.host}:{args.port}",
+          file=sys.stderr, flush=True)
+    serve(host=args.host, port=args.port)
+    return 0
+
+
 def cmd_crawl(args) -> int:
     from .crawl.loop import CrawlConfig, run_crawl
     from .sources.synthweb import SynthWeb
@@ -224,6 +234,12 @@ def main(argv=None) -> int:
     c.add_argument("--script", default=None,
                    help="read commands from a file instead of stdin")
     c.set_defaults(fn=cmd_console)
+
+    s = sub.add_parser("serve", help="HTTP rule console "
+                                     "(/request /parse /curl_parse)")
+    s.add_argument("--host", default="127.0.0.1")
+    s.add_argument("--port", type=int, default=8080)
+    s.set_defaults(fn=cmd_serve)
 
     g = sub.add_parser("gen-images", help="generate the image+caption table")
     g.add_argument("--out", required=True)
