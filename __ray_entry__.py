@@ -135,24 +135,49 @@ def _blocks_pred(a: str, b: str, num_blocks: int = 4, width: int = 16) -> str:
 
 
 def _sql_quote(v) -> str:
+    import math
+
     import numpy as np
     if isinstance(v, str):
         return "'" + v.replace("'", "''") + "'"
     if isinstance(v, (bool, np.bool_)):
         return "TRUE" if v else "FALSE"
     if isinstance(v, (float, np.floating)):
-        return f"{float(v)!r}::DOUBLE"
+        f = float(v)
+        if math.isnan(f):
+            return "'NaN'::DOUBLE"
+        if math.isinf(f):
+            return ("'Infinity'" if f > 0 else "'-Infinity'") + "::DOUBLE"
+        return f"{f!r}::DOUBLE"
     return str(int(v))
+
+
+def _duck_type(t: pa.DataType) -> str:
+    if pa.types.is_boolean(t):
+        return "BOOLEAN"
+    if pa.types.is_floating(t):
+        return "DOUBLE"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "VARCHAR"
+    if pa.types.is_timestamp(t):
+        return "TIMESTAMP"
+    return "BIGINT"
 
 
 def _values_cte(name: str, tbl: pa.Table) -> str:
     """Embed a small expected table as a VALUES CTE (keeps the oracle
-    a plain SQL string — no side files)."""
+    a plain SQL string — no side files).  A zero-row table renders as a
+    typed empty SELECT (``VALUES`` with no rows is a syntax error)."""
     cols = tbl.column_names
+    collist = ", ".join(cols)
+    if tbl.num_rows == 0:
+        typed = ", ".join(
+            f"CAST(NULL AS {_duck_type(tbl.schema.field(c).type)}) AS {c}"
+            for c in cols)
+        return f"{name}({collist}) AS (SELECT {typed} WHERE FALSE)"
     rows = ", ".join(
         "(" + ", ".join(_sql_quote(row[c]) for c in cols) + ")"
         for row in tbl.to_pylist())
-    collist = ", ".join(cols)
     return (f"{name}({collist}) AS (SELECT * FROM (VALUES {rows}) "
             f"AS _v({collist}))")
 
@@ -427,11 +452,11 @@ def _embedding_lsh_sql(threshold: float = 0.35, num_planes: int = 8,
 import functools
 
 
-@functools.lru_cache(maxsize=8)
-def _multimodal_oracles_cached(tag: str) -> tuple:
-    """The expected-table builds (BFS oracle crawl + generator renders)
-    cost seconds — memoize per sf tag so repeated oracle_sql() calls in
-    one process don't rebuild."""
+@functools.lru_cache(maxsize=48)
+def _expected_table(kind: str, tag: str) -> pa.Table:
+    """One expected table per (kind, sf tag), memoized INDEPENDENTLY so
+    e.g. fetching the audio oracle never triggers the (seconds-long)
+    BFS oracle crawl that only crawl_images needs."""
     from uniparser_ray.pipelines.images_q import (_AUDIO_BY_SF, _VIDEO_BY_SF,
                                                   expected_crawl_images,
                                                   expected_decode_stats,
@@ -439,65 +464,116 @@ def _multimodal_oracles_cached(tag: str) -> tuple:
                                                   expected_thumbnails)
     from uniparser_ray.stages.multimodal import (expected_audio_features,
                                                  expected_video_frames)
-    return (expected_images_meta(tag), expected_decode_stats(tag),
-            expected_thumbnails(tag),
-            expected_audio_features(_AUDIO_BY_SF.get(tag, 200)),
-            expected_video_frames(_VIDEO_BY_SF.get(tag, 60), k=3),
-            expected_crawl_images(tag))
+    if kind == "meta":
+        return expected_images_meta(tag)
+    if kind == "decode":
+        return expected_decode_stats(tag)
+    if kind == "thumb":
+        return expected_thumbnails(tag)
+    if kind == "audio":
+        return expected_audio_features(_AUDIO_BY_SF.get(tag, 200))
+    if kind == "video":
+        return expected_video_frames(_VIDEO_BY_SF.get(tag, 60), k=3)
+    if kind == "crawl":
+        return expected_crawl_images(tag)
+    raise KeyError(kind)
 
 
-def _multimodal_oracles() -> dict[str, str]:
+def _multimodal_oracle_thunks(tag: str) -> dict:
     """Value-checked oracles for the binary-payload pipelines: the
     expected rows come from INDEPENDENT computations (the generator's
     source pixel/sample arrays before any encoding; the single-process
     conformance crawler for the crawl) embedded as VALUES literals, so
     the compare proves the byte-level decode paths end-to-end while
-    the oracle stays a plain SQL string."""
-    tag = _oracle_tag()
-    (meta_t, decode_t, thumb_t, audio_t, video_t,
-     crawl_t) = _multimodal_oracles_cached(tag)
-    meta = _values_cte("m", meta_t)
+    the oracle stays a plain SQL string.  Returned as THUNKS — each
+    expected table build costs up to seconds, so it runs only when
+    that query's oracle is actually fetched."""
     ham = "bit_count(xor(a.phash, b.phash))"
+
+    def meta():
+        return _values_cte("m", _expected_table("meta", tag))
+
     return {
-        "images_decode_stats": f"""
-            WITH {_values_cte('e', decode_t)}
+        "images_decode_stats": lambda: f"""
+            WITH {_values_cte('e', _expected_table('decode', tag))}
             SELECT image_id, mean_pixel, phash_ok, wh_ok FROM e
         """,
-        "images_thumbnails": f"""
-            WITH {_values_cte('e', thumb_t)}
+        "images_thumbnails": lambda: f"""
+            WITH {_values_cte('e', _expected_table('thumb', tag))}
             SELECT image_id, thumb_md5 FROM e
         """,
-        "caption_token_stats": f"""
-            WITH {meta}
+        "caption_token_stats": lambda: f"""
+            WITH {meta()}
             SELECT image_id,
                    len(string_split(caption, ' ')) AS n_tokens,
                    length(caption) AS n_chars
             FROM m
         """,
-        "images_neardup_phash": f"""
-            WITH {meta}
+        "images_neardup_phash": lambda: f"""
+            WITH {meta()}
             SELECT a.image_id AS image_a, b.image_id AS image_b,
                    {ham} AS hamming
             FROM m a JOIN m b ON b.image_id > a.image_id
             WHERE {ham} <= 8 AND ({_blocks_pred('a.phash', 'b.phash')})
         """,
-        "audio_features": f"""
-            WITH {_values_cte('e', audio_t)}
+        "audio_features": lambda: f"""
+            WITH {_values_cte('e', _expected_table('audio', tag))}
             SELECT clip_id, duration_s, rms, zcr, peak FROM e
         """,
-        "video_frames": f"""
-            WITH {_values_cte('e', video_t)}
+        "video_frames": lambda: f"""
+            WITH {_values_cte('e', _expected_table('video', tag))}
             SELECT video_id, frame_index, frame_md5, t_seconds FROM e
         """,
-        "crawl_images": f"""
-            WITH {_values_cte('e', crawl_t)}
+        "crawl_images": lambda: f"""
+            WITH {_values_cte('e', _expected_table('crawl', tag))}
             SELECT image_id, w, h, fmt, caption, phash, bytes_md5 FROM e
         """,
     }
 
 
-def oracle_sql() -> dict[str, str]:
-    return {
+class _LazyOracleDict(dict):
+    """dict[str, str] whose expensive entries build on first access
+    (works transparently for ``d[k]`` / ``d.get`` / ``d.items()`` —
+    the driver sees plain strings either way)."""
+
+    def __init__(self, eager: dict, thunks: dict):
+        super().__init__(eager)
+        self._thunks = dict(thunks)
+        for k in self._thunks:
+            super().__setitem__(k, None)
+
+    def _force(self, k):
+        v = dict.__getitem__(self, k)
+        if v is None and k in self._thunks:
+            v = self._thunks.pop(k)()
+            super().__setitem__(k, v)
+        return v
+
+    def __getitem__(self, k):
+        return self._force(k)
+
+    def get(self, k, default=None):
+        return self._force(k) if k in self else default
+
+    def items(self):
+        return [(k, self._force(k)) for k in self]
+
+    def values(self):
+        return [self._force(k) for k in self]
+
+    def copy(self):
+        return dict(self.items())
+
+
+def oracle_sql(sf_tag: str = None) -> dict[str, str]:
+    """Per-query DuckDB oracle SQL.  ``sf_tag`` selects the scale the
+    multimodal VALUES literals are built for — defaults to
+    $UNIPARSER_ORACLE_SF (the driver's sf0.01); callers evaluating at
+    another scale pass its tag (e.g. ``oracle_sql("sf0.1")``).  The
+    multimodal entries build lazily on first access (the expected-table
+    renders cost seconds)."""
+    tag = sf_tag or _oracle_tag()
+    eager = {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    ROUND(SUM(l_quantity), 2) AS sum_qty,
@@ -644,7 +720,6 @@ def oracle_sql() -> dict[str, str]:
             FROM cent c JOIN cnts n USING (label)
             GROUP BY 1, 2
         """,
-        **_multimodal_oracles(),
         "embedding_neardup": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    ROUND(list_cosine_similarity(
@@ -693,3 +768,4 @@ def oracle_sql() -> dict[str, str]:
         # contract is pinned by tests/test_stages.py instead.  Every
         # other queries() entry above has a value-checked SQL oracle.
     }
+    return _LazyOracleDict(eager, _multimodal_oracle_thunks(tag))

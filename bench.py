@@ -170,7 +170,7 @@ def politeness_fetch_rate(num_cpus: int, n_urls: int = 4096) -> dict:
             "pages_per_sec": round(n / sec, 1)}
 
 
-def run_steady(num_cpus: int) -> dict:
+def run_steady(num_cpus: int, politeness: bool = False) -> dict:
     """Sustained-throughput crawl (the scaling-criterion workload).
 
     At 10^10-URL scale the frontier is never ramp-up-small, so the
@@ -202,7 +202,8 @@ def run_steady(num_cpus: int) -> dict:
                    hot_factor=8.0, page_weight=60, image_rate=0.1)
     web = SynthWeb(**web_cfg)
     seeds = web.all_page_urls()
-    out_dir = f"/tmp/uniparser_ray_bench/steady_{num_cpus}"
+    out_dir = (f"/tmp/uniparser_ray_bench/steady_{num_cpus}"
+               + ("_pol" if politeness else ""))
     shutil.rmtree(out_dir, ignore_errors=True)
 
     # untimed warm-up: spawn + import-warm every worker process with a
@@ -214,14 +215,16 @@ def run_steady(num_cpus: int) -> dict:
                            out_dir=out_dir + "_warm", seeds=seeds[:2048],
                            max_rounds=1, per_host_budget=10**9,
                            fetch_batch_size=256, seen_shard_bits=5,
-                           seen_mode="bloom", use_robots=False)
+                           seen_mode="bloom", use_robots=False,
+                           wallclock_politeness=politeness)
     shutil.rmtree(out_dir + "_warm", ignore_errors=True)
     run_crawl(warm_cfg, web.rule_pack())
 
     cfg = CrawlConfig(web_config=web_cfg, out_dir=out_dir, seeds=seeds,
                       max_rounds=2, per_host_budget=10**9,
                       fetch_batch_size=256, seen_shard_bits=5,
-                      seen_mode="bloom", skew_salts=8)
+                      seen_mode="bloom", skew_salts=8,
+                      wallclock_politeness=politeness)
     t0 = time.perf_counter()
     totals = run_crawl(cfg, web.rule_pack())
     sec = time.perf_counter() - t0
@@ -229,6 +232,7 @@ def run_steady(num_cpus: int) -> dict:
                        for m in totals["per_round"])
     return {
         "num_cpus": num_cpus,
+        "politeness": politeness,
         "universe": len(seeds),
         "granted": totals["granted"],
         "images": totals["images"],
@@ -260,17 +264,21 @@ def main():
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
     if "--steady" in sys.argv:
-        print(json.dumps(run_steady(num_cpus)))
+        print(json.dumps(run_steady(num_cpus,
+                                    politeness="--politeness" in sys.argv)))
         import ray
         ray.shutdown()
         return
 
     if "--scaling" in sys.argv:
-        def run_once(ncpu):
+        def run_once(ncpu, politeness=False):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+            cmd = [sys.executable, os.path.abspath(__file__), "--steady"]
+            if politeness:
+                cmd.append("--politeness")
             out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--steady"],
-                env=env, capture_output=True, text=True, check=True).stdout
+                cmd, env=env, capture_output=True, text=True,
+                check=True).stdout
             return json.loads(out.strip().splitlines()[-1])
 
         def run(ncpu, repeats=3):
@@ -287,6 +295,12 @@ def main():
             return runs[0], runs[len(runs) // 2]
 
         (lo_best, lo_med), (hi_best, hi_med) = run(8), run(32)
+
+        # one politeness-ON leg per width (wall-clock pacing RPCs live
+        # inside the fetch workers) — shows the pacing path scales like
+        # the pacing-off path rather than serializing on shard actors
+        lo_pol, hi_pol = run_once(8, politeness=True), \
+            run_once(32, politeness=True)
 
         def eff(lo, hi):
             return round((hi["pages_per_sec"] / lo["pages_per_sec"])
@@ -314,6 +328,9 @@ def main():
             "median_pages_per_sec_8": lo_med["pages_per_sec"],
             "median_pages_per_sec_32": hi_med["pages_per_sec"],
             "scaling_efficiency_median": eff(lo_med, hi_med),
+            "politeness_pages_per_sec_8": lo_pol["pages_per_sec"],
+            "politeness_pages_per_sec_32": hi_pol["pages_per_sec"],
+            "scaling_efficiency_politeness": eff(lo_pol, hi_pol),
             "cpu_ceiling_efficiency": ceiling,
             "efficiency_vs_ceiling": round(eff(lo_best, hi_best) / ceiling,
                                            3),

@@ -173,3 +173,21 @@ def test_crawl_cuckoo_seen_mode(ray_session, tmp_path):
     totals = run_crawl(cfg, web.rule_pack())
     assert totals["pages_ok"] > 0
     assert totals["seen"]["divergences"] == 0
+
+
+def test_crawl_wallclock_politeness_same_results(ray_session, tmp_path,
+                                                 oracle_result):
+    """wallclock_politeness=True adds real-time pacing inside the fetch
+    workers (shard-actor schedules) but must not change WHAT is
+    crawled: per-round fetch sets stay oracle-identical, and the
+    pacing shard actors are killed at shutdown."""
+    web = SynthWeb(**WEB_CFG)
+    cfg = CrawlConfig(web_config=WEB_CFG, out_dir=str(tmp_path / "pol"),
+                      seeds=web.seed_urls(), max_rounds=30,
+                      per_host_budget=3, fetch_concurrency=2,
+                      seen_shard_bits=2, wallclock_politeness=True,
+                      politeness_shard_count=2)
+    totals = run_crawl(cfg, web.rule_pack())
+    assert totals["pages_ok"] > 0
+    ray_rounds = _ray_rounds(tmp_path / "pol")
+    assert ray_rounds == [r["fetched"] for r in oracle_result["rounds"]]

@@ -90,6 +90,13 @@ class CrawlConfig:
     # task (no shuffle) — a pandas sort of 100k rows is milliseconds,
     # while a Ray groupby shuffle has seconds of fixed cost
     small_grant_threshold: int = 100_000
+    # wall-clock per-host pacing INSIDE the fetch workers (politeness
+    # shard actors hand out per-host schedules); the virtual-clock
+    # per-round budget above stays authoritative for WHAT is fetched —
+    # this adds real-time WHEN pacing on top (stages/crawl_stages.py
+    # FetchParseStage politeness path)
+    wallclock_politeness: bool = False
+    politeness_shard_count: int = 4
 
 
 def _frontier_table(urls: List[str], parents: List[str], depths: List[int],
@@ -209,6 +216,12 @@ class CrawlRun:
                 for _ in range(4)]
         else:
             self.robots_shards = []
+        if cfg.wallclock_politeness:
+            from ..state.politeness import PolitenessShardActor
+            self.politeness_shards = [PolitenessShardActor.remote()
+                                      for _ in range(cfg.politeness_shard_count)]
+        else:
+            self.politeness_shards = []
         self.rule_pack_ref = None
 
     def shutdown(self):
@@ -217,7 +230,8 @@ class CrawlRun:
         processes contending for CPU slots."""
         import ray
         for actor in (list(self.seen.shards) + list(self.img_seen.shards)
-                      + list(self.robots_shards)):
+                      + list(self.robots_shards)
+                      + list(self.politeness_shards)):
             try:
                 ray.kill(actor)
             except Exception:
@@ -225,6 +239,7 @@ class CrawlRun:
         self.seen.shards = []
         self.img_seen.shards = []
         self.robots_shards = []
+        self.politeness_shards = []
 
     # -- state / resume ----------------------------------------------------
     def _state_path(self) -> Path:
@@ -421,10 +436,14 @@ class CrawlRun:
             # is already bounded by the politeness grant, not by
             # worker concurrency) --------------------------------------
             from ..stages.taskcache import cached_stage
+            fetch_kwargs = dict(rule_pack_ref=self.rule_pack_ref,
+                                web_config=self.cfg.web_config)
+            if self.politeness_shards:
+                fetch_kwargs.update(
+                    politeness_shards=self.politeness_shards,
+                    politeness_num=len(self.politeness_shards))
             pages = granted.map_batches(
-                cached_stage(FetchParseStage,
-                             rule_pack_ref=self.rule_pack_ref,
-                             web_config=self.cfg.web_config),
+                cached_stage(FetchParseStage, **fetch_kwargs),
                 batch_format="pyarrow",
                 batch_size=self.cfg.fetch_batch_size).materialize()
 
