@@ -35,4 +35,9 @@ def __getattr__(name):
     if name == "parse_dataset":
         from .stages import rule_engine
         return rule_engine.parse_dataset
+    if name in ("TransportAdapter", "RequestsAdapter", "SyntheticWebAdapter",
+                "AsyncTransportAdapter", "AiohttpAdapter", "HttpxAdapter",
+                "SyntheticAsyncWebAdapter", "Frequency", "AsyncFrequency"):
+        from .rulevm import transport
+        return getattr(transport, name)
     raise AttributeError(name)

@@ -19,7 +19,10 @@ from . import dom
 from .parsers import PARSER_REGISTRY, BaseParser
 from .request import get_host
 from .rules import CrawlerRule, ParseRule
-from .transport import Frequency, NullFrequency, TransportAdapter
+from .transport import (AsyncFrequency, AsyncTransportAdapter, Frequency,
+                        NullAsyncFrequency, NullFrequency, TransportAdapter)
+
+_NULL_ASYNC_FREQUENCY = NullAsyncFrequency()
 
 
 def _sniff_decode(content: bytes, declared: str = None) -> str:
@@ -130,6 +133,7 @@ class RuleVM:
         self.request_adapter: TransportAdapter = None
         self._DEFAULT_FREQUENCY = NullFrequency()
         self._HOST_FREQUENCIES: Dict[str, Frequency] = {}
+        self._HOST_ASYNC_FREQUENCIES: Dict[str, AsyncFrequency] = {}
 
     def __getattr__(self, name):
         # uni.css / uni.python style access used by conformance tests
@@ -255,14 +259,16 @@ class RuleVM:
         return self.parse(input_object, crawler_rule, context)
 
     # -- async twins (reference: parsers.py:1395-1482 aparse chain,
-    # crawler.py:191-224 acrawl).  The engine core is sync — Ray tasks
-    # supply the parallelism — so these are REAL awaitables that run
-    # the sync implementation on the event loop's thread executor:
-    # usable from async apps (won't block the loop), identical results,
-    # without duplicating the chain logic.  Natively-async transports
-    # (httpx/aiohttp) slot in by passing a request_adapter whose
-    # .request is sync-wrapped; async UDF *results* are awaited inside
-    # the chain itself (parsers.UDFParser._maybe_await).
+    # crawler.py:191-224 acrawl).  The chain/rule engine is sync — Ray
+    # tasks supply the parallelism — so aparse runs the sync
+    # implementation on the event loop's thread executor: usable from
+    # async apps (won't block the loop), identical results, without
+    # duplicating the chain logic.  adownload/acrawl are NATIVELY async
+    # when given an AsyncTransportAdapter (aiohttp/httpx/synthetic —
+    # awaitable fetch + AsyncFrequency pacing, the reference's
+    # AsyncRequestAdapter path, utils.py:258-316); a sync adapter falls
+    # back to the thread executor.  Async UDF *results* are awaited
+    # inside the chain itself (parsers.UDFParser._maybe_await).
 
     async def aparse(self, input_object,
                      rule_object: Union[CrawlerRule, ParseRule],
@@ -271,15 +277,57 @@ class RuleVM:
         return await asyncio.to_thread(self.parse, input_object,
                                        rule_object, context)
 
+    def _async_frequency(self, host: str) -> "AsyncFrequency | NullFrequency":
+        """Async pacing gate mirroring the host's sync Frequency
+        settings (separate token window — sync and async callers each
+        hold their own clock, like the reference's Frequency /
+        AsyncFrequency pair)."""
+        freq = self._HOST_FREQUENCIES.get(host)
+        if freq is None:
+            return _NULL_ASYNC_FREQUENCY
+        afreq = self._HOST_ASYNC_FREQUENCIES.get(host)
+        if afreq is None or (afreq.n, afreq.interval) != (freq.n,
+                                                          freq.interval):
+            afreq = AsyncFrequency(freq.n, freq.interval)
+            self._HOST_ASYNC_FREQUENCIES[host] = afreq
+        return afreq
+
     async def adownload(self, crawler_rule: CrawlerRule = None,
                         request_adapter=None, **request):
         import asyncio
+        request_adapter = request_adapter or self.request_adapter
+        if isinstance(request_adapter, AsyncTransportAdapter):
+            if isinstance(crawler_rule, CrawlerRule):
+                request_args = crawler_rule.get_request(**request)
+            else:
+                request_args = request
+            host = get_host(request_args["url"])
+            if request_args["url"].startswith("http"):
+                async with self._async_frequency(host):
+                    async with request_adapter as req:
+                        return await req.request(**dict(request_args))
+            return request_args, None
         return await asyncio.to_thread(
             lambda: self.download(crawler_rule, request_adapter, **request))
 
     async def acrawl(self, crawler_rule: CrawlerRule, request_adapter=None,
                      context=None, **request):
         import asyncio
+        request_adapter = request_adapter or self.request_adapter
+        if isinstance(request_adapter, AsyncTransportAdapter):
+            request_args = crawler_rule.get_request(**request)
+            input_object, resp = await self.adownload(None, request_adapter,
+                                                      **request_args)
+            if isinstance(resp, Exception):
+                return resp
+            if context is None:
+                context = crawler_rule.context
+            else:
+                for k, v in crawler_rule.context.items():
+                    context.setdefault(k, v)
+            context["resp"] = resp
+            context["request_args"] = request_args
+            return await self.aparse(input_object, crawler_rule, context)
         return await asyncio.to_thread(
             lambda: self.crawl(crawler_rule, request_adapter, context,
                                **request))
@@ -290,6 +338,7 @@ class RuleVM:
 
     def pop_frequency(self, host_or_url: str, default=None):
         host = get_host(host_or_url, host_or_url)
+        self._HOST_ASYNC_FREQUENCIES.pop(host, None)
         return self._HOST_FREQUENCIES.pop(host, default)
 
 
