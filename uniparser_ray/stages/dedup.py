@@ -247,10 +247,16 @@ def minhash_neardup_pairs(ds, threshold: float = 0.7, num_perm: int = 64,
             [cand_tbl["doc_a"].to_numpy(), cand_tbl["doc_b"].to_numpy()])))
         allow_ref = ray.put(cand_tbl)
         # restrict to candidate docs BEFORE shingling — the verify
-        # pass tokenizes/hashes only the LSH-selected docs
-        ds_f = ds.map_batches(
-            lambda b: b[b["doc_id"].isin(ray.get(ids_ref))],
-            batch_format="pandas")
+        # pass tokenizes/hashes only the LSH-selected docs.  Arrow
+        # filter (zero-copy; a pandas block here would also trip Ray's
+        # object-column size estimator on empty filtered batches)
+        def _keep_candidates(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            keep = pc.is_in(t["doc_id"].cast(pa.int64()),
+                            value_set=pa.array(ray.get(ids_ref), pa.int64()))
+            return t.filter(keep)
+
+        ds_f = ds.map_batches(_keep_candidates, batch_format="pyarrow")
         sh = shingle_set_rows(ds_f, shingle_k)
         partial = hash_bucket_combine(
             sh, ["shingle_hash"],
