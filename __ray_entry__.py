@@ -531,38 +531,12 @@ def _multimodal_oracle_thunks(tag: str) -> dict:
     }
 
 
-class _LazyOracleDict(dict):
-    """dict[str, str] whose expensive entries build on first access
-    (works transparently for ``d[k]`` / ``d.get`` / ``d.items()`` —
-    the driver sees plain strings either way)."""
-
-    def __init__(self, eager: dict, thunks: dict):
-        super().__init__(eager)
-        self._thunks = dict(thunks)
-        for k in self._thunks:
-            super().__setitem__(k, None)
-
-    def _force(self, k):
-        v = dict.__getitem__(self, k)
-        if v is None and k in self._thunks:
-            v = self._thunks.pop(k)()
-            super().__setitem__(k, v)
-        return v
-
-    def __getitem__(self, k):
-        return self._force(k)
-
-    def get(self, k, default=None):
-        return self._force(k) if k in self else default
-
-    def items(self):
-        return [(k, self._force(k)) for k in self]
-
-    def values(self):
-        return [self._force(k) for k in self]
-
-    def copy(self):
-        return dict(self.items())
+# NOTE: the multimodal entries are built through thunks + the per-kind
+# lru_cache above rather than a lazy dict: a dict subclass with
+# placeholder values would silently hand ``None`` oracles to any caller
+# using the C-level copy paths (``dict(d)`` / ``{**d}``), and the
+# correctness gate matters more than saving the one-time ~4 s build.
+# Repeat oracle_sql() calls in a process are cheap (memoized tables).
 
 
 def oracle_sql(sf_tag: str = None) -> dict[str, str]:
@@ -570,8 +544,8 @@ def oracle_sql(sf_tag: str = None) -> dict[str, str]:
     multimodal VALUES literals are built for — defaults to
     $UNIPARSER_ORACLE_SF (the driver's sf0.01); callers evaluating at
     another scale pass its tag (e.g. ``oracle_sql("sf0.1")``).  The
-    multimodal entries build lazily on first access (the expected-table
-    renders cost seconds)."""
+    expected-table builds are memoized per (kind, tag), so only the
+    first call in a process pays the multimodal renders."""
     tag = sf_tag or _oracle_tag()
     eager = {
         "q1_pricing_summary": """
@@ -768,4 +742,6 @@ def oracle_sql(sf_tag: str = None) -> dict[str, str]:
         # contract is pinned by tests/test_stages.py instead.  Every
         # other queries() entry above has a value-checked SQL oracle.
     }
-    return _LazyOracleDict(eager, _multimodal_oracle_thunks(tag))
+    eager.update({k: thunk() for k, thunk
+                  in _multimodal_oracle_thunks(tag).items()})
+    return eager
