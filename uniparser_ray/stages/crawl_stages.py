@@ -230,12 +230,21 @@ class FetchParseStage:
         if not self.politeness_shards:
             return None
         counts = Counter(hosts)
-        futures = {}
+        # ONE RPC per shard per batch (not per host): a batch touches
+        # up to batch_size distinct hosts, and per-host calls queue-storm
+        # the shard actors at high task concurrency
+        per_shard: Dict[int, list] = defaultdict(list)
         for host, cnt in counts.items():
-            shard = self.politeness_shards[
-                url_hash64(host) % self.politeness_num]
-            futures[host] = shard.acquire_batch.remote(host, cnt)
-        delays = {host: ray.get(fut) for host, fut in futures.items()}
+            per_shard[url_hash64(host) % self.politeness_num].append(
+                (host, cnt))
+        futures = [
+            (pairs, self.politeness_shards[si].acquire_batch_many.remote(
+                [h for h, _ in pairs], [c for _, c in pairs]))
+            for si, pairs in per_shard.items()]
+        delays = {}
+        for pairs, fut in futures:
+            for (host, _), d in zip(pairs, ray.get(fut)):
+                delays[host] = d
         t0 = self._now()
         nth: Dict[str, int] = defaultdict(int)
         targets = []
