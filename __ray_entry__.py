@@ -209,6 +209,16 @@ def _ts_us(result, cols):
     return result
 
 
+def _asof_no_nulls(df):
+    """The as-of join's unmatched rows carry real NULLs (pandas Int64);
+    the driver's canonicalizer only handles numpy dtypes, so the query
+    entry exposes a -1 sentinel (COALESCE'd identically in the oracle).
+    NULL semantics themselves are pinned by tests/test_stages.py."""
+    for c in ("matched_event_id", "gap_us"):
+        df[c] = df[c].fillna(-1).astype("int64")
+    return _ts_us(df, ["ts"])
+
+
 def entry() -> Any:
     """Flagship: the distributed crawl over the sf0.001 synthetic web,
     returning the Lance image+caption table."""
@@ -236,6 +246,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": lambda sf: _ts_us(
             relational.events_sessionize(sf).to_pandas(),
             ["session_start", "session_end"]),
+        "events_asof": lambda sf: _asof_no_nulls(
+            relational.events_asof(sf).to_pandas()),
         # rule-VM extraction as Dataset stages
         "events_json_k": relational.events_json_k,
         "doc_parse_rules": documents.doc_parse_rules,
@@ -621,6 +633,20 @@ def oracle_sql(sf_tag: str = None) -> dict[str, str]:
             SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
                    COUNT(*) AS n_events
             FROM numbered GROUP BY user_id, sess
+        """,
+        "events_asof": """
+            WITH right_d AS (
+              SELECT user_id, ts, MAX(event_id) AS matched_event_id
+              FROM events WHERE event_type = 'view' GROUP BY 1, 2
+            ), left_s AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase'
+            )
+            SELECT l.event_id, l.user_id, l.ts,
+                   COALESCE(r.matched_event_id, -1) AS matched_event_id,
+                   COALESCE(epoch_us(l.ts) - epoch_us(r.ts), -1) AS gap_us
+            FROM left_s l ASOF LEFT JOIN right_d r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "events_json_k": """
             SELECT event_id,

@@ -313,3 +313,67 @@ def test_hash_bucket_join_mixed_kind_batches(ray_session):
                             left_cols=["k", "lv"], right_cols=["rk", "rv"]) \
         .to_pandas()
     assert len(goti) == 0
+
+
+def test_events_asof_semantics(ray_session, tmp_path):
+    """As-of join edge cases vs DuckDB's native ASOF LEFT JOIN: purchase
+    before any view (NULL match), equal-ts purchase/view (at-or-before
+    matches it), right-side ties on (user, ts) (max event_id wins), and
+    users with only one side present."""
+    import duckdb
+
+    from uniparser_ray.pipelines.relational import events_asof
+
+    t0 = pd.Timestamp("2024-01-01")
+    m = pd.Timedelta(minutes=1)
+    rows = [
+        # user 1: purchase before any view; then view; purchase at SAME
+        # ts as the view (ties to it); later purchase after 2nd view
+        (1, 1, t0 + 0 * m, "purchase"),
+        (2, 1, t0 + 5 * m, "view"),
+        (3, 1, t0 + 5 * m, "purchase"),
+        (4, 1, t0 + 9 * m, "view"),
+        (5, 1, t0 + 9 * m, "view"),   # tie on (user, ts): id 5 wins
+        (6, 1, t0 + 20 * m, "purchase"),
+        # user 2: views only (no output rows)
+        (7, 2, t0 + 1 * m, "view"),
+        # user 3: purchases only (all NULL matches)
+        (8, 3, t0 + 2 * m, "purchase"),
+        # noise event types are filtered at the read
+        (9, 1, t0 + 6 * m, "click"),
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "ts",
+                                     "event_type"])
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    df.to_parquet(tmp_path / "events.parquet", index=False)
+
+    got = events_asof(str(tmp_path)).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet')")
+    want = con.execute("""
+        WITH right_d AS (
+          SELECT user_id, ts, MAX(event_id) AS matched_event_id
+          FROM events WHERE event_type = 'view' GROUP BY 1, 2
+        ), left_s AS (
+          SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase')
+        SELECT l.event_id, l.user_id, l.ts, r.matched_event_id,
+               epoch_us(l.ts) - epoch_us(r.ts) AS gap_us
+        FROM left_s l ASOF LEFT JOIN right_d r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+        ORDER BY l.event_id
+    """).df()
+
+    assert got["event_id"].tolist() == [1, 3, 6, 8]
+    assert got["matched_event_id"].tolist() == [pd.NA, 2, 5, pd.NA] \
+        or got["matched_event_id"].isna().tolist() == [True, False, False,
+                                                       True]
+    assert got.loc[1, "matched_event_id"] == 2      # equal-ts matches
+    assert got.loc[2, "matched_event_id"] == 5      # tie -> max id
+    assert got.loc[2, "gap_us"] == 11 * 60_000_000
+    w = want.astype({"matched_event_id": "Int64", "gap_us": "Int64"})
+    w["ts"] = w["ts"].astype(got["ts"].dtype)
+    pd.testing.assert_frame_equal(got, w[got.columns], check_dtype=False)

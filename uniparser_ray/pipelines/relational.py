@@ -18,6 +18,7 @@ whose column names match its oracle SQL in __ray_entry__.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -257,6 +258,73 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30):
         return out.reset_index(drop=True)
 
     return hash_bucket_combine(ds, ["user_id"], sessions, num_buckets=64)
+
+
+def events_asof(sf_dir: str, left_type: str = "purchase",
+                right_type: str = "view"):
+    """As-of join inside the events stream: each ``left_type`` event
+    joins the same user's most recent ``right_type`` event at-or-before
+    its timestamp (NULL if none) — the classic enrich-stream-with-
+    latest-state operator Ray Data has no primitive for.
+
+    Composition (the documented custom-operator recipe): filter both
+    sides at the read -> ONE hash shuffle on user_id -> per bucket a
+    single vectorized pass (sort by (user, ts, side), forward-fill the
+    last-seen right event within user, keep left rows).  Partitioning
+    assumption: one user's (filtered) history fits a bucket; at 100 TB
+    scale the same pass runs per (user, time-range) partition with one
+    carried boundary row per user.  Right-side ties on (user, ts)
+    dedupe to max(event_id) so the result is deterministic (DuckDB's
+    ASOF JOIN leaves equal-key ties unspecified)."""
+    from ..stages.combine import hash_bucket_combine
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.filter(pc.is_in(
+            t["event_type"],
+            value_set=pa.array([left_type, right_type])))
+
+    ds = ds.map_batches(keep, batch_format="pyarrow")
+
+    def asof(bucket: pd.DataFrame) -> pd.DataFrame:
+        is_left = bucket["event_type"].eq(left_type)
+        b = bucket.assign(_side=is_left.astype("int8"))
+        # dedupe right ties on (user, ts): keep max event_id
+        right = b[b["_side"].eq(0)]
+        if len(right):
+            keep_idx = right.groupby(["user_id", "ts"], sort=False)[
+                "event_id"].idxmax()
+            b = pd.concat([b.loc[keep_idx], b[b["_side"].eq(1)]])
+        # right before left at equal ts -> at-or-before semantics
+        b = b.sort_values(["user_id", "ts", "_side", "event_id"],
+                          kind="mergesort")
+        right_id = b["event_id"].where(b["_side"].eq(0))
+        right_ts = b["ts"].where(b["_side"].eq(0))
+        uid = b["user_id"]
+        b = b.assign(matched_event_id=right_id.groupby(uid).ffill(),
+                     matched_ts=right_ts.groupby(uid).ffill())
+        out = b[b["_side"].eq(1)]
+        matched = out["matched_event_id"].notna().to_numpy()
+        # unit-explicit epoch µs (NaT -> iNaT garbage, masked below)
+        ts_us = out["ts"].astype("datetime64[us]").to_numpy().view("i8")
+        mts_us = out["matched_ts"].astype("datetime64[us]") \
+            .to_numpy().view("i8")
+        gap_us = pd.array(np.where(matched, ts_us - mts_us, 0),
+                          dtype="Int64")
+        gap_us[~matched] = pd.NA
+        return pd.DataFrame({
+            "event_id": out["event_id"].astype("int64").to_numpy(),
+            "user_id": out["user_id"].astype("int64").to_numpy(),
+            "ts": out["ts"].to_numpy(),
+            "matched_event_id": pd.array(
+                out["matched_event_id"].to_numpy(), dtype="Int64"),
+            "gap_us": gap_us,
+        })
+
+    return hash_bucket_combine(ds, ["user_id"], asof, num_buckets=64)
 
 
 def events_json_k(sf_dir: str):

@@ -262,13 +262,23 @@ def expected_video_frames(n_videos: int, k: int = 3,
 
 
 def audio_features(ds, concurrency: int = 4):
-    """Dataset of AUDIO_SCHEMA rows -> per-clip features."""
-    return ds.map_batches(AudioFeatureStage, batch_format="pyarrow",
-                          concurrency=concurrency, batch_size=64, num_cpus=1)
+    """Dataset of AUDIO_SCHEMA rows -> per-clip features.
+
+    Task form via the warm-worker cache, not an actor pool: the stage's
+    state is a flag, and a pool pays spin-up per execution (plus Ray's
+    min-actor / constructor-args-in-object-store warnings on small
+    inputs).  A real codec with heavy model state would switch back to
+    ``map_batches(Cls, concurrency=...)``."""
+    from .taskcache import cached_stage
+    return ds.map_batches(cached_stage(AudioFeatureStage),
+                          batch_format="pyarrow", batch_size=64,
+                          concurrency=concurrency)
 
 
 def video_frame_samples(ds, k: int = 4, concurrency: int = 4):
-    """Dataset of VIDEO_SCHEMA rows -> one row per sampled frame."""
-    return ds.map_batches(VideoFrameSampleStage, batch_format="pyarrow",
-                          fn_constructor_kwargs={"k": k},
-                          concurrency=concurrency, batch_size=16, num_cpus=1)
+    """Dataset of VIDEO_SCHEMA rows -> one row per sampled frame (task
+    form — see audio_features)."""
+    from .taskcache import cached_stage
+    return ds.map_batches(cached_stage(VideoFrameSampleStage, k=k),
+                          batch_format="pyarrow", batch_size=16,
+                          concurrency=concurrency)
