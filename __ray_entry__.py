@@ -228,7 +228,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from uniparser_ray.pipelines import (documents, images_q, relational,
-                                         vectors)
+                                         stats, vectors)
 
     return {
         # relational operators (groupby/sort/limit/join/filter/distinct)
@@ -240,6 +240,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_segments": relational.distinct_segments,
         "segment_order_stats": relational.segment_order_stats,
         "part_topk_price": relational.part_topk_price,
+        "orders_topk_per_customer": relational.orders_topk_per_customer,
+        "part_price_bands": relational.part_price_bands,
+        # statistics (sketches + rank stats)
+        "events_distinct_users": stats.events_distinct_users,
+        "events_hll_users": stats.events_hll_users,
+        "order_price_quantiles": stats.order_price_quantiles,
         # stream-shaped operators
         "events_tumbling": lambda sf: _ts_us(
             relational.events_tumbling(sf).to_pandas(), ["window_start"]),
@@ -248,6 +254,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["session_start", "session_end"]),
         "events_asof": lambda sf: _asof_no_nulls(
             relational.events_asof(sf).to_pandas()),
+        "events_hopping": lambda sf: _ts_us(
+            relational.events_hopping(sf).to_pandas(), ["window_start"]),
         # rule-VM extraction as Dataset stages
         "events_json_k": relational.events_json_k,
         "doc_parse_rules": documents.doc_parse_rules,
@@ -647,6 +655,67 @@ def oracle_sql(sf_tag: str = None) -> dict[str, str]:
                    COALESCE(epoch_us(l.ts) - epoch_us(r.ts), -1) AS gap_us
             FROM left_s l ASOF LEFT JOIN right_d r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "orders_topk_per_customer": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+              FROM orders)
+            WHERE rk <= 3
+        """,
+        "part_price_bands": """
+            WITH bands(band_lo, band_hi) AS (VALUES
+              (0.0, 905.0), (905.0, 912.0), (912.0, 950.0),
+              (950.0, 975.0), (975.0, 1e18))
+            SELECT band_lo, COUNT(*) AS n_parts,
+                   ROUND(SUM(p_retailprice), 2) AS sum_price,
+                   ROUND(SUM(p_retailprice) / COUNT(*), 2) AS avg_price
+            FROM part JOIN bands
+              ON p_retailprice >= band_lo AND p_retailprice < band_hi
+            GROUP BY band_lo
+        """,
+        "events_distinct_users": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1
+        """,
+        "events_hll_users": """
+            -- the APPROXIMATE sketch itself is value-checked: the md5
+            -- 31-bit hash (stages/tokenhash construction) makes the
+            -- HLL registers bit-identical in SQL
+            WITH h AS (
+              SELECT DISTINCT event_type,
+                     ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                       ::BIGINT % 2147483647 AS hv
+              FROM events),
+            hb AS (SELECT event_type, hv % 64 AS bucket,
+                          hv // 64 AS rem FROM h)
+            SELECT event_type, bucket,
+                   MAX(CASE WHEN rem = 0 THEN 26
+                       ELSE 26 - length(bin(rem)) END) AS register
+            FROM hb GROUP BY 1, 2
+        """,
+        "order_price_quantiles": """
+            SELECT 0.5 AS q, quantile_disc(o_totalprice, 0.5) AS value
+            FROM orders
+            UNION ALL
+            SELECT 0.9, quantile_disc(o_totalprice, 0.9) FROM orders
+            UNION ALL
+            SELECT 0.99, quantile_disc(o_totalprice, 0.99) FROM orders
+        """,
+        "events_hopping": """
+            WITH w AS (
+              SELECT (epoch_us(ts) // 1800000000) * 1800000000 AS w0,
+                     value FROM events
+              UNION ALL
+              SELECT (epoch_us(ts) // 1800000000) * 1800000000
+                       - 1800000000 AS w0,
+                     value FROM events)
+            SELECT make_timestamp(w0) AS window_start,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 2) AS sum_value
+            FROM w GROUP BY 1
         """,
         "events_json_k": """
             SELECT event_id,

@@ -377,3 +377,63 @@ def test_events_asof_semantics(ray_session, tmp_path):
     w = want.astype({"matched_event_id": "Int64", "gap_us": "Int64"})
     w["ts"] = w["ts"].astype(got["ts"].dtype)
     pd.testing.assert_frame_equal(got, w[got.columns], check_dtype=False)
+
+
+def test_hll_estimate_and_merge(ray_session):
+    """HLL registers: estimate within theoretical error of the exact
+    count, and register partials merge associatively by MAX (the
+    property the distributed combine relies on)."""
+    import numpy as np
+
+    from uniparser_ray.stages.sketches import (HLL_M, hash31, hll_estimate,
+                                               hll_partial)
+
+    vals = [f"user-{i}" for i in range(5000)]
+    h = hash31(vals)
+    bucket, rho = hll_partial(h)
+    regs = np.zeros(HLL_M, np.int64)
+    np.maximum.at(regs, bucket, rho)
+    est = hll_estimate(regs)
+    # 3 sigma of 1.04/sqrt(64) = 13% relative error
+    assert abs(est - 5000) / 5000 < 0.39, est
+
+    # merge of two disjoint halves == whole
+    r1 = np.zeros(HLL_M, np.int64)
+    r2 = np.zeros(HLL_M, np.int64)
+    np.maximum.at(r1, bucket[:2500], rho[:2500])
+    np.maximum.at(r2, bucket[2500:], rho[2500:])
+    assert np.array_equal(np.maximum(r1, r2), regs)
+
+    # duplicates don't move the sketch
+    h2 = hash31(vals + vals[:1000])
+    b2, p2 = hll_partial(h2)
+    regs2 = np.zeros(HLL_M, np.int64)
+    np.maximum.at(regs2, b2, p2)
+    assert np.array_equal(regs2, regs)
+
+
+def test_exact_quantiles_skew_and_multipass(ray_session):
+    """Histogram-refinement quantiles: exact under duplicate-heavy
+    skew (90% of mass on one value) and when a tiny collect_limit
+    forces several refinement passes; matches DuckDB quantile_disc."""
+    import duckdb
+    import numpy as np
+    import ray.data
+
+    from uniparser_ray.stages.sketches import exact_quantiles
+
+    rng = np.random.RandomState(7)
+    skew = np.concatenate([np.full(9000, 42.5),
+                           rng.uniform(0, 100, 1000)])
+    rng.shuffle(skew)
+    df = pd.DataFrame({"x": skew})
+    ds = ray.data.from_pandas(df).repartition(8)
+
+    got = exact_quantiles(ds, "x", [0.0, 0.5, 0.91, 1.0],
+                          num_hist_buckets=16, collect_limit=64)
+    con = duckdb.connect()
+    con.register("t", df)
+    for q, v in zip(got["q"], got["value"]):
+        want = con.execute(
+            f"SELECT quantile_disc(x, {q}) FROM t").fetchone()[0]
+        assert v == want, (q, v, want)

@@ -327,6 +327,113 @@ def events_asof(sf_dir: str, left_type: str = "purchase",
     return hash_bucket_combine(ds, ["user_id"], asof, num_buckets=64)
 
 
+def orders_topk_per_customer(sf_dir: str, k: int = 3):
+    """Grouped top-k (ROW_NUMBER <= k per partition): each customer's
+    k most expensive orders with their rank.
+
+    Scale shape: the per-batch PARTIAL top-k prunes before the
+    shuffle — at most k rows per customer per batch move (for
+    customers spread thin across blocks this is the combiner that
+    keeps the exchange O(keys x k x batches), never O(rows)); the
+    bucketed combine re-ranks exactly.  Ties break on o_orderkey asc
+    so the result is deterministic."""
+    from ..stages.combine import hash_bucket_combine
+
+    ds = _read(sf_dir, "orders",
+               ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True], kind="mergesort") \
+            .groupby("o_custkey", sort=False).head(k)
+
+    pruned = ds.map_batches(partial_topk, batch_format="pandas")
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True], kind="mergesort") \
+            .groupby("o_custkey", sort=False).head(k)
+        df["rk"] = df.groupby("o_custkey", sort=False).cumcount() + 1
+        return df[["o_custkey", "o_orderkey", "o_totalprice", "rk"]] \
+            .astype({"rk": "int64"})
+
+    return hash_bucket_combine(pruned, ["o_custkey"], final_topk,
+                               num_buckets=64)
+
+
+PRICE_BAND_EDGES = [0.0, 905.0, 912.0, 950.0, 975.0]
+PRICE_BAND_TOP = 1.0e18   # finite upper edge for the open last band
+
+
+def part_price_bands(sf_dir: str):
+    """Non-equi (range) join of part prices against a band table,
+    then a per-band aggregate — the broadcast form of a range join:
+    the band table is tiny and constant, so instead of any shuffle
+    each batch binary-searches the sorted edges (np.searchsorted) and
+    the bands ride along as a closure constant.  (The shuffle form of
+    a non-equi join is ``events_asof``; a big-big interval join would
+    bucket both sides by coarse range then searchsorted per bucket.)"""
+    edges = np.array(PRICE_BAND_EDGES)
+
+    ds = _read(sf_dir, "part", ["p_retailprice"])
+
+    def band(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["p_retailprice"].to_numpy(np.float64)
+        idx = np.clip(np.searchsorted(edges, x, side="right") - 1,
+                      0, len(edges) - 1)
+        return pd.DataFrame({"band_lo": edges[idx],
+                             "p_retailprice": x})
+
+    out = partial_groupby(ds.map_batches(band, batch_format="pandas"),
+                          ["band_lo"],
+                          {"n_parts": ("p_retailprice", "count"),
+                           "sum_price": ("p_retailprice", "sum")})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_parts"] = df["n_parts"].astype("int64")
+        df["avg_price"] = (df["sum_price"] / df["n_parts"]).round(2)
+        df["sum_price"] = df["sum_price"].round(2)
+        return df[["band_lo", "n_parts", "sum_price", "avg_price"]]
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+def events_hopping(sf_dir: str, size_minutes: int = 60,
+                   hop_minutes: int = 30):
+    """Hopping (overlapping) windows: size 1 h, hop 30 min — every
+    event lands in size/hop windows.  The fan-out is a vectorized
+    repeat-and-shift inside ``map_batches`` (no flat_map row calls),
+    then the same partial-aggregate shuffle as tumbling windows."""
+    assert size_minutes % hop_minutes == 0
+    fan = size_minutes // hop_minutes
+    hop_us = hop_minutes * 60_000_000
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ts_us = df["ts"].astype("datetime64[us]").to_numpy().view("i8")
+        base = (ts_us // hop_us) * hop_us
+        keys = np.concatenate([base - i * hop_us for i in range(fan)])
+        vals = np.tile(df["value"].to_numpy(np.float64), fan)
+        return pd.DataFrame({"window_us": keys, "value": vals})
+
+    out = partial_groupby(ds.map_batches(explode, batch_format="pandas"),
+                          ["window_us"],
+                          {"n_events": ("value", "count"),
+                           "sum_value": ("value", "sum")})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["window_start"] = pd.to_datetime(df.pop("window_us"),
+                                            unit="us")
+        df["n_events"] = df["n_events"].astype("int64")
+        df["sum_value"] = df["sum_value"].round(2)
+        return df[["window_start", "n_events", "sum_value"]]
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
 def events_json_k(sf_dir: str):
     """JSON extraction through the rule VM: a jmespath chain rule over
     the ``props`` column — the reference's JSON parser as a Dataset

@@ -1,0 +1,92 @@
+"""Statistics pipelines: distinct counts (exact + HyperLogLog) and
+exact distributed quantiles over the TPC-H-ish tables.
+
+Scale shapes:
+
+* ``events_distinct_users`` — one shuffle of per-batch-unique
+  (event_type, user_id) pairs bucketed by user_id; each bucket dedups
+  vectorized and emits per-type partial counts; the global combine is
+  O(buckets x types) rows.
+* ``events_hll_users`` — no pair shuffle at all: per-batch HLL
+  register partials (O(types x 64) rows per batch) merge by MAX.  The
+  md5-derived hash (stages/sketches.hash31) makes the registers
+  bit-identical in DuckDB, so even the sketch is value-checked.
+* ``order_price_quantiles`` — iterative histogram refinement
+  (stages/sketches.exact_quantiles): O(log(n)) streaming passes,
+  driver state O(histogram buckets), no global sort.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    from ..sources.parquet import read_parquet_clean
+    return read_parquet_clean(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def events_distinct_users(sf_dir: str):
+    """Exact COUNT(DISTINCT user_id) per event_type."""
+    from ..stages.combine import hash_bucket_combine
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def batch_unique(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    pairs = ds.map_batches(batch_unique, batch_format="pandas")
+
+    def bucket_count(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates().groupby("event_type", sort=False) \
+            .size().rename("n_users").reset_index()
+
+    partials = hash_bucket_combine(pairs, ["user_id"], bucket_count,
+                                   num_buckets=64).to_pandas()
+    out = partials.groupby("event_type", sort=True)["n_users"].sum() \
+        .reset_index()
+    out["n_users"] = out["n_users"].astype("int64")
+    return out
+
+
+def events_hll_users(sf_dir: str):
+    """HyperLogLog registers per event_type (m=64, md5-31bit hash).
+
+    Returns (event_type, bucket, register) rows — the registers ARE the
+    sketch state (mergeable by MAX across any partitioning) and are
+    reproduced exactly by the DuckDB oracle; the cardinality estimate
+    is ``stages.sketches.hll_estimate`` over a type's registers
+    (pinned by pytest against the exact twin)."""
+    from ..stages.combine import grouped_aggregate
+    from ..stages.sketches import hash31, hll_partial
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates()
+        h = hash31(d["user_id"].to_numpy())
+        bucket, rho = hll_partial(h)
+        return pd.DataFrame({"event_type": d["event_type"].to_numpy(),
+                             "bucket": bucket, "register": rho}) \
+            .groupby(["event_type", "bucket"], sort=False)["register"] \
+            .max().reset_index()
+
+    out = grouped_aggregate(ds.map_batches(partial, batch_format="pandas"),
+                            ["event_type", "bucket"],
+                            {"register": ("register", "max")})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["bucket"] = df["bucket"].astype("int64")
+        df["register"] = df["register"].astype("int64")
+        return df[["event_type", "bucket", "register"]]
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+def order_price_quantiles(sf_dir: str, qs=(0.5, 0.9, 0.99)):
+    """Exact p50/p90/p99 of o_totalprice (quantile_disc semantics)."""
+    from ..stages.sketches import exact_quantiles
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+    return exact_quantiles(ds, "o_totalprice", qs)
