@@ -246,6 +246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users": stats.events_distinct_users,
         "events_hll_users": stats.events_hll_users,
         "order_price_quantiles": stats.order_price_quantiles,
+        "events_value_quantiles": stats.events_value_quantiles,
         # stream-shaped operators
         "events_tumbling": lambda sf: _ts_us(
             relational.events_tumbling(sf).to_pandas(), ["window_start"]),
@@ -261,6 +262,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_parse_rules": documents.doc_parse_rules,
         # text analysis
         "doc_token_stats": documents.doc_token_stats,
+        "doc_top_tokens": documents.doc_top_tokens,
+        "doc_sample_hash": documents.doc_sample_hash,
         "doc_quality": documents.doc_quality,
         "doc_langid": documents.doc_langid,
         "doc_fingerprint": documents.doc_fingerprint,
@@ -704,6 +707,14 @@ def oracle_sql(sf_tag: str = None) -> dict[str, str]:
             UNION ALL
             SELECT 0.99, quantile_disc(o_totalprice, 0.99) FROM orders
         """,
+        "events_value_quantiles": """
+            SELECT event_type, 0.5 AS q,
+                   quantile_disc(value, 0.5) AS value
+            FROM events GROUP BY event_type
+            UNION ALL
+            SELECT event_type, 0.9, quantile_disc(value, 0.9)
+            FROM events GROUP BY event_type
+        """,
         "events_hopping": """
             WITH w AS (
               SELECT (epoch_us(ts) // 1800000000) * 1800000000 AS w0,
@@ -727,6 +738,18 @@ def oracle_sql(sf_tag: str = None) -> dict[str, str]:
                    length(string_split(text, ' ')) AS n_words,
                    md5(text) AS text_md5
             FROM documents
+        """,
+        "doc_top_tokens": r"""
+            SELECT t AS token, COUNT(*) AS n FROM (
+              SELECT unnest(list_filter(
+                  string_split_regex(text, '\s+'), s -> s <> '')) AS t
+              FROM documents)
+            GROUP BY 1 ORDER BY n DESC, token LIMIT 20
+        """,
+        "doc_sample_hash": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                     ::BIGINT % 2147483647) % 100 < 10
         """,
         "doc_token_stats": r"""
             SELECT doc_id,

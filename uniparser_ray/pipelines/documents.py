@@ -132,3 +132,59 @@ def doc_dedup_jaccard(sf_dir: str, threshold: float = 0.5):
 
     return jaccard_pairs(_read(sf_dir, ["doc_id", "text"]),
                          threshold=threshold)
+
+
+def doc_top_tokens(sf_dir: str, k: int = 20):
+    """Global heavy hitters: the k most frequent whitespace tokens.
+
+    Scale shape: per-batch ``np.unique`` counts shrink each batch to
+    its vocabulary before the shuffle (natural-language vocab grows
+    ~O(sqrt(corpus)), so partials are tiny relative to token count);
+    the grouped sum then moves only (token, partial_count) rows and
+    the final top-k is a sort over the global vocabulary.  Determinism:
+    count ties break on token asc."""
+    import numpy as np
+
+    from ..stages.combine import grouped_aggregate
+
+    ds = _read(sf_dir, ["text"])
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        toks = [w for t in df["text"] for w in t.split()]
+        if not toks:
+            return pd.DataFrame({"token": pd.Series([], dtype=str),
+                                 "n": pd.Series([], dtype="int64")})
+        uniq, cnt = np.unique(np.asarray(toks, dtype=object),
+                              return_counts=True)
+        return pd.DataFrame({"token": uniq, "n": cnt.astype("int64")})
+
+    vocab = grouped_aggregate(ds.map_batches(counts, batch_format="pandas"),
+                              ["token"], {"n": ("n", "sum")})
+
+    def fix(df: pd.DataFrame) -> pd.DataFrame:
+        df["n"] = df["n"].astype("int64")
+        return df[["token", "n"]]
+
+    return vocab.map_batches(fix, batch_format="pandas") \
+        .sort(["n", "token"], descending=[True, False]).limit(k)
+
+
+def doc_sample_hash(sf_dir: str, pct: int = 10):
+    """Deterministic hash sample: keep documents whose md5-31bit
+    doc_id hash lands in the first ``pct`` of 100 residue classes.
+
+    No RNG state, no coordination, no sampling shuffle: every worker
+    makes the identical keep/drop decision from the row alone, so the
+    sample is reproducible across cluster sizes, retries and resumes —
+    the property a 100 TB pipeline needs from its sampler (seeded
+    ``Dataset.random_sample`` can't survive re-partitioning).  Also the
+    building block for stratified variants (vary pct per stratum)."""
+    from ..stages.sketches import hash31
+
+    ds = _read(sf_dir, ["doc_id", "lang", "n_chars"])
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        h = hash31(df["doc_id"].to_numpy())
+        return df[(h % 100) < pct]
+
+    return ds.map_batches(keep, batch_format="pandas")

@@ -90,3 +90,14 @@ def order_price_quantiles(sf_dir: str, qs=(0.5, 0.9, 0.99)):
 
     ds = _read(sf_dir, "orders", ["o_totalprice"])
     return exact_quantiles(ds, "o_totalprice", qs)
+
+
+def events_value_quantiles(sf_dir: str, qs=(0.5, 0.9)):
+    """Exact per-event-type value quantiles — the GROUPED form of the
+    histogram refinement: all (type, q) ranges share the same streaming
+    passes, so per-group medians cost the same number of scans as one
+    global median (group key assumed low-cardinality)."""
+    from ..stages.sketches import exact_quantiles
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return exact_quantiles(ds, "value", qs, by="event_type")

@@ -17,7 +17,11 @@ aggregates:
   target rank's bucket becomes the next pass's range.  When the
   candidate range holds fewer than ``collect_limit`` rows they are
   pulled and selected exactly.  O(log_B(n)) passes, driver state O(B)
-  — no global sort, no full materialization.
+  — no global sort, no full materialization.  The grouped form runs
+  every (group, q) range through the SAME shared passes, so per-group
+  quantiles cost the same number of streaming scans as global ones
+  (driver state O(groups x qs x B) — for low-cardinality group keys;
+  a high-cardinality key should use the per-bucket sort instead).
 
 Reference repo has no statistics layer; these follow the public
 literature only.
@@ -78,86 +82,87 @@ def hll_estimate(registers: np.ndarray, m: int = HLL_M) -> float:
 
 
 # ---------------------------------------------------------------------------
-# exact distributed quantiles
+# exact distributed quantiles (optionally grouped)
+
+_ALL = "__all__"   # sentinel group for the ungrouped form
 
 
-def exact_quantiles(ds, column: str, qs: Sequence[float],
+def exact_quantiles(ds, column: str, qs: Sequence[float], by: str = None,
                     num_hist_buckets: int = 2048,
                     collect_limit: int = 200_000,
-                    max_passes: int = 8) -> pd.DataFrame:
+                    max_passes: int = 12) -> pd.DataFrame:
     """Exact discrete quantiles of ``ds[column]`` (DuckDB
     ``quantile_disc`` semantics: 0-based rank ``ceil(n*q) - 1`` of the
-    sorted column) without a global sort.
+    sorted column), optionally per group ``by``, without a global sort.
 
     Each refinement pass is ONE streaming ``map_batches`` over the
-    column producing per-batch histogram counts for every still-active
-    quantile range; the driver folds them (O(B) ints per range) and
-    narrows each range to the bucket containing its rank.  Skewed /
-    duplicate-heavy columns converge too: a range that stops shrinking
-    (all mass on one value) resolves immediately.  Final step filters
-    the survivors (``<= collect_limit`` rows per range by
+    input producing per-batch histogram counts for every still-active
+    (group, q) range; the driver folds them (O(B) ints per range) and
+    narrows each range to the bucket containing its rank.  Duplicate-
+    heavy skew converges too: a bucket whose value min == max holds one
+    distinct value and resolves immediately.  The final step filters
+    the surviving ranges (``<= collect_limit`` rows each by
     construction) and selects exactly.
 
-    Returns DataFrame (q: float64, value: float64) sorted by q.
+    Returns DataFrame (by?, q: float64, value: float64).
     """
     qs = sorted(qs)
-
-    # pass 0: n / min / max
-    def stats(df: pd.DataFrame) -> pd.DataFrame:
-        x = df[column].to_numpy()
-        return pd.DataFrame({"n": [len(x)],
-                             "lo": [np.min(x) if len(x) else np.inf],
-                             "hi": [np.max(x) if len(x) else -np.inf]})
-
-    st = ds.map_batches(stats, batch_format="pandas").to_pandas()
-    n = int(st["n"].sum())
-    if n == 0:
-        return pd.DataFrame({"q": np.array(qs, np.float64),
-                             "value": np.full(len(qs), np.nan)})
-    glo, ghi = float(st["lo"].min()), float(st["hi"].max())
-
-    # active[i] = (lo, hi, rank_in_range) for qs[i]; global 0-based rank
-    ranks = [max(0, int(np.ceil(n * q)) - 1) for q in qs]
-    active = {i: (glo, ghi, ranks[i]) for i in range(len(qs))}
-    resolved: dict[int, float] = {}
     B = num_hist_buckets
 
-    for _ in range(max_passes):
-        # resolve degenerate / small ranges without another pass
-        pending = {}
-        for i, (lo, hi, r) in active.items():
-            if lo == hi:
-                resolved[i] = lo
-            else:
-                pending[i] = (lo, hi, r)
-        if not pending:
-            break
-        items = sorted(pending.items())
-        ids = [i for i, _ in items]
-        edges = {i: np.linspace(lo, hi, B + 1)
-                 for i, (lo, hi, _r) in items}
+    # pass 0: per-group n / min / max (groups assumed low-cardinality)
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        g = df[by] if by else pd.Series(_ALL, index=df.index)
+        agg = df.assign(_g=g).groupby("_g", sort=False)[column] \
+            .agg(n="size", lo="min", hi="max").reset_index()
+        return agg
 
-        def hist(df: pd.DataFrame, _edges=edges, _ids=ids) -> pd.DataFrame:
-            x = df[column].to_numpy(np.float64)
+    st = ds.map_batches(stats, batch_format="pandas").to_pandas() \
+        .groupby("_g", sort=True).agg(n=("n", "sum"), lo=("lo", "min"),
+                                      hi=("hi", "max"))
+
+    # active[(g, i)] = (lo, hi, GLOBAL-within-group 0-based rank)
+    active: dict = {}
+    resolved: dict = {}
+    for g, row in st.iterrows():
+        n = int(row["n"])
+        for i, q in enumerate(qs):
+            r = max(0, int(np.ceil(n * q)) - 1)
+            active[(g, i)] = (float(row["lo"]), float(row["hi"]), r)
+
+    for _ in range(max_passes):
+        pending = {}
+        for k, (lo, hi, r) in active.items():
+            if lo == hi:
+                resolved[k] = lo
+            else:
+                pending[k] = (lo, hi, r)
+        if not pending:
+            active = {}
+            break
+        keys = sorted(pending)
+        edges = {k: np.linspace(*pending[k][:2], B + 1) for k in keys}
+
+        def hist(df: pd.DataFrame, _edges=edges, _keys=keys) \
+                -> pd.DataFrame:
+            gcol = df[by].to_numpy() if by else None
+            x_all = df[column].to_numpy(np.float64)
             out = []
-            for i in _ids:
-                e = _edges[i]
+            for k in _keys:
+                g, i = k
+                x = x_all if gcol is None else x_all[gcol == g]
+                e = _edges[k]
                 m = (x >= e[0]) & (x <= e[-1])
                 below = int(np.sum(x < e[0]))
                 xm = x[m]
                 idx = np.clip(np.searchsorted(e, xm, side="right") - 1,
                               0, B - 1)
                 counts = np.bincount(idx, minlength=B)
-                # per-bucket value min/max: a bucket whose min == max
-                # holds ONE distinct value and resolves without
-                # shrinking (duplicate-heavy skew would otherwise
-                # never drop under collect_limit)
                 vmin = np.full(B, np.inf)
                 vmax = np.full(B, -np.inf)
                 np.minimum.at(vmin, idx, xm)
                 np.maximum.at(vmax, idx, xm)
                 out.append(pd.DataFrame({
-                    "qi": np.full(B + 1, i, np.int64),
+                    "g": g, "qi": np.full(B + 1, i, np.int64),
                     "slot": np.arange(-1, B, dtype=np.int64),
                     "cnt": np.concatenate([[below], counts]),
                     "vmin": np.concatenate([[np.inf], vmin]),
@@ -165,83 +170,84 @@ def exact_quantiles(ds, column: str, qs: Sequence[float],
                 }))
             return pd.concat(out, ignore_index=True)
 
-        folded_df = ds.map_batches(hist, batch_format="pandas") \
-            .to_pandas().groupby(["qi", "slot"], sort=True) \
+        folded = ds.map_batches(hist, batch_format="pandas") \
+            .to_pandas().groupby(["g", "qi", "slot"], sort=True) \
             .agg(cnt=("cnt", "sum"), vmin=("vmin", "min"),
                  vmax=("vmax", "max"))
-        folded = folded_df["cnt"]
 
         nxt = {}
-        for i in ids:
-            lo, hi, r = pending[i]
-            e = edges[i]
+        for k in keys:
+            g, i = k
+            lo, hi, r = pending[k]
+            e = edges[k]
+            got = folded.loc[(g, i)]
+            below = int(got["cnt"].get(-1, 0))
             cnt = np.zeros(B, np.int64)
-            got = folded.loc[i]
-            below = int(got.get(-1, 0))
-            for slot, c in got.items():
-                if slot >= 0:
-                    cnt[slot] = c
-            r_in = r - below   # rank among rows in [lo, hi]
+            cnt[got.index[got.index >= 0]] = \
+                got["cnt"][got.index >= 0].to_numpy()
+            r_in = r - below   # rank among this group's rows in [lo,hi]
             cum = np.cumsum(cnt)
             b = int(np.searchsorted(cum, r_in + 1, side="left"))
             in_bucket = int(cnt[b])
             new_lo, new_hi = float(e[b]), float(e[b + 1])
             new_r = r_in - (int(cum[b - 1]) if b else 0)
-            sel = folded_df.loc[(i, b)]
+            sel = folded.loc[(g, i, b)]
             if sel["vmin"] == sel["vmax"]:
-                resolved[i] = float(sel["vmin"])
+                resolved[k] = float(sel["vmin"])
                 continue
             if in_bucket <= collect_limit:
-                # final exact selection happens below
-                nxt[i] = (new_lo, new_hi, new_r, True)
+                nxt[k] = (new_lo, new_hi, new_r, True)
             else:
-                # re-rank against GLOBAL rows < new_lo next pass
+                # carry the rank as group-global vs rows < new_lo
                 glob_below = below + (int(cum[b - 1]) if b else 0)
-                nxt[i] = (new_lo, new_hi, new_r + glob_below, False)
+                nxt[k] = (new_lo, new_hi, new_r + glob_below, False)
 
         active = {}
         finals = {}
-        for i, (lo, hi, r, done) in nxt.items():
-            if done:
-                finals[i] = (lo, hi, r)
-            else:
-                active[i] = (lo, hi, r)
+        for k, (lo, hi, r, done) in nxt.items():
+            (finals if done else active)[k] = (lo, hi, r)
 
         if finals:
-            fids = sorted(finals)
-            franges = {i: finals[i][:2] for i in fids}
+            fkeys = sorted(finals)
+            franges = {k: finals[k][:2] for k in fkeys}
 
-            def collect(df: pd.DataFrame, _r=franges, _f=fids) \
+            def collect(df: pd.DataFrame, _r=franges, _f=fkeys) \
                     -> pd.DataFrame:
-                x = df[column].to_numpy(np.float64)
+                gcol = df[by].to_numpy() if by else None
+                x_all = df[column].to_numpy(np.float64)
                 out = []
-                for i in _f:
-                    lo, hi = _r[i]
-                    # final bucket is [lo, hi] inclusive-right (last
-                    # histogram bucket) / exclusive elsewhere; keeping
-                    # the closed interval is safe — extra hi-equal rows
-                    # sort after and never shift the in-bucket rank
+                for k in _f:
+                    g, i = k
+                    x = x_all if gcol is None else x_all[gcol == g]
+                    lo, hi = _r[k]
+                    # final bucket is [lo, hi] closed; extra hi-equal
+                    # rows from the next bucket sort after and never
+                    # shift an in-bucket rank
                     v = x[(x >= lo) & (x <= hi)]
                     out.append(pd.DataFrame({
-                        "qi": np.full(len(v), i, np.int64), "v": v}))
+                        "g": g, "qi": np.full(len(v), i, np.int64),
+                        "v": v}))
                 return pd.concat(out, ignore_index=True)
 
             vals = ds.map_batches(collect, batch_format="pandas") \
                 .to_pandas()
-            for i in fids:
-                lo, hi, r = finals[i]
-                v = np.sort(vals.loc[vals["qi"] == i, "v"].to_numpy())
-                # rows equal to lo that live in the PREVIOUS bucket
-                # boundary are already excluded by the below-count;
-                # r indexes within [lo, hi] rows directly
-                resolved[i] = float(v[r])
+            for k in fkeys:
+                g, i = k
+                lo, hi, r = finals[k]
+                sel = vals[(vals["g"] == g) & (vals["qi"] == i)]
+                v = np.sort(sel["v"].to_numpy())
+                resolved[k] = float(v[r])
         if not active:
             break
 
-    if active:     # max_passes hit: fall back to exact collect anyway
+    if active:
         raise RuntimeError(f"quantile refinement did not converge: "
                            f"{active}")
-    return pd.DataFrame({
-        "q": np.array(qs, np.float64),
-        "value": np.array([resolved[i] for i in range(len(qs))],
-                          np.float64)})
+
+    rows = sorted(resolved)
+    out = pd.DataFrame({
+        "q": np.array([qs[i] for _g, i in rows], np.float64),
+        "value": np.array([resolved[k] for k in rows], np.float64)})
+    if by:
+        out.insert(0, by, [g for g, _i in rows])
+    return out
