@@ -191,3 +191,68 @@ def test_crawl_wallclock_politeness_same_results(ray_session, tmp_path,
     assert totals["pages_ok"] > 0
     ray_rounds = _ray_rounds(tmp_path / "pol")
     assert ray_rounds == [r["fetched"] for r in oracle_result["rounds"]]
+
+
+def test_crawl_retries_recover_transient_failures(ray_session, tmp_path,
+                                                 oracle_result):
+    """A flaky web (deterministic 503 on the first attempt for ~1/3 of
+    pages) + max_fetch_retries converges to the SAME final state as
+    the failure-free oracle: identical ok-page URL set, parsed values,
+    and seen set — failures only shift WHEN a page is fetched (rounds
+    differ), never WHAT the crawl ultimately produces."""
+    flaky_cfg = dict(WEB_CFG, flaky_mod=3)
+    web = SynthWeb(**WEB_CFG)
+    out = tmp_path / "crawl_flaky"
+    cfg = CrawlConfig(web_config=flaky_cfg, out_dir=str(out),
+                      seeds=web.seed_urls(), max_rounds=40,
+                      per_host_budget=3, fetch_concurrency=2,
+                      seen_shard_bits=2, max_fetch_retries=2)
+    totals = run_crawl(cfg, web.rule_pack())
+    assert sum(m["retried"] for m in totals["per_round"]) > 0
+
+    # final ok-set and parsed values equal the clean-web oracle
+    ok_pages = {}
+    for r_dir in sorted((out / "pages").glob("round=*")):
+        for f in sorted(r_dir.glob("*.parquet")):
+            t = pq.read_table(f, columns=["url", "status", "result_json"])
+            for u, s, rj in zip(t["url"].to_pylist(),
+                                t["status"].to_pylist(),
+                                t["result_json"].to_pylist()):
+                if s == 200:
+                    ok_pages[u] = rj
+    want_ok = {u: body for u, (s, body) in oracle_result["pages"].items()
+               if s == 200}
+    assert set(ok_pages) == set(want_ok)
+    for u, rj in ok_pages.items():
+        assert json.loads(rj)["title"] == want_ok[u]["title"]
+
+    # every url the oracle saw was eventually decided here too
+    assert totals["seen"]["added"] == len(oracle_result["seen"])
+
+
+def test_crawl_retry_exhaustion_is_permanent(ray_session, tmp_path):
+    """Pages that keep failing past max_fetch_retries stay failed (no
+    infinite requeue): the crawl terminates and records the 503s."""
+    flaky_cfg = dict(WEB_CFG, flaky_mod=3, flaky_attempts=99)
+    web = SynthWeb(**WEB_CFG)
+    out = tmp_path / "crawl_dead"
+    cfg = CrawlConfig(web_config=flaky_cfg, out_dir=str(out),
+                      seeds=web.seed_urls(), max_rounds=40,
+                      per_host_budget=3, fetch_concurrency=2,
+                      seen_shard_bits=2, max_fetch_retries=1)
+    totals = run_crawl(cfg, web.rule_pack())
+    statuses = {}
+    for r_dir in sorted((out / "pages").glob("round=*")):
+        for f in sorted(r_dir.glob("*.parquet")):
+            t = pq.read_table(f, columns=["url", "status", "retries"])
+            for u, s, k in zip(t["url"].to_pylist(),
+                               t["status"].to_pylist(),
+                               t["retries"].to_pylist()):
+                statuses.setdefault(u, []).append((k, s))
+    perma = {u: v for u, v in statuses.items()
+             if all(s == 503 for _k, s in v)}
+    assert perma, "expected permanently-failing pages"
+    # each permanently-failing url fetched exactly max_fetch_retries+1
+    # times (attempts 0..max), then dropped
+    for u, v in perma.items():
+        assert sorted(k for k, _s in v) == [0, 1], (u, v)

@@ -55,6 +55,7 @@ FRONTIER_SCHEMA = pa.schema([
     ("parent", pa.large_string()),
     ("depth", pa.int32()),
     ("priority", pa.float32()),
+    ("retries", pa.int32()),
     ("seen_ok", pa.int8()),
 ])
 
@@ -97,15 +98,30 @@ class CrawlConfig:
     # FetchParseStage politeness path)
     wallclock_politeness: bool = False
     politeness_shard_count: int = 4
+    # transient-failure requeue: pages that fetch with a transport
+    # error (status -1) or a 5xx are re-admitted to the NEXT round's
+    # frontier (seen_ok=1 bypasses the seen anti-join) up to this many
+    # times; retry counts ride the frontier rows, so requeues are
+    # checkpointed/resumable like any other frontier row and compete
+    # for the per-host politeness budget.  404s / rule-misses are
+    # permanent and never retried.  Opt-in (default 0): with retries
+    # on, per-round fetch sets legitimately diverge from the BFS
+    # oracle's (a 5xx page re-fetches in a LATER round), so the
+    # ordering-parity invariant only holds at 0 — see
+    # test_crawl_retries_recover_transient_failures for the invariant
+    # that holds with retries on (identical FINAL ok-set/values/seen).
+    max_fetch_retries: int = 0
 
 
 def _frontier_table(urls: List[str], parents: List[str], depths: List[int],
-                    priorities: List[float], seen_ok: List[int]) -> pa.Table:
+                    priorities: List[float], seen_ok: List[int],
+                    retries: List[int] = None) -> pa.Table:
     return pa.Table.from_arrays([
         pa.array(urls, pa.large_string()),
         pa.array(parents, pa.large_string()),
         pa.array(depths, pa.int32()),
         pa.array(priorities, pa.float32()),
+        pa.array(retries or [0] * len(urls), pa.int32()),
         pa.array(seen_ok, pa.int8()),
     ], schema=FRONTIER_SCHEMA)
 
@@ -160,6 +176,7 @@ def _explode_links(batch: pa.Table) -> pa.Table:
                     pa.scalar(1, pa.int32())).cast(pa.int32())
     return pa.Table.from_arrays([
         flat, parents, depths, depths.cast(pa.float32()),
+        pa.array(np.zeros(len(flat), dtype=np.int32), pa.int32()),
         pa.array(np.zeros(len(flat), dtype=np.int8), pa.int8()),
     ], schema=FRONTIER_SCHEMA)
 
@@ -506,7 +523,8 @@ class CrawlRun:
             if n_decided - n_granted > 0:
 
                 def as_backlog(t: pa.Table) -> pa.Table:
-                    t = t.select(["url", "parent", "depth", "priority"])
+                    t = t.select(["url", "parent", "depth", "priority",
+                                  "retries"])
                     t = t.append_column(
                         "seen_ok", pa.array([1] * t.num_rows, pa.int8()))
                     # backlog blocks come pandas-converted (plain string
@@ -520,6 +538,35 @@ class CrawlRun:
                 decided.filter(expr="granted == 0") \
                     .map_batches(as_backlog, batch_format="pyarrow") \
                     .write_parquet(str(ndir))
+            # -- transient-failure requeue: -1 / 5xx pages re-enter the
+            # next frontier with retries+1 (seen_ok=1: already in the
+            # seen set from this round's grant, so they must bypass
+            # the anti-join).  404 / rule-miss stay permanent.
+            n_retry = 0
+            if self.cfg.max_fetch_retries > 0:
+                max_r = self.cfg.max_fetch_retries
+
+                def as_retry(t: pa.Table) -> pa.Table:
+                    import pyarrow.compute as pc
+                    st = t["status"]
+                    transient = pc.or_(
+                        pc.equal(st, pa.scalar(-1, pa.int32())),
+                        pc.greater_equal(st, pa.scalar(500, pa.int32())))
+                    keep = pc.and_(transient, pc.less(
+                        t["retries"], pa.scalar(max_r, pa.int32())))
+                    t = t.filter(keep)
+                    return pa.Table.from_arrays([
+                        t["url"], t["parent"], t["depth"], t["priority"],
+                        pc.add(t["retries"],
+                               pa.scalar(1, pa.int32())).cast(pa.int32()),
+                        pa.array(np.ones(t.num_rows, np.int8), pa.int8()),
+                    ], schema=FRONTIER_SCHEMA)
+
+                retry_rows = pages.map_batches(
+                    as_retry, batch_format="pyarrow").materialize()
+                n_retry = retry_rows.count()
+                if n_retry:
+                    retry_rows.write_parquet(str(ndir))
             n_next = 0
             for f in list(ndir.glob("*.parquet")):
                 rows = pq.read_metadata(f).num_rows
@@ -537,6 +584,7 @@ class CrawlRun:
                 "granted": n_granted,
                 "backlog": n_decided - n_granted,
                 "pages_ok": pages.filter(expr="status == 200").count(),
+                "retried": n_retry,
                 "images_written": n_images,
                 "next_frontier": n_next,
                 "sec": round(time.perf_counter() - t0, 3),

@@ -148,15 +148,28 @@ class SyntheticWebAdapter(TransportAdapter):
     (or any object with ``get(url) -> (status, headers, body_bytes)``)."""
 
     def __init__(self, web):
+        import inspect
         self.web = web
+        try:
+            self._takes_attempt = "attempt" in \
+                inspect.signature(web.get).parameters
+        except (TypeError, ValueError):
+            self._takes_attempt = False
 
     def request(self, **request_args):
         url = request_args["url"]
         retry = request_args.pop("retry", 0)
+        # crawl-loop requeue attempt number (frontier retries column);
+        # forwarded only to webs that model per-attempt behavior
+        attempt = request_args.pop("attempt", 0)
         error = None
         for _ in range(retry + 1):
             try:
-                status, headers, body = self.web.get(url)
+                if self._takes_attempt:
+                    status, headers, body = self.web.get(url,
+                                                         attempt=attempt)
+                else:
+                    status, headers, body = self.web.get(url)
                 resp = SyntheticResponse(url, status, body, headers)
                 return resp.text, resp
             except Exception as err:

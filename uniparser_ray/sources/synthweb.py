@@ -33,7 +33,8 @@ _URL_RE = re.compile(r"^http://host-(\d{4})\.test(/.*)?$")
 class SynthWeb:
     def __init__(self, num_hosts: int = 50, base_pages: int = 40,
                  fanout: int = 3, hot_factor: float = 25.0, seed: int = 42,
-                 page_weight: int = 0, image_rate: float = 1.0):
+                 page_weight: int = 0, image_rate: float = 1.0,
+                 flaky_mod: int = 0, flaky_attempts: int = 1):
         self.num_hosts = num_hosts
         self.base_pages = base_pages
         self.fanout = fanout
@@ -46,6 +47,13 @@ class SynthWeb:
         # fraction of pages carrying <img> tags (image density knob —
         # deterministic per (h, p); default 1.0 keeps historic behavior)
         self.image_rate = image_rate
+        # transient-failure model: pages with _mix(h*1e6+p, 77) %
+        # flaky_mod == 0 serve 503 on attempts < flaky_attempts, then
+        # recover — deterministic per (url, attempt), so any worker
+        # (and the oracle, passing attempt >= flaky_attempts or
+        # flaky_mod=0) sees the same web
+        self.flaky_mod = flaky_mod
+        self.flaky_attempts = flaky_attempts
         # Zipf-ish page budget: rank-0 host has hot_factor * base pages
         self.pages_of_host = [
             max(3, int(base_pages * (hot_factor / (h + 1) ** 0.9)))
@@ -123,7 +131,7 @@ class SynthWeb:
         return "User-agent: *\nDisallow:\n"
 
     # -- the server --------------------------------------------------------
-    def get(self, url: str) -> Tuple[int, dict, bytes]:
+    def get(self, url: str, attempt: int = 0) -> Tuple[int, dict, bytes]:
         m = _URL_RE.match(url)
         if not m:
             raise ValueError(f"DNS error: unknown host for {url}")
@@ -143,6 +151,9 @@ class SynthWeb:
         p = int(page.group(1) or 0)
         if p >= self.pages_of_host[h]:
             return 404, {"Content-Type": "text/html"}, b"<h1>404</h1>"
+        if (self.flaky_mod and attempt < self.flaky_attempts
+                and _mix(h * 1_000_003 + p, 77) % self.flaky_mod == 0):
+            return 503, {"Content-Type": "text/html"}, b"<h1>503</h1>"
         status = self.page_status(h, p)
         if status != 200:
             return status, {"Content-Type": "text/html"}, \

@@ -41,6 +41,7 @@ _PAGE_SCHEMA = pa.schema([
     ("depth", pa.int32()),
     ("priority", pa.float32()),
     ("parent", pa.large_string()),
+    ("retries", pa.int32()),
     ("status", pa.int32()),
     ("rule_name", pa.string()),
     ("result_json", pa.large_string()),
@@ -279,6 +280,8 @@ class FetchParseStage:
         depths = batch["depth"].to_pylist()
         priors = batch["priority"].to_pylist()
         parents = batch["parent"].to_pylist()
+        retries = (batch["retries"].to_pylist()
+                   if "retries" in batch.column_names else [0] * len(urls))
         out = {k: [] for k in ("status", "rule_name", "result_json", "links",
                                "img_srcs", "img_captions", "error")}
         for i, url in enumerate(urls):
@@ -297,7 +300,11 @@ class FetchParseStage:
                 out["img_captions"].append([])
                 out["error"].append("RuleNotFoundError")
                 continue
-            text, resp = self.adapter.request(**dict(rule.get_request(url=url)))
+            args = dict(rule.get_request(url=url))
+            # attempt number reaches the (synthetic) web so transient
+            # failures can be deterministic per (url, attempt)
+            args["attempt"] = retries[i]
+            text, resp = self.adapter.request(**args)
             if isinstance(resp, Exception):
                 out["status"].append(-1)
                 out["rule_name"].append(rule["name"])
@@ -346,6 +353,7 @@ class FetchParseStage:
             pa.array(depths, pa.int32()),
             pa.array(priors, pa.float32()),
             pa.array(parents, pa.large_string()),
+            pa.array(retries, pa.int32()),
             pa.array(out["status"], pa.int32()),
             pa.array(out["rule_name"], pa.string()),
             pa.array(out["result_json"], pa.large_string()),
