@@ -256,3 +256,36 @@ def test_crawl_retry_exhaustion_is_permanent(ray_session, tmp_path):
     # times (attempts 0..max), then dropped
     for u, v in perma.items():
         assert sorted(k for k, _s in v) == [0, 1], (u, v)
+
+
+def test_crawl_robots_delay_budget_matches_oracle(ray_session, tmp_path):
+    """robots Crawl-delay -> per-host politeness budget: the crawl with
+    robots_delay_budget on matches the oracle twin configured the same
+    way (per-round fetch sets), and the delay-declaring hosts (h%5==3,
+    Crawl-delay: 20 => floor(60/20)=3 grants/round) actually throttle
+    below the configured budget."""
+    web_cfg = dict(WEB_CFG, num_hosts=5)   # host-0003 (h%5==3) exists
+    web = SynthWeb(**web_cfg)
+    out = tmp_path / "crawl_delay"
+    cfg = CrawlConfig(web_config=web_cfg, out_dir=str(out),
+                      seeds=web.seed_urls(), max_rounds=30,
+                      per_host_budget=6, fetch_concurrency=2,
+                      seen_shard_bits=2, robots_delay_budget=True,
+                      round_seconds=60.0)
+    run_crawl(cfg, web.rule_pack())
+
+    from uniparser_ray.crawl.oracle import BFSOracle
+    oracle = BFSOracle(web, web.rule_pack(), per_host_budget=6,
+                       robots_delay_budget=True, round_seconds=60.0)
+    want = oracle.run(web.seed_urls(), max_rounds=30)
+
+    ray_rounds = _ray_rounds(out)
+    oracle_rounds = [r["fetched"] for r in want["rounds"]]
+    assert ray_rounds == oracle_rounds
+
+    # host-0003 declares Crawl-delay: 20 -> at most 3 fetches/round
+    # (vs budget 6); prove the throttle engaged
+    per_round_hits = [
+        sum(1 for u in r if u.startswith("http://host-0003.test/"))
+        for r in ray_rounds]
+    assert max(per_round_hits) == 3, per_round_hits

@@ -111,6 +111,14 @@ class CrawlConfig:
     # test_crawl_retries_recover_transient_failures for the invariant
     # that holds with retries on (identical FINAL ok-set/values/seen).
     max_fetch_retries: int = 0
+    # robots Crawl-delay -> per-host politeness budget: a round models
+    # round_seconds of crawl time, so a host with Crawl-delay d is
+    # granted at most floor(round_seconds/d) fetches per round (never
+    # raising the configured budget).  The delay reaches the granter
+    # as a column attached during robots admission — zero extra RPCs.
+    # Opt-in to keep the default grant bit-identical to round-2 runs.
+    robots_delay_budget: bool = False
+    round_seconds: float = 60.0
 
 
 def _frontier_table(urls: List[str], parents: List[str], depths: List[int],
@@ -127,7 +135,7 @@ def _frontier_table(urls: List[str], parents: List[str], depths: List[int],
 
 
 def _make_granter(budgets: Dict[str, int], default_budget: int,
-                  max_pending: int):
+                  max_pending: int, round_seconds: float = 0.0):
     def grant(bucket: pd.DataFrame) -> pd.DataFrame:
         # deterministic politeness, fully vectorized over a bucket of
         # hosts: stable per-host order by (priority, url_hash), first k
@@ -140,6 +148,18 @@ def _make_granter(budgets: Dict[str, int], default_budget: int,
             k = bucket["host"].map(budgets).fillna(default_budget).to_numpy()
         else:
             k = np.full(len(bucket), default_budget)
+        if round_seconds > 0 and "crawl_delay" in bucket.columns:
+            # robots Crawl-delay -> per-host budget: a round models
+            # round_seconds of crawl time, so a host asking for d sec
+            # between fetches gets at most floor(round_seconds/d)
+            # grants (>= 1 so delayed hosts still progress); only ever
+            # TIGHTENS the configured budget
+            d = bucket["crawl_delay"].to_numpy(np.float64)
+            with np.errstate(divide="ignore"):
+                cap = np.where(d > 0,
+                               np.maximum(1, np.floor(round_seconds / np.where(
+                                   d > 0, d, 1.0))), np.inf)
+            k = np.minimum(k, cap)
         bucket = bucket.assign(granted=(pos.to_numpy() < k).astype(np.int8))
         return bucket[pos.to_numpy() < k + max_pending]
     return grant
@@ -351,7 +371,10 @@ class CrawlRun:
             self.robots_shards, len(self.robots_shards))
         granter = _make_granter(self.cfg.host_budgets,
                                 self.cfg.per_host_budget,
-                                self.cfg.max_pending_per_host)
+                                self.cfg.max_pending_per_host,
+                                round_seconds=(self.cfg.round_seconds
+                                               if self.cfg.robots_delay_budget
+                                               else 0.0))
 
         for r in range(start_round, self.cfg.max_rounds):
             t0 = time.perf_counter()

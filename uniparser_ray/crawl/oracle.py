@@ -78,10 +78,11 @@ class BFSOracle:
 
     def __init__(self, web, rule_pack: dict, per_host_budget: int = 8,
                  max_pending_per_host: int = 1000, use_robots: bool = True,
-                 host_budgets: dict = None):
+                 host_budgets: dict = None, robots_delay_budget: bool = False,
+                 round_seconds: float = 60.0):
         from ..rulevm.transport import SyntheticWebAdapter
         from .storage import JSONRuleStorage
-        from ..state.robots import parse_robots
+        from ..state.robots import parse_crawl_delay, parse_robots
 
         self.web = web
         self.adapter = SyntheticWebAdapter(web)
@@ -91,22 +92,38 @@ class BFSOracle:
         self.host_budgets = host_budgets or {}
         self.max_pending = max_pending_per_host
         self.use_robots = use_robots
+        self.robots_delay_budget = robots_delay_budget
+        self.round_seconds = round_seconds
         self._parse_robots = parse_robots
+        self._parse_delay = parse_crawl_delay
         self._robots_cache: dict = {}
+
+    def _robots_entry(self, host: str):
+        entry = self._robots_cache.get(host)
+        if entry is None:
+            try:
+                status, _h, body = self.web.get(f"http://{host}/robots.txt")
+                text = body.decode() if status == 200 else ""
+            except Exception:
+                text = ""
+            entry = (self._parse_robots(text), self._parse_delay(text))
+            self._robots_cache[host] = entry
+        return entry
 
     def _allowed(self, host: str, url: str) -> bool:
         if not self.use_robots:
             return True
-        rules = self._robots_cache.get(host)
-        if rules is None:
-            try:
-                status, _h, body = self.web.get(f"http://{host}/robots.txt")
-                rules = self._parse_robots(body.decode()) if status == 200 else []
-            except Exception:
-                rules = []
-            self._robots_cache[host] = rules
+        rules, _delay = self._robots_entry(host)
         path = "/" + url.split("/", 3)[3] if url.count("/") >= 3 else "/"
         return not any(path.startswith(p) for p in rules)
+
+    def _budget_of(self, host: str) -> int:
+        k = self.host_budgets.get(host, self.budget)
+        if self.robots_delay_budget and self.use_robots:
+            _rules, delay = self._robots_entry(host)
+            if delay > 0:
+                k = min(k, max(1, int(self.round_seconds // delay)))
+        return k
 
     def run(self, seeds, max_rounds: int = 20) -> dict:
         from collections import defaultdict
@@ -142,7 +159,7 @@ class BFSOracle:
             granted, backlog = [], []
             for host, rows in by_host.items():
                 rows.sort(key=lambda t: (t[3], t[5]))
-                k = self.host_budgets.get(host, self.budget)
+                k = self._budget_of(host)
                 granted.extend(rows[:k])
                 backlog.extend(rows[k:k + self.max_pending])
             if not granted:

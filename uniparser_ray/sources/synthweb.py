@@ -128,6 +128,10 @@ class SynthWeb:
     def robots_txt(self, h: int) -> str:
         if h % 5 == 0:
             return "User-agent: *\nDisallow: /page/13\nDisallow: /private/\n"
+        if h % 5 == 3:
+            # polite host: Crawl-delay throttles the per-round budget
+            # when CrawlConfig.robots_delay_budget is on
+            return "User-agent: *\nCrawl-delay: 20\nDisallow:\n"
         return "User-agent: *\nDisallow:\n"
 
     # -- the server --------------------------------------------------------

@@ -118,11 +118,16 @@ class SeenRobotsStage:
     def _seen_mask(self, hashes: np.ndarray) -> np.ndarray:
         return _sharded_add_batch(self.seen_shards, self.shard_bits, hashes)
 
-    def _robots_mask(self, hosts: List[str], urls: List[str]) -> np.ndarray:
+    def _robots_mask(self, hosts: List[str], urls: List[str]) \
+            -> tuple[np.ndarray, np.ndarray]:
+        """(allow mask, per-row robots Crawl-delay) — both served by
+        the SAME one-RPC-per-shard-per-batch round trip."""
         import ray
         if not self.robots_shards or not urls:
-            return np.ones(len(urls), dtype=bool)
+            return (np.ones(len(urls), dtype=bool),
+                    np.zeros(len(urls), dtype=np.float32))
         out = np.ones(len(urls), dtype=bool)
+        delays = np.zeros(len(urls), dtype=np.float32)
         # group by SHARD (one RPC per shard per batch) — the shard id
         # hash runs once per UNIQUE host, runs found by argsort
         paths = ["/" + u.split("/", 3)[3] if u.count("/") >= 3 else "/"
@@ -138,16 +143,20 @@ class SeenRobotsStage:
         starts = np.concatenate(([0], bounds))
         ends = np.concatenate((bounds, [ssorted.size]))
         slices = [order[s:e] for s, e in zip(starts, ends)]
-        futures = [self.robots_shards[int(ssorted[s])].allowed_many.remote(
-            [(hosts[i], paths[i]) for i in idxs])
+        futures = [
+            self.robots_shards[int(ssorted[s])].allowed_delays_many.remote(
+                [(hosts[i], paths[i]) for i in idxs])
             for s, idxs in zip(starts, slices)]
-        for idxs, mask in zip(slices, ray.get(futures)):
+        for idxs, (mask, ds) in zip(slices, ray.get(futures)):
             out[idxs] = mask
-        return out
+            delays[idxs] = ds
+        return out, delays
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return batch
+            # keep the output schema identical to the non-empty path
+            return batch.append_column(
+                "crawl_delay", pa.array([], pa.float32()))
         hashes = batch["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
         if "seen_ok" in batch.column_names:
             bypass = batch["seen_ok"].to_numpy(zero_copy_only=False).astype(bool)
@@ -160,8 +169,13 @@ class SeenRobotsStage:
         keep = fresh | bypass
         urls = batch["url"].to_pylist()
         hosts = batch["host"].to_pylist()
-        allowed = self._robots_mask(hosts, urls)
+        allowed, delays = self._robots_mask(hosts, urls)
         keep &= allowed
+        # the host's robots Crawl-delay rides the admitted rows so the
+        # politeness granter can derive per-host budgets with NO extra
+        # robots round-trip
+        batch = batch.append_column("crawl_delay",
+                                    pa.array(delays, pa.float32()))
         return batch.filter(pa.array(keep))
 
 

@@ -34,27 +34,54 @@ def parse_robots(text: str) -> List[str]:
     return disallows
 
 
+def parse_crawl_delay(text: str) -> float:
+    """``Crawl-delay`` (seconds) for User-agent: *; 0.0 if absent."""
+    applies = False
+    for line in text.splitlines():
+        line = line.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, value = line.split(":", 1)
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            applies = value == "*"
+        elif field == "crawl-delay" and applies:
+            try:
+                return max(0.0, float(value))
+            except ValueError:
+                return 0.0
+    return 0.0
+
+
 class RobotsShard:
     def __init__(self, web_factory=None):
         # web_factory() -> object with get(url) -> (status, headers, bytes)
         self.web = web_factory() if web_factory else None
-        self.cache: Dict[str, List[str]] = {}
+        self.cache: Dict[str, Tuple[List[str], float]] = {}
         self.fetches = 0
 
-    def _rules_for(self, host: str) -> List[str]:
-        rules = self.cache.get(host)
-        if rules is None:
-            rules = []
+    def _entry_for(self, host: str) -> Tuple[List[str], float]:
+        entry = self.cache.get(host)
+        if entry is None:
+            rules: List[str] = []
+            delay = 0.0
             if self.web is not None:
                 try:
                     status, _h, body = self.web.get(f"http://{host}/robots.txt")
                     if status == 200:
-                        rules = parse_robots(body.decode("utf-8", "replace"))
+                        text = body.decode("utf-8", "replace")
+                        rules = parse_robots(text)
+                        delay = parse_crawl_delay(text)
                 except Exception:
-                    rules = []
+                    rules, delay = [], 0.0
             self.fetches += 1
-            self.cache[host] = rules
-        return rules
+            entry = (rules, delay)
+            self.cache[host] = entry
+        return entry
+
+    def _rules_for(self, host: str) -> List[str]:
+        return self._entry_for(host)[0]
 
     def allowed_batch(self, host: str, paths: List[str]) -> List[bool]:
         rules = self._rules_for(host)
@@ -70,6 +97,17 @@ class RobotsShard:
             rules = self._rules_for(host)
             out.append(not any(path.startswith(r) for r in rules))
         return out
+
+    def allowed_delays_many(self, host_paths: List[Tuple[str, str]]) \
+            -> Tuple[List[bool], List[float]]:
+        """allowed_many + the host's robots Crawl-delay per row (one
+        RPC serves both the allow filter and the politeness budget)."""
+        mask, delays = [], []
+        for host, path in host_paths:
+            rules, delay = self._entry_for(host)
+            mask.append(not any(path.startswith(r) for r in rules))
+            delays.append(delay)
+        return mask, delays
 
     def stats(self) -> dict:
         return {"hosts_cached": len(self.cache), "fetches": self.fetches}
