@@ -239,6 +239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_revenue": relational.nation_revenue,
         "distinct_segments": relational.distinct_segments,
         "segment_order_stats": relational.segment_order_stats,
+        "q5_local_supplier_volume": relational.q5_local_supplier_volume,
         "part_topk_price": relational.part_topk_price,
         "orders_topk_per_customer": relational.orders_topk_per_customer,
         "part_price_bands": relational.part_price_bands,
@@ -658,6 +659,22 @@ def oracle_sql(sf_tag: str = None) -> dict[str, str]:
                    COALESCE(epoch_us(l.ts) - epoch_us(r.ts), -1) AS gap_us
             FROM left_s l ASOF LEFT JOIN right_d r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "q5_local_supplier_volume": """
+            SELECT n_name,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                     AS revenue
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey
+              AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey
+              AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= DATE '1996-01-01'
+              AND o_orderdate < DATE '1998-01-01'
+            GROUP BY n_name
         """,
         "orders_topk_per_customer": """
             SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (

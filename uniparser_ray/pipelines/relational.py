@@ -327,6 +327,103 @@ def events_asof(sf_dir: str, left_type: str = "purchase",
     return hash_bucket_combine(ds, ["user_id"], asof, num_buckets=64)
 
 
+def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA",
+                             date_lo: str = "1996-01-01",
+                             date_hi: str = "1998-01-01"):
+    """TPC-H Q5 shape: revenue per nation where customer and supplier
+    share the nation, suppliers in one region, orders in a date range
+    — the six-table join plan.
+
+    Plan (two shuffle joins, everything else broadcast):
+      region ⋈ nation           -> driver dict (tiny), broadcast
+      supplier ⋈ nation         -> driver dict suppkey->nationkey
+                                   (dimension-sized), broadcast
+      orders (date-filtered at the read) ⋈ customer  [shuffle join #1]
+      lineitem ⋈ that           [shuffle join #2 on orderkey]
+      probe broadcast supplier map + c_nationkey == s_nationkey filter
+      grouped partial sum by n_name.
+    """
+    import ray
+
+    from ..stages.combine import hash_bucket_join
+
+    # broadcast sides (read once on the driver: dimension tables)
+    nr = _read(sf_dir, "nation",
+               ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    rg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    keep_regions = set(rg.loc[rg["r_name"] == region, "r_regionkey"])
+    nr = nr[nr["n_regionkey"].isin(keep_regions)]
+    nation_name = dict(zip(nr["n_nationkey"].astype("int64"),
+                           nr["n_name"]))
+    sup = _read(sf_dir, "supplier",
+                ["s_suppkey", "s_nationkey"]).to_pandas()
+    sup = sup[sup["s_nationkey"].astype("int64").isin(nation_name)]
+    supp_nation = dict(zip(sup["s_suppkey"].astype("int64"),
+                           sup["s_nationkey"].astype("int64")))
+    supp_ref = ray.put(supp_nation)
+    nation_ref = ray.put(nation_name)
+
+    lo = pd.Timestamp(date_lo)
+    hi = pd.Timestamp(date_hi)
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def date_filter(df: pd.DataFrame) -> pd.DataFrame:
+        m = (df["o_orderdate"] >= lo) & (df["o_orderdate"] < hi)
+        return df.loc[m, ["o_orderkey", "o_custkey"]]
+
+    orders = orders.map_batches(date_filter, batch_format="pandas")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def cust_filter(df: pd.DataFrame) -> pd.DataFrame:
+        names = ray.get(nation_ref)
+        return df[df["c_nationkey"].astype("int64").isin(names)]
+
+    cust = cust.map_batches(cust_filter, batch_format="pandas")
+
+    oc = hash_bucket_join(orders, cust, "o_custkey", "c_custkey",
+                          left_cols=["o_orderkey", "o_custkey"],
+                          right_cols=["c_custkey", "c_nationkey"])
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice",
+                "l_discount"])
+
+    def li_rev(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_orderkey": df["l_orderkey"],
+            "l_suppkey": df["l_suppkey"],
+            "rev": df["l_extendedprice"] * (1.0 - df["l_discount"]),
+        })
+
+    li = li.map_batches(li_rev, batch_format="pandas")
+    joined = hash_bucket_join(li, oc, "l_orderkey", "o_orderkey",
+                              left_cols=["l_orderkey", "l_suppkey",
+                                         "rev"],
+                              right_cols=["o_orderkey", "c_nationkey"])
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        sn = ray.get(supp_ref)
+        names = ray.get(nation_ref)
+        s_nat = df["l_suppkey"].astype("int64").map(sn)
+        m = s_nat.notna() & (s_nat == df["c_nationkey"].astype("int64"))
+        out = df.loc[m]
+        return pd.DataFrame({
+            "n_name": out["c_nationkey"].astype("int64").map(names),
+            "rev": out["rev"],
+        })
+
+    agg = partial_groupby(joined.map_batches(probe, batch_format="pandas"),
+                          ["n_name"], {"revenue": ("rev", "sum")})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["revenue"] = df["revenue"].round(2)
+        return df[["n_name", "revenue"]]
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
 def orders_topk_per_customer(sf_dir: str, k: int = 3):
     """Grouped top-k (ROW_NUMBER <= k per partition): each customer's
     k most expensive orders with their rank.

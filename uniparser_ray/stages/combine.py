@@ -255,7 +255,16 @@ def hash_bucket_join(left, right, left_on: str, right_on: str,
             out = out.drop(columns=["_rkey_dup", "_jkey"])
         else:
             out = l.merge(r, on="_jkey", how=how).drop(columns=["_jkey"])
-        return out[allcols]
+        out = out[allcols]
+        if not len(out):
+            # an empty PANDAS block with object/string columns trips
+            # Ray's sampled size estimator ("Error calculating size
+            # for column ..."); emit Arrow with the bucket's own field
+            # types instead (null-typed fields unify upward later)
+            return pa_.Table.from_arrays(
+                [pa_.array([], bucket.schema.field(c).type)
+                 for c in allcols], names=allcols)
+        return out
 
     return u.map_batches(bucketize, batch_format="pyarrow") \
         .groupby("_bucket").map_groups(merge, batch_format="pyarrow")
