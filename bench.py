@@ -114,6 +114,28 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     # path reports separately below
     total = round(sum(timings.values()), 3)
     timings["politeness_fetch"] = pol["sec"]
+
+    # round-3 operators, timed OUTSIDE `value` (same comparability
+    # rule as politeness_fetch): the two-shuffle six-table join, the
+    # iterative-refinement quantiles, grouped top-k, and the as-of join
+    from uniparser_ray.pipelines import stats as stats_p
+    ops_r3: dict = {}
+
+    def timed3(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        ops_r3[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    timed3("q5_local_supplier_volume",
+           lambda: consume(relational.q5_local_supplier_volume(sf_dir)))
+    timed3("events_asof", lambda: consume(relational.events_asof(sf_dir)))
+    timed3("orders_topk_per_customer",
+           lambda: consume(relational.orders_topk_per_customer(sf_dir)))
+    timed3("order_price_quantiles",
+           lambda: len(stats_p.order_price_quantiles(sf_dir)))
+    timed3("events_hll_users",
+           lambda: consume(stats_p.events_hll_users(sf_dir)))
     return {
         "metric": "crawl+operator suite wall time",
         "value": total,
@@ -126,6 +148,7 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         "crawl_pages": pages,
         "crawl_images": totals["images"],
         "politeness_pages_per_sec": pol["pages_per_sec"],
+        "ops_r3": ops_r3,
     }
 
 

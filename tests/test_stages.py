@@ -437,3 +437,30 @@ def test_exact_quantiles_skew_and_multipass(ray_session):
         want = con.execute(
             f"SELECT quantile_disc(x, {q}) FROM t").fetchone()[0]
         assert v == want, (q, v, want)
+
+
+def test_hash_bucket_join_small_input_path_equals_shuffle(ray_session):
+    """driver_limit_rows fast path (one-task merge) returns exactly the
+    shuffle path's rows."""
+    import ray.data
+
+    from uniparser_ray.stages.combine import hash_bucket_join
+
+    rng = np.random.RandomState(11)
+    l = pd.DataFrame({"k": rng.randint(0, 50, 300),
+                      "lv": rng.rand(300)})
+    r = pd.DataFrame({"rk": rng.randint(0, 50, 80),
+                      "rv": rng.rand(80)})
+
+    def run(limit):
+        return hash_bucket_join(
+            ray.data.from_pandas(l).repartition(4),
+            ray.data.from_pandas(r).repartition(3),
+            "k", "rk", left_cols=["k", "lv"], right_cols=["rk", "rv"],
+            driver_limit_rows=limit) \
+            .to_pandas().sort_values(["k", "lv", "rv"]) \
+            .reset_index(drop=True)
+
+    fast = run(10_000)       # under limit -> one-task merge
+    slow = run(10)           # over limit -> normal shuffle
+    pd.testing.assert_frame_equal(fast, slow)

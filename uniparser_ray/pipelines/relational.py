@@ -382,9 +382,13 @@ def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA",
 
     cust = cust.map_batches(cust_filter, batch_format="pandas")
 
+    # driver_limit_rows: at bench scale the filtered sides are tiny —
+    # the adaptive path merges in one task; above the limit (real
+    # scale) the same call is the full shuffle join
     oc = hash_bucket_join(orders, cust, "o_custkey", "c_custkey",
                           left_cols=["o_orderkey", "o_custkey"],
-                          right_cols=["c_custkey", "c_nationkey"])
+                          right_cols=["c_custkey", "c_nationkey"],
+                          driver_limit_rows=300_000)
 
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_suppkey", "l_extendedprice",
@@ -401,7 +405,8 @@ def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA",
     joined = hash_bucket_join(li, oc, "l_orderkey", "o_orderkey",
                               left_cols=["l_orderkey", "l_suppkey",
                                          "rev"],
-                              right_cols=["o_orderkey", "c_nationkey"])
+                              right_cols=["o_orderkey", "c_nationkey"],
+                              driver_limit_rows=300_000)
 
     def probe(df: pd.DataFrame) -> pd.DataFrame:
         sn = ray.get(supp_ref)

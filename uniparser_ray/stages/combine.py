@@ -131,7 +131,8 @@ def grouped_aggregate(ds, keys: Sequence[str], agg_spec: Dict[str, tuple],
 def hash_bucket_join(left, right, left_on: str, right_on: str,
                      how: str = "inner", num_buckets: int = 64,
                      left_cols: Sequence[str] = None,
-                     right_cols: Sequence[str] = None):
+                     right_cols: Sequence[str] = None,
+                     driver_limit_rows: int = None):
     """Distributed equi-join: both sides bucketed by a stable hash of
     the join key, one vectorized pandas merge per bucket.
 
@@ -146,6 +147,15 @@ def hash_bucket_join(left, right, left_on: str, right_on: str,
     time would run each input twice (once for the sniff, once for the
     join).  Restore dtypes come from each bucket's own Arrow schema at
     merge time, so no plan-time type information is needed at all.
+
+    ``driver_limit_rows`` opts into the adaptive small-input fast path
+    (same contract as ``hash_bucket_combine``): both sides are
+    materialized and counted; at or below the limit the padded union
+    merges in ONE task — valid because the merge only assumes "all
+    rows of a key are together", which one partition trivially
+    satisfies — skipping the multi-second all-to-all for kilobyte
+    inputs.  Above the limit the materialized inputs flow into the
+    normal shuffle.  Pass it only when the inputs are plausibly small.
     """
     lcols = list(left_cols) if left_cols is not None \
         else list(left.schema().names)
@@ -196,6 +206,12 @@ def hash_bucket_join(left, right, left_on: str, right_on: str,
                                       index=df.index)
             return df[allcols + ["_jkey", "_side"]]
         return fn
+
+    small = False
+    if driver_limit_rows:
+        left = left.materialize()
+        right = right.materialize()
+        small = left.count() + right.count() <= driver_limit_rows
 
     u = left.map_batches(pad(0, left_on), batch_format="pandas").union(
         right.map_batches(pad(1, right_on), batch_format="pandas"))
@@ -265,6 +281,14 @@ def hash_bucket_join(left, right, left_on: str, right_on: str,
                 [pa_.array([], bucket.schema.field(c).type)
                  for c in allcols], names=allcols)
         return out
+
+    if small:
+        # one partition = one "bucket" holding every key: merge once,
+        # no shuffle (strip the pandas metadata blob like bucketize
+        # does so downstream block schemas stay hashable)
+        return u.repartition(1).map_batches(
+            lambda t: merge(t.replace_schema_metadata(None)),
+            batch_format="pyarrow", batch_size=None)
 
     return u.map_batches(bucketize, batch_format="pyarrow") \
         .groupby("_bucket").map_groups(merge, batch_format="pyarrow")
