@@ -258,6 +258,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             relational.events_asof(sf).to_pandas()),
         "events_hopping": lambda sf: _ts_us(
             relational.events_hopping(sf).to_pandas(), ["window_start"]),
+        "events_cumulative": relational.events_cumulative,
+        "orders_rollup": relational.orders_rollup,
+        "events_pivot": relational.events_pivot,
         # rule-VM extraction as Dataset stages
         "events_json_k": relational.events_json_k,
         "doc_parse_rules": documents.doc_parse_rules,
@@ -723,6 +726,30 @@ def oracle_sql(sf_tag: str = None) -> dict[str, str]:
             SELECT 0.9, quantile_disc(o_totalprice, 0.9) FROM orders
             UNION ALL
             SELECT 0.99, quantile_disc(o_totalprice, 0.99) FROM orders
+        """,
+        "events_cumulative": """
+            SELECT event_id,
+                   ROUND(SUM(value) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id), 2)
+                     AS running_sum
+            FROM events
+        """,
+        "orders_rollup": """
+            SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+                   COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+                   COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS revenue
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "events_pivot": """
+            SELECT user_id,
+                   COUNT(*) FILTER (event_type = 'click') AS n_click,
+                   COUNT(*) FILTER (event_type = 'error') AS n_error,
+                   COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   COUNT(*) FILTER (event_type = 'signup') AS n_signup,
+                   COUNT(*) FILTER (event_type = 'view') AS n_view
+            FROM events GROUP BY user_id
         """,
         "events_value_quantiles": """
             SELECT event_type, 0.5 AS q,

@@ -536,6 +536,86 @@ def events_hopping(sf_dir: str, size_minutes: int = 60,
     return out.map_batches(finish, batch_format="pandas")
 
 
+def events_cumulative(sf_dir: str):
+    """Window function: per-user running sum of value ordered by
+    (ts, event_id) — one hash shuffle on user_id, vectorized
+    sort + groupby().cumsum() per bucket.  Floating-point accumulation
+    order matches the SQL window (both add sequentially in the same
+    order), so the oracle compares exactly after rounding."""
+    from ..stages.combine import hash_bucket_combine
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def running(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.sort_values(["user_id", "ts", "event_id"],
+                               kind="mergesort")
+        rs = b.groupby("user_id", sort=False)["value"].cumsum()
+        return pd.DataFrame({
+            "event_id": b["event_id"].astype("int64").to_numpy(),
+            "running_sum": rs.round(2).to_numpy(),
+        })
+
+    return hash_bucket_combine(ds, ["user_id"], running, num_buckets=64)
+
+
+def orders_rollup(sf_dir: str):
+    """Grouping sets (ROLLUP): order counts + revenue at
+    (status, priority), (status), and grand-total levels.  One pass
+    computes the finest level; the coarser levels re-aggregate its
+    (tiny) output — the standard distributed rollup plan: raw rows
+    shuffle once, subtotals derive from subtotals."""
+    fine = partial_groupby(
+        _read(sf_dir, "orders",
+              ["o_orderstatus", "o_orderpriority", "o_totalprice"]),
+        ["o_orderstatus", "o_orderpriority"],
+        {"n_orders": ("o_totalprice", "count"),
+         "revenue": ("o_totalprice", "sum")}).to_pandas()
+
+    mid = fine.groupby("o_orderstatus", as_index=False) \
+        .agg(n_orders=("n_orders", "sum"), revenue=("revenue", "sum"))
+    mid["o_orderpriority"] = "ALL"
+    top = pd.DataFrame({
+        "o_orderstatus": ["ALL"], "o_orderpriority": ["ALL"],
+        "n_orders": [fine["n_orders"].sum()],
+        "revenue": [fine["revenue"].sum()]})
+    out = pd.concat([fine, mid, top], ignore_index=True)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["revenue"] = out["revenue"].round(2)
+    return out[["o_orderstatus", "o_orderpriority", "n_orders",
+                "revenue"]]
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_pivot(sf_dir: str):
+    """Pivot (conditional aggregation): one row per user, one count
+    column per event type.  Per-batch crosstab partials shuffle keyed
+    on user_id only (a user's types stay together), each bucket
+    unstacks vectorized to the fixed column set."""
+    from ..stages.combine import hash_bucket_combine
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["user_id", "event_type"], sort=False) \
+            .size().rename("n").reset_index()
+
+    def pivot(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["user_id", "event_type"], sort=False)["n"] \
+            .sum().unstack(fill_value=0)
+        for t in EVENT_TYPES:
+            if t not in g.columns:
+                g[t] = 0
+        g = g[EVENT_TYPES].astype("int64")
+        g.columns = [f"n_{t}" for t in EVENT_TYPES]
+        return g.reset_index().astype({"user_id": "int64"})
+
+    return hash_bucket_combine(ds.map_batches(partial,
+                                              batch_format="pandas"),
+                               ["user_id"], pivot, num_buckets=64)
+
+
 def events_json_k(sf_dir: str):
     """JSON extraction through the rule VM: a jmespath chain rule over
     the ``props`` column — the reference's JSON parser as a Dataset
