@@ -398,30 +398,44 @@ class CrawlRun:
                                for f in fdir.glob("*.parquet"))
             small_round = (n_candidates
                            <= self.cfg.small_grant_threshold)
-            frontier = rd.read_parquet(str(fdir))
-            if not small_round:
+            if small_round:
+                # adaptive fast path: below the threshold the whole
+                # admit+grant runs ON THE DRIVER with the exact same
+                # functions (canonicalize_batch / seen_stage / granter
+                # — the seen/robots actors are reached by direct RPC),
+                # skipping several per-round Ray Data executions whose
+                # fixed startup dominates kilobyte frontiers; semantics
+                # identical because every function is partitioning-
+                # independent.  Above the threshold the distributed
+                # path below is authoritative.
+                tbls = [pq.read_table(f)
+                        for f in sorted(fdir.glob("*.parquet"))]
+                t = (pa.concat_tables(tbls, promote_options="default")
+                     if len(tbls) > 1 else tbls[0])
+                t = seen_stage(canonicalize_batch(t))
+                dt = pa.Table.from_pandas(
+                    granter(t.to_pandas()), preserve_index=False) \
+                    .replace_schema_metadata(None)
+                decided = rd.from_arrow(dt).materialize()
+            else:
                 n_blocks = max(1, min(4 * self.cfg.fetch_concurrency,
                                       (n_candidates + 63) // 64))
-                frontier = frontier.repartition(n_blocks)
-            admitted = (
-                frontier
-                .map_batches(canonicalize_batch, batch_format="pyarrow")
-                .map_batches(seen_stage, batch_format="pyarrow",
-                             batch_size=4096)
-            )
+                frontier = rd.read_parquet(str(fdir)) \
+                    .repartition(n_blocks)
+                admitted = (
+                    frontier
+                    .map_batches(canonicalize_batch,
+                                 batch_format="pyarrow")
+                    .map_batches(seen_stage, batch_format="pyarrow",
+                                 batch_size=4096)
+                )
             # shuffle #1: the grant needs all of a host's pending rows
             # co-located — hosts hash into a bounded number of buckets
             # and the per-host top-k grant is vectorized per bucket.
             # With skew_salts > 1, a salted pre-clip phase bounds the
             # per-task volume of hot hosts before the per-host merge.
             if small_round:
-                # adaptive fast path: below the threshold the whole
-                # frontier fits one vectorized task, so the per-host
-                # top-k runs without any shuffle — semantics identical
-                # (the granter is per-host regardless of partitioning)
-                decided = admitted.repartition(1).map_batches(
-                    granter, batch_format="pandas",
-                    batch_size=None)
+                pass   # decided built on the driver above
             elif self.cfg.skew_salts > 1:
                 salts = self.cfg.skew_salts
 
@@ -444,15 +458,16 @@ class CrawlRun:
             else:
                 decided = hash_bucket_combine(
                     admitted, ["host"], granter, num_buckets=64)
-            # the grant ran in pandas batch_format: its Arrow blocks
-            # carry the unhashable 'pandas' schema-metadata blob, which
-            # defeats Ray's block-schema dedup in every downstream
-            # concat ("Failed to hash the schemas" spam) — strip it
-            # block-at-a-time before materializing
-            from ..sources.parquet import _strip_meta
-            decided = decided.map_batches(
-                _strip_meta, batch_format="pyarrow", batch_size=None,
-                zero_copy_batch=True).materialize()
+            if not small_round:
+                # the grant ran in pandas batch_format: its Arrow
+                # blocks carry the unhashable 'pandas' schema-metadata
+                # blob, which defeats Ray's block-schema dedup in every
+                # downstream concat ("Failed to hash the schemas"
+                # spam) — strip it block-at-a-time before materializing
+                from ..sources.parquet import _strip_meta
+                decided = decided.map_batches(
+                    _strip_meta, batch_format="pyarrow", batch_size=None,
+                    zero_copy_batch=True).materialize()
             _mark('grant')
             n_decided = decided.count()
             granted = decided.filter(expr="granted == 1")
