@@ -504,8 +504,24 @@ class CrawlRun:
 
             _mark('fetch_parse')
             pdir = self.pages_dir / f"round={r}"
-            pages.drop_columns(["links", "img_srcs", "img_captions"]) \
-                .write_parquet(str(pdir))
+            if small_round:
+                # driver fast path (cont.): the materialized page
+                # blocks are kilobytes — concat once, reuse the table
+                # for the checkpoint write, the next-frontier build
+                # and the metrics, skipping one Ray execution each
+                pages_tbl = pa.concat_tables(
+                    ray.get(pages.to_arrow_refs()),
+                    promote_options="default")
+                pdir.mkdir(parents=True, exist_ok=True)
+                pq.write_table(
+                    pages_tbl.drop_columns(["links", "img_srcs",
+                                            "img_captions"]),
+                    pdir / "part-0.parquet")
+            else:
+                pages_tbl = None
+                pages.drop_columns(["links", "img_srcs",
+                                    "img_captions"]) \
+                    .write_parquet(str(pdir))
 
             _mark('pages_write')
             # -- image side-channel: explode -> dedup -> fetch -> Lance
@@ -549,71 +565,98 @@ class CrawlRun:
                 import shutil as _shutil
                 _shutil.rmtree(ndir)
             ndir.mkdir(parents=True, exist_ok=True)
-            links = pages.map_batches(_explode_links,
-                                      batch_format="pyarrow")
-            if n_granted < 50_000:
-                # small rounds: compact so the next round reads a few
-                # files, not one tiny file per fetch block (at large
-                # rounds the extra exchange would cost more than many
-                # files do, so links stream straight to the sink)
-                links = links.repartition(max(1, n_granted // 1024))
-            links.write_parquet(str(ndir))
-            if n_decided - n_granted > 0:
 
-                def as_backlog(t: pa.Table) -> pa.Table:
-                    t = t.select(["url", "parent", "depth", "priority",
-                                  "retries"])
-                    t = t.append_column(
-                        "seen_ok", pa.array([1] * t.num_rows, pa.int8()))
-                    # backlog blocks come pandas-converted (plain string
-                    # url/parent) while link blocks are large_string:
-                    # cast so EVERY file in a frontier checkpoint has
-                    # the identical FRONTIER_SCHEMA (read-side schema
-                    # unification across mixed files is pyarrow-version
-                    # fragile)
-                    return t.cast(FRONTIER_SCHEMA)
+            def as_backlog(t: pa.Table) -> pa.Table:
+                t = t.select(["url", "parent", "depth", "priority",
+                              "retries"])
+                t = t.append_column(
+                    "seen_ok", pa.array([1] * t.num_rows, pa.int8()))
+                # backlog blocks come pandas-converted (plain string
+                # url/parent) while link blocks are large_string:
+                # cast so EVERY file in a frontier checkpoint has
+                # the identical FRONTIER_SCHEMA (read-side schema
+                # unification across mixed files is pyarrow-version
+                # fragile)
+                return t.cast(FRONTIER_SCHEMA)
 
-                decided.filter(expr="granted == 0") \
-                    .map_batches(as_backlog, batch_format="pyarrow") \
-                    .write_parquet(str(ndir))
             # -- transient-failure requeue: -1 / 5xx pages re-enter the
             # next frontier with retries+1 (seen_ok=1: already in the
             # seen set from this round's grant, so they must bypass
             # the anti-join).  404 / rule-miss stay permanent.
+            max_r = self.cfg.max_fetch_retries
+
+            def as_retry(t: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+                st = t["status"]
+                transient = pc.or_(
+                    pc.equal(st, pa.scalar(-1, pa.int32())),
+                    pc.greater_equal(st, pa.scalar(500, pa.int32())))
+                keep = pc.and_(transient, pc.less(
+                    t["retries"], pa.scalar(max_r, pa.int32())))
+                t = t.filter(keep)
+                return pa.Table.from_arrays([
+                    t["url"], t["parent"], t["depth"], t["priority"],
+                    pc.add(t["retries"],
+                           pa.scalar(1, pa.int32())).cast(pa.int32()),
+                    pa.array(np.ones(t.num_rows, np.int8), pa.int8()),
+                ], schema=FRONTIER_SCHEMA)
+
             n_retry = 0
-            if self.cfg.max_fetch_retries > 0:
-                max_r = self.cfg.max_fetch_retries
-
-                def as_retry(t: pa.Table) -> pa.Table:
-                    import pyarrow.compute as pc
-                    st = t["status"]
-                    transient = pc.or_(
-                        pc.equal(st, pa.scalar(-1, pa.int32())),
-                        pc.greater_equal(st, pa.scalar(500, pa.int32())))
-                    keep = pc.and_(transient, pc.less(
-                        t["retries"], pa.scalar(max_r, pa.int32())))
-                    t = t.filter(keep)
-                    return pa.Table.from_arrays([
-                        t["url"], t["parent"], t["depth"], t["priority"],
-                        pc.add(t["retries"],
-                               pa.scalar(1, pa.int32())).cast(pa.int32()),
-                        pa.array(np.ones(t.num_rows, np.int8), pa.int8()),
-                    ], schema=FRONTIER_SCHEMA)
-
-                retry_rows = pages.map_batches(
-                    as_retry, batch_format="pyarrow").materialize()
-                n_retry = retry_rows.count()
-                if n_retry:
-                    retry_rows.write_parquet(str(ndir))
-            n_next = 0
-            for f in list(ndir.glob("*.parquet")):
-                rows = pq.read_metadata(f).num_rows
-                if rows == 0:
-                    f.unlink()
-                n_next += rows
-            if n_next == 0:
-                import shutil as _shutil
-                _shutil.rmtree(ndir, ignore_errors=True)
+            if small_round:
+                # driver fast path (cont.): explode/backlog/requeue over
+                # the in-memory page table, ONE compacted checkpoint
+                # file, zero Ray executions
+                parts = [_explode_links(pages_tbl)]
+                if n_decided - n_granted > 0:
+                    bt = pa.concat_tables(
+                        ray.get(decided.to_arrow_refs()),
+                        promote_options="default")
+                    import pyarrow.compute as _pc
+                    parts.append(as_backlog(
+                        bt.filter(_pc.equal(bt["granted"], 0))))
+                if max_r > 0:
+                    rt = as_retry(pages_tbl)
+                    n_retry = rt.num_rows
+                    if n_retry:
+                        parts.append(rt)
+                nf = pa.concat_tables(
+                    [p.cast(FRONTIER_SCHEMA) for p in parts])
+                n_next = nf.num_rows
+                if n_next:
+                    pq.write_table(nf, ndir / "part-0.parquet")
+                else:
+                    import shutil as _shutil
+                    _shutil.rmtree(ndir, ignore_errors=True)
+            else:
+                links = pages.map_batches(_explode_links,
+                                          batch_format="pyarrow")
+                if n_granted < 50_000:
+                    # small-ish rounds: compact so the next round reads
+                    # a few files, not one tiny file per fetch block
+                    # (at large rounds the extra exchange would cost
+                    # more than many files do, so links stream
+                    # straight to the sink)
+                    links = links.repartition(max(1, n_granted // 1024))
+                links.write_parquet(str(ndir))
+                if n_decided - n_granted > 0:
+                    decided.filter(expr="granted == 0") \
+                        .map_batches(as_backlog, batch_format="pyarrow") \
+                        .write_parquet(str(ndir))
+                if max_r > 0:
+                    retry_rows = pages.map_batches(
+                        as_retry, batch_format="pyarrow").materialize()
+                    n_retry = retry_rows.count()
+                    if n_retry:
+                        retry_rows.write_parquet(str(ndir))
+                n_next = 0
+                for f in list(ndir.glob("*.parquet")):
+                    rows = pq.read_metadata(f).num_rows
+                    if rows == 0:
+                        f.unlink()
+                    n_next += rows
+                if n_next == 0:
+                    import shutil as _shutil
+                    _shutil.rmtree(ndir, ignore_errors=True)
 
             _mark('frontier_next')
             self.metrics.append({
@@ -621,7 +664,11 @@ class CrawlRun:
                 "candidates": n_candidates,
                 "granted": n_granted,
                 "backlog": n_decided - n_granted,
-                "pages_ok": pages.filter(expr="status == 200").count(),
+                "pages_ok": (
+                    int((pages_tbl["status"].to_numpy(
+                        zero_copy_only=False) == 200).sum())
+                    if pages_tbl is not None
+                    else pages.filter(expr="status == 200").count()),
                 "retried": n_retry,
                 "images_written": n_images,
                 "next_frontier": n_next,
