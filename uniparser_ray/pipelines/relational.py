@@ -87,13 +87,16 @@ def top_customers(sf_dir: str, k: int = 10):
                            "order_count": ("o_totalprice", "count")})
     df = agg.sort(["total_spent", "o_custkey"],
                   descending=[True, False]).limit(k).to_pandas()
-    keys_ref = ray.put(set(df["o_custkey"]))
+    keys_ref = ray.put(pa.array(df["o_custkey"].tolist(), pa.int64()))
 
-    def pick(b: pd.DataFrame) -> pd.DataFrame:
-        return b[b["c_custkey"].isin(ray.get(keys_ref))]
+    def pick(t: pa.Table) -> pa.Table:
+        # pyarrow filter: empty outputs stay typed, so Ray's block size
+        # estimator never sees a 0-row object column
+        return t.filter(pc.is_in(t["c_custkey"],
+                                 value_set=ray.get(keys_ref)))
 
     names = _read(sf_dir, "customer", ["c_custkey", "c_name"]) \
-        .map_batches(pick, batch_format="pandas").to_pandas()
+        .map_batches(pick, batch_format="pyarrow").to_pandas()
     df["c_name"] = df["o_custkey"].map(
         dict(zip(names["c_custkey"], names["c_name"])))
     df = df.rename(columns={"o_custkey": "c_custkey"})
