@@ -227,8 +227,8 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from uniparser_ray.pipelines import (documents, images_q, relational,
-                                         stats, vectors)
+    from uniparser_ray.pipelines import (documents, graph, images_q,
+                                         relational, stats, vectors)
 
     return {
         # relational operators (groupby/sort/limit/join/filter/distinct)
@@ -293,6 +293,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frames": images_q.video_frames_q,
         # the crawl itself
         "crawl_images": images_q.crawl_images,
+        # link-graph analytics (BSP shard actors over parsed edges)
+        "web_pagerank": graph.web_pagerank,
+        "web_components": graph.web_components,
+        "web_host_degrees": graph.web_host_degrees,
     }
 
 
@@ -503,6 +507,15 @@ def _expected_table(kind: str, tag: str) -> pa.Table:
         return expected_video_frames(_VIDEO_BY_SF.get(tag, 60), k=3)
     if kind == "crawl":
         return expected_crawl_images(tag)
+    from uniparser_ray.pipelines.graph import (expected_components,
+                                               expected_host_degrees,
+                                               expected_pagerank)
+    if kind == "pagerank":
+        return expected_pagerank(tag)
+    if kind == "components":
+        return expected_components(tag)
+    if kind == "hostdeg":
+        return expected_host_degrees(tag)
     raise KeyError(kind)
 
 
@@ -554,6 +567,22 @@ def _multimodal_oracle_thunks(tag: str) -> dict:
         "crawl_images": lambda: f"""
             WITH {_values_cte('e', _expected_table('crawl', tag))}
             SELECT image_id, w, h, fmt, caption, phash, bytes_md5 FROM e
+        """,
+        # link-graph oracles: expected rows from the STRUCTURAL edge
+        # derivation (SynthWeb's pure link functions + single-process
+        # numpy power iteration / union-find — independent of the rule
+        # VM, the DOM engine, and the BSP actors)
+        "web_pagerank": lambda: f"""
+            WITH {_values_cte('e', _expected_table('pagerank', tag))}
+            SELECT url, pr_score FROM e
+        """,
+        "web_components": lambda: f"""
+            WITH {_values_cte('e', _expected_table('components', tag))}
+            SELECT component, n_pages FROM e
+        """,
+        "web_host_degrees": lambda: f"""
+            WITH {_values_cte('e', _expected_table('hostdeg', tag))}
+            SELECT host, pages_ok, edges_out, cross_out, edges_in FROM e
         """,
     }
 

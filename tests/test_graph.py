@@ -1,0 +1,74 @@
+"""Link-graph analytics: distributed extraction + BSP algorithms vs
+the structural single-process oracles (pipelines/graph.py)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TAG = "sf0.001"
+
+
+@pytest.fixture(scope="module")
+def web():
+    from uniparser_ray.pipelines.graph import _web_for
+    return _web_for(TAG)
+
+
+def test_extracted_edges_match_structural(ray_session, web):
+    """The whole distributed fetch -> rule-VM parse -> absolutize ->
+    explode chain reproduces the web's structural link set exactly."""
+    from uniparser_ray.pipelines.graph import extract_edges, structural_edges
+    df = extract_edges(SF).to_pandas()
+    got = set(zip(df["src"], df["dst"]))
+    assert got == set(structural_edges(web))
+    # hashes consistent with the url strings
+    from uniparser_ray.rulevm.urlutil import url_hash64
+    row = df.iloc[0]
+    assert int(row["src_hash"]) == url_hash64(row["src"])
+
+
+def test_pagerank_matches_expected(ray_session):
+    """BSP integer PageRank == single-process numpy power iteration,
+    bit-exact (integer fixed-point arithmetic on both paths)."""
+    from uniparser_ray.pipelines.graph import expected_pagerank, web_pagerank
+    got = web_pagerank(SF)
+    exp = expected_pagerank(TAG)
+    assert got.equals(exp)
+    # sanity: scores positive, descending
+    scores = got["pr_score"].to_numpy()
+    assert (scores > 0).all() and (np.diff(scores) <= 0).all()
+
+
+def test_components_match_expected(ray_session):
+    """Min-label propagation == union-find (different algorithms,
+    same component structure)."""
+    from uniparser_ray.pipelines.graph import (expected_components,
+                                               web_components)
+    got = web_components(SF)
+    assert got.equals(expected_components(TAG))
+    # components partition the universe
+    from uniparser_ray.pipelines.graph import _universe_table, _web_for
+    n_universe = _universe_table(_web_for(TAG)).num_rows
+    assert int(pa.compute.sum(got["n_pages"]).as_py()) == n_universe
+
+
+def test_host_degrees_match_expected(ray_session):
+    from uniparser_ray.pipelines.graph import (expected_host_degrees,
+                                               web_host_degrees)
+    assert web_host_degrees(SF).equals(expected_host_degrees(TAG))
+
+
+def test_pagerank_shard_count_invariant(ray_session):
+    """Result independent of shard count (the partition-determinism
+    claim the 100 TB design rests on)."""
+    from uniparser_ray.pipelines.graph import (_SHARD_CACHE, _sealed_shards,
+                                               expected_pagerank)
+    from uniparser_ray.stages.graph_bsp import connected_components, pagerank
+    shards1 = _sealed_shards(SF, num_shards=1)
+    got1 = pagerank(shards1)
+    assert got1.equals(expected_pagerank(TAG))
+    cc1 = connected_components(shards1)
+    shards3 = _sealed_shards(SF, num_shards=3)
+    assert pagerank(shards3).equals(got1)
+    assert connected_components(shards3).equals(cc1)

@@ -1,0 +1,366 @@
+"""Link-graph analytics over the crawled corpus — the canonical
+web-scale computations (PageRank, weakly-connected components, degree
+stats) the reference engine has no counterpart for.
+
+Pipeline shape:
+
+1. **Edge extraction is a distributed fetch+parse sweep**: the URL
+   universe streams through the same warm ``FetchParseStage`` actors
+   the crawl uses (rule-VM ``__request__`` link extraction), then a
+   vectorized explode (``pc.list_flatten`` + ``list_parent_indices``)
+   emits (src, dst) edge rows.  At 100 TB the universe is a parquet
+   table (``read_parquet`` of the frontier/pages checkpoints); here it
+   is the synthetic web's page list.
+2. **Iterative algorithms run on the BSP shard actors**
+   (``stages.graph_bsp``): edges partition ONCE by hash(src), each
+   superstep exchanges only per-destination aggregated messages.
+3. **Oracles are structural**: the synthetic web is a pure function of
+   the URL, so the expected edge set is derived from
+   ``SynthWeb.child_pages``/``cross_link`` WITHOUT any HTML or the
+   rule VM — an independent path that cross-checks the whole
+   distributed fetch -> parse -> absolutize -> explode chain.
+
+Graph semantics (identical on both paths): nodes = every page URL in
+the universe; edges = distinct parsed links of status-200 pages,
+self-loops dropped (the synthetic self-link exercises the dedup).
+404/500 pages contribute no out-edges — they are PageRank-dangling
+and may split a host's page tree into several components.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import List
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..rulevm.urlutil import url_hash64
+from ..stages import graph_bsp
+
+PR_ITERATIONS = 8
+PR_TOP_K = 50
+
+
+def _sf_tag(sf_dir: str) -> str:
+    return sf_dir.rstrip("/").rsplit("/", 1)[-1]
+
+
+# smaller than the crawl configs: the graph queries fetch the WHOLE
+# universe (no per-host budget), so page counts stay test-sized
+_GRAPH_BY_SF = {
+    "sf0.001": dict(num_hosts=3, base_pages=8, fanout=2, hot_factor=4.0),
+    "sf0.01": dict(num_hosts=20, base_pages=12, fanout=3, hot_factor=8.0),
+    "sf0.1": dict(num_hosts=50, base_pages=40, fanout=3, hot_factor=25.0),
+}
+
+
+def _web_for(tag: str):
+    from ..sources.synthweb import SynthWeb
+    return SynthWeb(**_GRAPH_BY_SF.get(tag, _GRAPH_BY_SF["sf0.01"]))
+
+
+def _universe_table(web) -> pa.Table:
+    """(url, url_hash, host, ...) rows for every page in the universe.
+    At real scale this is a pruned ``read_parquet`` of the URL table;
+    the synthetic universe is generated driver-side."""
+    urls, hashes, hosts = [], [], []
+    for h in range(web.num_hosts):
+        host = web.host_name(h)
+        for p in range(web.pages_of_host[h]):
+            u = web.page_url(h, p)
+            urls.append(u)
+            hashes.append(url_hash64(u))
+            hosts.append(host)
+    n = len(urls)
+    return pa.table({
+        "url": pa.array(urls, pa.large_string()),
+        "url_hash": pa.array(hashes, pa.uint64()),
+        "host": pa.array(hosts, pa.string()),
+        "depth": pa.array(np.zeros(n, np.int32)),
+        "priority": pa.array(np.zeros(n, np.float32)),
+        "parent": pa.array([""] * n, pa.large_string()),
+    })
+
+
+def _hash_urls(arr: pa.Array) -> np.ndarray:
+    """blake2b-8 per url (the same stable id the seen filter uses)."""
+    return np.fromiter(
+        (int.from_bytes(hashlib.blake2b(u.encode(), digest_size=8)
+                        .digest(), "big") for u in arr.to_pylist()),
+        dtype=np.uint64, count=len(arr))
+
+
+def _edges_batch(t: pa.Table) -> pa.Table:
+    """Vectorized page -> edge explode: status-200 pages only, flatten
+    the parsed link lists, drop self-loops, hash both endpoints."""
+    t = t.filter(pc.equal(t["status"], 200))
+    links = t["links"]
+    if isinstance(links, pa.ChunkedArray):
+        links = links.combine_chunks()
+    flat = pc.list_flatten(links)
+    parents = pc.list_parent_indices(links)
+    src = pc.take(t["url"].combine_chunks() if
+                  isinstance(t["url"], pa.ChunkedArray) else t["url"],
+                  parents)
+    keep = pc.not_equal(src, flat)
+    src = src.filter(keep)
+    dst = flat.filter(keep)
+    return pa.table({
+        "src": src.cast(pa.large_string()),
+        "dst": dst.cast(pa.large_string()),
+        "src_hash": pa.array(_hash_urls(src), pa.uint64()),
+        "dst_hash": pa.array(_hash_urls(dst), pa.uint64()),
+    })
+
+
+def extract_edges(sf_dir: str, parallelism: int = None):
+    """Distributed link extraction: universe -> warm FetchParseStage ->
+    edge explode.  Returns a Dataset of (src, dst, src_hash, dst_hash);
+    NOT yet distinct — consumers dedup in their own partition space."""
+    import ray
+    import ray.data as rd
+
+    from ..stages.crawl_stages import FetchParseStage
+    from ..stages.taskcache import cached_stage
+
+    tag = _sf_tag(sf_dir)
+    web = _web_for(tag)
+    cfg = _GRAPH_BY_SF.get(tag, _GRAPH_BY_SF["sf0.01"])
+    uni = _universe_table(web)
+    if parallelism is None:
+        parallelism = max(2, min(16, int(ray.cluster_resources()
+                                         .get("CPU", 4)) // 2))
+    blocks = max(1, min(parallelism, uni.num_rows // 64 or 1))
+    ds = rd.from_arrow(uni).repartition(blocks)
+    fetch = cached_stage(FetchParseStage, web_config=cfg,
+                         rule_pack=web.rule_pack())
+    pages = ds.map_batches(fetch, batch_format="pyarrow", batch_size=512)
+    return pages.map_batches(_edges_batch, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# shard build (shared by pagerank / components within a process)
+# ---------------------------------------------------------------------------
+
+_SHARD_CACHE: dict = {}
+
+
+def _sealed_shards(sf_dir: str, num_shards: int = None):
+    """Build (or reuse) the sealed BSP shards for this sf: ingest the
+    node table and the extracted edges once; pagerank and components
+    both run on the same pinned partitions."""
+    import ray
+
+    tag = _sf_tag(sf_dir)
+    if num_shards is None:
+        num_shards = max(2, min(8, int(ray.cluster_resources()
+                                       .get("CPU", 4)) // 2))
+    key = (tag, num_shards)
+    cached = _SHARD_CACHE.get(key)
+    if cached is not None:
+        return cached
+    shards = graph_bsp.build_shards(num_shards)
+    web = _web_for(tag)
+    uni = _universe_table(web)
+    ray.get(graph_bsp.ingest_nodes(
+        shards, uni["url_hash"].to_numpy(), uni["url"].to_pylist()))
+
+    def _ingest(t: pa.Table) -> pa.Table:
+        import ray as _ray
+        _ray.get(graph_bsp.ingest_edge_batch(
+            shards, t["src_hash"].to_numpy(), t["dst_hash"].to_numpy()))
+        return t.slice(0, 0)
+
+    extract_edges(sf_dir).map_batches(
+        _ingest, batch_format="pyarrow").materialize()
+    ray.get([s.seal.remote() for s in shards])
+    _SHARD_CACHE[key] = shards
+    return shards
+
+
+def reset_shard_cache():
+    import ray
+    for shards in _SHARD_CACHE.values():
+        for s in shards:
+            ray.kill(s, no_restart=True)
+    _SHARD_CACHE.clear()
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def web_pagerank(sf_dir: str) -> pa.Table:
+    """Top-50 pages by integer fixed-point PageRank over the parsed
+    link graph (8 supersteps, damping 0.85, dangling mass dropped)."""
+    shards = _sealed_shards(sf_dir)
+    return graph_bsp.pagerank(shards, iterations=PR_ITERATIONS,
+                              top_k=PR_TOP_K)
+
+
+def web_components(sf_dir: str) -> pa.Table:
+    """Weakly-connected components of the link graph: one row per
+    component, (component = lexicographic min member url, n_pages)."""
+    shards = _sealed_shards(sf_dir)
+    return graph_bsp.connected_components(shards)
+
+
+def web_host_degrees(sf_dir: str) -> pa.Table:
+    """Per-host degree stats over the DISTINCT edge set: fetched-ok
+    page count, out-edges, in-edges, distinct cross-host out-edges.
+    Hosts are bounded (dimension-sized), so the final merge is a tiny
+    driver concat; the distinct + counts are distributed."""
+    from ..stages.combine import grouped_aggregate
+
+    edges = extract_edges(sf_dir)
+    # distinct (src, dst) via the hash pair (bucketed two-phase agg)
+    dist = grouped_aggregate(
+        edges, ["src", "dst"], {"n": ("src", "count")})
+
+    def _host_cols(t: pa.Table) -> pa.Table:
+        # hosts are the authority part: "http://" + host + "/..."
+        src_host = pc.utf8_slice_codeunits(
+            pc.replace_substring(t["src"], "http://", "", max_replacements=1),
+            0, 14)
+        dst_host = pc.utf8_slice_codeunits(
+            pc.replace_substring(t["dst"], "http://", "", max_replacements=1),
+            0, 14)
+        cross = pc.cast(pc.not_equal(src_host, dst_host), pa.int64())
+        return pa.table({"src_host": src_host.combine_chunks()
+                         if isinstance(src_host, pa.ChunkedArray) else src_host,
+                         "dst_host": dst_host.combine_chunks()
+                         if isinstance(dst_host, pa.ChunkedArray) else dst_host,
+                         "cross": cross.combine_chunks()
+                         if isinstance(cross, pa.ChunkedArray) else cross})
+
+    hosted = dist.map_batches(_host_cols, batch_format="pyarrow")
+    out_deg = grouped_aggregate(hosted, ["src_host"],
+                                {"edges_out": ("src_host", "count"),
+                                 "cross_out": ("cross", "sum")}).to_pandas()
+    in_deg = grouped_aggregate(hosted, ["dst_host"],
+                               {"edges_in": ("dst_host", "count")}).to_pandas()
+
+    tag = _sf_tag(sf_dir)
+    web = _web_for(tag)
+    ok = pd.DataFrame({
+        "host": [web.host_name(h) for h in range(web.num_hosts)],
+        "pages_ok": [sum(1 for p in range(web.pages_of_host[h])
+                         if web.page_status(h, p) == 200)
+                     for h in range(web.num_hosts)]})
+    # pages_ok is structural bookkeeping; the graph signal (degrees)
+    # comes from the distributed parse above
+    df = ok.merge(out_deg.rename(columns={"src_host": "host"}),
+                  on="host", how="left") \
+           .merge(in_deg.rename(columns={"dst_host": "host"}),
+                  on="host", how="left")
+    for c in ("edges_out", "cross_out", "edges_in"):
+        df[c] = df[c].fillna(0).astype("int64")
+    df["pages_ok"] = df["pages_ok"].astype("int64")
+    return pa.Table.from_pandas(df.sort_values("host")
+                                .reset_index(drop=True),
+                                preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# structural oracle (independent single-process path)
+# ---------------------------------------------------------------------------
+
+
+def structural_edges(web) -> List[tuple]:
+    """The expected DISTINCT edge set derived from the web's structure
+    functions — no HTML, no rule VM, no DOM engine."""
+    edges = set()
+    for h in range(web.num_hosts):
+        for p in range(web.pages_of_host[h]):
+            if web.page_status(h, p) != 200:
+                continue
+            u = web.page_url(h, p)
+            for c in web.child_pages(h, p):
+                edges.add((u, web.page_url(h, c)))
+            cross = web.cross_link(h, p)
+            if cross and cross != u:
+                edges.add((u, cross))
+            # the self-link is a self-loop: dropped by spec
+    return sorted(edges)
+
+
+def expected_pagerank(tag: str) -> pa.Table:
+    """Single-process numpy power iteration with the same integer
+    arithmetic (bit-identical to the BSP result by construction)."""
+    web = _web_for(tag)
+    urls = sorted(u for h in range(web.num_hosts)
+                  for p in range(web.pages_of_host[h])
+                  for u in [web.page_url(h, p)])
+    idx = {u: i for i, u in enumerate(urls)}
+    n = len(urls)
+    edges = structural_edges(web)
+    src = np.array([idx[a] for a, _ in edges], np.int64)
+    dst = np.array([idx[b] for _, b in edges], np.int64)
+    outdeg = np.zeros(n, np.int64)
+    np.add.at(outdeg, src, 1)
+    rank = np.full(n, graph_bsp.PR_SCALE, np.int64)
+    for _ in range(PR_ITERATIONS):
+        mass = np.zeros(n, np.int64)
+        np.add.at(mass, dst, rank[src] // np.maximum(outdeg[src], 1))
+        rank = graph_bsp.PR_BASE + graph_bsp.PR_DAMP_NUM * mass // 100
+    df = pd.DataFrame({"url": urls, "pr_score": rank}).sort_values(
+        ["pr_score", "url"], ascending=[False, True]).head(PR_TOP_K)
+    return pa.Table.from_pandas(df.reset_index(drop=True),
+                                preserve_index=False)
+
+
+def expected_components(tag: str) -> pa.Table:
+    """Union-find over the structural edges (independent algorithm —
+    the distributed side uses label propagation)."""
+    web = _web_for(tag)
+    urls = sorted(u for h in range(web.num_hosts)
+                  for p in range(web.pages_of_host[h])
+                  for u in [web.page_url(h, p)])
+    parent = {u: u for u in urls}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in structural_edges(web):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    groups: dict = {}
+    for u in urls:
+        groups.setdefault(find(u), []).append(u)
+    rows = [{"component": min(g), "n_pages": len(g)}
+            for g in groups.values()]
+    df = pd.DataFrame(rows).sort_values(
+        ["n_pages", "component"], ascending=[False, True])
+    return pa.Table.from_pandas(df.reset_index(drop=True),
+                                preserve_index=False)
+
+
+def expected_host_degrees(tag: str) -> pa.Table:
+    web = _web_for(tag)
+    edges = structural_edges(web)
+
+    def host_of(u: str) -> str:
+        return u.split("/")[2]
+
+    rows = []
+    for h in range(web.num_hosts):
+        host = web.host_name(h)
+        out_e = [e for e in edges if host_of(e[0]) == host]
+        in_e = [e for e in edges if host_of(e[1]) == host]
+        rows.append({
+            "host": host,
+            "pages_ok": sum(1 for p in range(web.pages_of_host[h])
+                            if web.page_status(h, p) == 200),
+            "edges_out": len(out_e),
+            "cross_out": sum(1 for e in out_e
+                             if host_of(e[1]) != host),
+            "edges_in": len(in_e)})
+    return pa.Table.from_pylist(rows)
