@@ -136,6 +136,15 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
            lambda: len(stats_p.order_price_quantiles(sf_dir)))
     timed3("events_hll_users",
            lambda: consume(stats_p.events_hll_users(sf_dir)))
+    # link-graph family: first call pays the distributed edge
+    # extraction + BSP shard build; components reuses the sealed shards
+    from uniparser_ray.pipelines import graph as graph_p
+    timed3("web_pagerank", lambda: consume(graph_p.web_pagerank(sf_dir)))
+    timed3("web_components",
+           lambda: consume(graph_p.web_components(sf_dir)))
+    timed3("web_host_degrees",
+           lambda: consume(graph_p.web_host_degrees(sf_dir)))
+    graph_p.reset_shard_cache()
     return {
         "metric": "crawl+operator suite wall time",
         "value": total,

@@ -212,37 +212,35 @@ def web_components(sf_dir: str) -> pa.Table:
 def web_host_degrees(sf_dir: str) -> pa.Table:
     """Per-host degree stats over the DISTINCT edge set: fetched-ok
     page count, out-edges, in-edges, distinct cross-host out-edges.
-    Hosts are bounded (dimension-sized), so the final merge is a tiny
-    driver concat; the distinct + counts are distributed."""
-    from ..stages.combine import grouped_aggregate
 
-    edges = extract_edges(sf_dir)
-    # distinct (src, dst) via the hash pair (bucketed two-phase agg)
-    dist = grouped_aggregate(
-        edges, ["src", "dst"], {"n": ("src", "count")})
+    Shuffle-free plan: every URL is fetched exactly once (the universe
+    is distinct), so ALL links of a given src live in one batch and
+    global edge-distinct == per-batch distinct on (src, dst).  Each
+    batch then collapses to per-(src_host, dst_host) partial counts —
+    bounded by hosts^2, dimension-sized — and the driver combines the
+    partials.  No groupby shuffle anywhere."""
 
-    def _host_cols(t: pa.Table) -> pa.Table:
-        # hosts are the authority part: "http://" + host + "/..."
-        src_host = pc.utf8_slice_codeunits(
-            pc.replace_substring(t["src"], "http://", "", max_replacements=1),
-            0, 14)
-        dst_host = pc.utf8_slice_codeunits(
-            pc.replace_substring(t["dst"], "http://", "", max_replacements=1),
-            0, 14)
-        cross = pc.cast(pc.not_equal(src_host, dst_host), pa.int64())
-        return pa.table({"src_host": src_host.combine_chunks()
-                         if isinstance(src_host, pa.ChunkedArray) else src_host,
-                         "dst_host": dst_host.combine_chunks()
-                         if isinstance(dst_host, pa.ChunkedArray) else dst_host,
-                         "cross": cross.combine_chunks()
-                         if isinstance(cross, pa.ChunkedArray) else cross})
+    def _host_pair_counts(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"src": t["src"].to_pandas(),
+                           "dst": t["dst"].to_pandas()})
+        df = df.drop_duplicates()
+        # authority part: "http://" + host + "/..."
+        df["src_host"] = df["src"].str.slice(7, 21)
+        df["dst_host"] = df["dst"].str.slice(7, 21)
+        g = df.groupby(["src_host", "dst_host"]).size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
 
-    hosted = dist.map_batches(_host_cols, batch_format="pyarrow")
-    out_deg = grouped_aggregate(hosted, ["src_host"],
-                                {"edges_out": ("src_host", "count"),
-                                 "cross_out": ("cross", "sum")}).to_pandas()
-    in_deg = grouped_aggregate(hosted, ["dst_host"],
-                               {"edges_in": ("dst_host", "count")}).to_pandas()
+    parts = extract_edges(sf_dir).map_batches(
+        _host_pair_counts, batch_format="pyarrow").to_pandas()
+    pairs = parts.groupby(["src_host", "dst_host"])["n"].sum().reset_index()
+    out_deg = pairs.groupby("src_host")["n"].sum().reset_index(
+        name="edges_out").rename(columns={"src_host": "host"})
+    cross = pairs[pairs["src_host"] != pairs["dst_host"]] \
+        .groupby("src_host")["n"].sum().reset_index(name="cross_out") \
+        .rename(columns={"src_host": "host"})
+    in_deg = pairs.groupby("dst_host")["n"].sum().reset_index(
+        name="edges_in").rename(columns={"dst_host": "host"})
+    out_deg = out_deg.merge(cross, on="host", how="left")
 
     tag = _sf_tag(sf_dir)
     web = _web_for(tag)
@@ -253,10 +251,8 @@ def web_host_degrees(sf_dir: str) -> pa.Table:
                      for h in range(web.num_hosts)]})
     # pages_ok is structural bookkeeping; the graph signal (degrees)
     # comes from the distributed parse above
-    df = ok.merge(out_deg.rename(columns={"src_host": "host"}),
-                  on="host", how="left") \
-           .merge(in_deg.rename(columns={"dst_host": "host"}),
-                  on="host", how="left")
+    df = ok.merge(out_deg, on="host", how="left") \
+           .merge(in_deg, on="host", how="left")
     for c in ("edges_out", "cross_out", "edges_in"):
         df[c] = df[c].fillna(0).astype("int64")
     df["pages_ok"] = df["pages_ok"].astype("int64")

@@ -211,11 +211,13 @@ def exact_quantiles(ds, column: str, qs: Sequence[float], by: str = None,
             fkeys = sorted(finals)
             franges = {k: finals[k][:2] for k in fkeys}
 
-            def collect(df: pd.DataFrame, _r=franges, _f=fkeys) \
-                    -> pd.DataFrame:
+            def collect(df: pd.DataFrame, _r=franges, _f=fkeys):
+                import pyarrow as _pa
                 gcol = df[by].to_numpy() if by else None
                 x_all = df[column].to_numpy(np.float64)
-                out = []
+                gs: list = []
+                qis: list = []
+                vs: list = []
                 for k in _f:
                     g, i = k
                     x = x_all if gcol is None else x_all[gcol == g]
@@ -224,17 +226,24 @@ def exact_quantiles(ds, column: str, qs: Sequence[float], by: str = None,
                     # rows from the next bucket sort after and never
                     # shift an in-bucket rank
                     v = x[(x >= lo) & (x <= hi)]
-                    out.append(pd.DataFrame({
-                        "g": g, "qi": np.full(len(v), i, np.int64),
-                        "v": v}))
-                return pd.concat(out, ignore_index=True)
+                    gs.extend([str(g)] * len(v))
+                    qis.append(np.full(len(v), i, np.int64))
+                    vs.append(v)
+                # typed Arrow output: a 0-row batch keeps its schema
+                # (a 0-row pandas object column trips Ray's estimator)
+                return _pa.table({
+                    "g": _pa.array(gs, _pa.large_string()),
+                    "qi": _pa.array(np.concatenate(qis) if qis
+                                    else np.empty(0, np.int64)),
+                    "v": _pa.array(np.concatenate(vs) if vs
+                                   else np.empty(0, np.float64))})
 
             vals = ds.map_batches(collect, batch_format="pandas") \
                 .to_pandas()
             for k in fkeys:
                 g, i = k
                 lo, hi, r = finals[k]
-                sel = vals[(vals["g"] == g) & (vals["qi"] == i)]
+                sel = vals[(vals["g"] == str(g)) & (vals["qi"] == i)]
                 v = np.sort(sel["v"].to_numpy())
                 resolved[k] = float(v[r])
         if not active:
