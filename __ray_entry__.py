@@ -268,6 +268,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_stats": documents.doc_token_stats,
         "doc_top_tokens": documents.doc_top_tokens,
         "doc_sample_hash": documents.doc_sample_hash,
+        "doc_tfidf_topk": documents.doc_tfidf_topk,
+        "doc_shard_assign": documents.doc_shard_assign,
         "doc_quality": documents.doc_quality,
         "doc_langid": documents.doc_langid,
         "doc_fingerprint": documents.doc_fingerprint,
@@ -823,6 +825,36 @@ def oracle_sql(sf_tag: str = None) -> dict[str, str]:
             SELECT doc_id, lang, n_chars FROM documents
             WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
                      ::BIGINT % 2147483647) % 100 < 10
+        """,
+        "doc_tfidf_topk": f"""
+            WITH toks AS (
+              SELECT doc_id, {_SPLIT_SQL} AS t FROM documents),
+            tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
+            tf AS (SELECT doc_id, token, COUNT(*) AS tf
+                   FROM tok GROUP BY 1, 2),
+            dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+            scored AS (
+              SELECT f.doc_id, f.token, f.tf, d.df,
+                     ROUND(f.tf * ln(
+                         (SELECT COUNT(*) FROM documents) * 1.0 / d.df),
+                         6) AS tfidf
+              FROM tf f JOIN dfreq d USING (token)),
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY doc_id
+                  ORDER BY tfidf DESC, token ASC) AS rk
+              FROM scored)
+            SELECT doc_id, token, tf, df, tfidf, rk
+            FROM ranked WHERE rk <= 3
+        """,
+        "doc_shard_assign": """
+            SELECT doc_id, n_chars,
+                   CAST(COALESCE(SUM(n_chars) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) // 50000
+                        AS BIGINT) AS shard
+            FROM documents
         """,
         "doc_token_stats": r"""
             SELECT doc_id,

@@ -464,3 +464,54 @@ def test_hash_bucket_join_small_input_path_equals_shuffle(ray_session):
     fast = run(10_000)       # under limit -> one-task merge
     slow = run(10)           # over limit -> normal shuffle
     pd.testing.assert_frame_equal(fast, slow)
+
+
+def test_doc_shard_assign_prefix_sum(ray_session):
+    """Global ordered prefix sum: shard boundaries match a
+    single-process cumsum regardless of range partitioning."""
+    import numpy as np
+
+    from uniparser_ray.pipelines.documents import doc_shard_assign
+    got = doc_shard_assign("/root/testdata/sf0.001", budget=10_000,
+                           num_ranges=7).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    cum_before = np.concatenate(
+        [[0], np.cumsum(got["n_chars"].to_numpy())[:-1]])
+    assert (got["shard"].to_numpy() == cum_before // 10_000).all()
+    # shards fill in order and are contiguous
+    s = got["shard"].to_numpy()
+    assert (np.diff(s) >= 0).all() and s[0] == 0
+
+
+def test_doc_tfidf_topk_against_pandas(ray_session):
+    """TF-IDF top-k equals a single-process pandas computation."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from uniparser_ray.pipelines.documents import doc_tfidf_topk
+    got = doc_tfidf_topk("/root/testdata/sf0.001").to_pandas() \
+        .sort_values(["doc_id", "rk"]).reset_index(drop=True)
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    rows = []
+    for _, r in docs.iterrows():
+        words = r["text"].split()
+        if words:
+            uniq, cnt = np.unique(np.asarray(words, object),
+                                  return_counts=True)
+            for t, c in zip(uniq, cnt):
+                rows.append((r["doc_id"], t, int(c)))
+    tf = pd.DataFrame(rows, columns=["doc_id", "token", "tf"])
+    tf["df"] = tf.groupby("token")["token"].transform("size")
+    tf["tfidf"] = (tf["tf"] * np.log(len(docs) / tf["df"])).round(6)
+    exp = tf.sort_values(["doc_id", "tfidf", "token"],
+                         ascending=[True, False, True],
+                         kind="mergesort") \
+        .groupby("doc_id", sort=False).head(3)
+    exp["rk"] = exp.groupby("doc_id", sort=False).cumcount() + 1
+    exp = exp.reset_index(drop=True)
+    assert len(got) == len(exp)
+    for c in ("doc_id", "token", "tf", "df", "rk"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+    assert np.allclose(got["tfidf"], exp["tfidf"])

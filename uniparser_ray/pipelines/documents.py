@@ -188,3 +188,116 @@ def doc_sample_hash(sf_dir: str, pct: int = 10):
         return df[(h % 100) < pct]
 
     return ds.map_batches(keep, batch_format="pandas")
+
+
+def doc_tfidf_topk(sf_dir: str, k: int = 3):
+    """Per-document top-k TF-IDF terms — the feature-extraction step of
+    a classic text pipeline, in two bucketed shuffles.
+
+    Plan: (1) per-batch term counts collapse each doc to its DISTINCT
+    (doc_id, token, tf) rows (the combiner — tokens never cross the
+    wire raw); (2) bucket by token: every row of a token lands in one
+    bucket, so document frequency is exact WITHIN the bucket and rides
+    back on the rows without a separate df table or join; (3) bucket
+    by doc: per-doc top-k on the ROUNDED score (both sides rank on
+    round(tfidf, 6), so libm ulp differences can't reorder).
+    Determinism: ties break (tfidf desc, token asc)."""
+    import numpy as np
+
+    from ..stages.combine import hash_bucket_combine
+
+    ds = _read(sf_dir, ["doc_id", "text"])
+    n_docs = _read(sf_dir, ["doc_id"]).count()
+
+    def term_counts(df: pd.DataFrame) -> pd.DataFrame:
+        ids, toks, tfs = [], [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            words = text.split()
+            if not words:
+                continue
+            uniq, cnt = np.unique(np.asarray(words, dtype=object),
+                                  return_counts=True)
+            ids.extend([doc_id] * len(uniq))
+            toks.extend(uniq)
+            tfs.extend(cnt)
+        return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                             "token": pd.Series(toks, dtype=str),
+                             "tf": pd.Series(tfs, dtype="int64")})
+
+    tf_rows = ds.map_batches(term_counts, batch_format="pandas")
+
+    def attach_df(g: pd.DataFrame) -> pd.DataFrame:
+        # rows are distinct (doc, token): token row count == its df
+        g = g.copy()
+        g["df"] = g.groupby("token")["token"].transform("size") \
+            .astype("int64")
+        return g
+
+    with_df = hash_bucket_combine(tf_rows, ["token"], attach_df)
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["tfidf"] = (g["tf"] * np.log(float(n_docs) / g["df"])).round(6)
+        g = g.sort_values(["doc_id", "tfidf", "token"],
+                          ascending=[True, False, True], kind="mergesort") \
+            .groupby("doc_id", sort=False).head(k)
+        g["rk"] = g.groupby("doc_id", sort=False).cumcount() + 1
+        return g[["doc_id", "token", "tf", "df", "tfidf", "rk"]] \
+            .astype({"rk": "int64"})
+
+    return hash_bucket_combine(with_df, ["doc_id"], topk)
+
+
+def doc_shard_assign(sf_dir: str, budget: int = 50_000,
+                     num_ranges: int = 32):
+    """Deterministic training-shard assignment by a GLOBAL ordered
+    prefix sum: documents are packed (in doc_id order) into shards of
+    ~``budget`` chars — ``shard = chars_before_me // budget``.
+
+    This is the distributed scan primitive: (1) range-partition the
+    key space (doc_id is int; boundaries from a min/max pass — for
+    skewed key spaces use sampled quantile boundaries); (2) one pass
+    computes per-range sums, the driver folds them into EXCLUSIVE
+    range offsets (num_ranges values, not rows); (3) a second pass
+    sorts within each range and adds offset + local exclusive cumsum.
+    No global sort, no driver materialization of rows; integer
+    arithmetic end-to-end (bit-exact vs the SQL window oracle)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, ["doc_id", "n_chars"])
+    stats = ds.aggregate(*_min_max_aggs("doc_id"))
+    lo, hi = stats["min(doc_id)"], stats["max(doc_id)"]
+    bounds = np.linspace(lo, hi + 1, num_ranges + 1)[1:-1]
+
+    def with_range(t: pa.Table) -> pa.Table:
+        r = np.searchsorted(bounds, t["doc_id"].to_numpy(), side="right")
+        return t.append_column("_range", pa.array(r, pa.int64()))
+
+    ranged = ds.map_batches(with_range, batch_format="pyarrow")
+
+    # pass 1: per-range totals (tiny shuffle: num_ranges x blocks rows)
+    from ..stages.combine import grouped_aggregate
+    sums = grouped_aggregate(ranged, ["_range"],
+                             {"total": ("n_chars", "sum")}).to_pandas()
+    sums = sums.sort_values("_range")
+    totals = np.zeros(num_ranges, np.int64)
+    totals[sums["_range"].to_numpy()] = sums["total"].to_numpy()
+    offsets = np.concatenate([[0], np.cumsum(totals)[:-1]])
+
+    # pass 2: within-range ordered cumsum + offset
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort").copy()
+        r = int(g["_range"].iloc[0])
+        cum_before = (int(offsets[r])
+                      + g["n_chars"].cumsum().shift(fill_value=0))
+        g["shard"] = (cum_before // budget).astype("int64")
+        return g[["doc_id", "n_chars", "shard"]]
+
+    return ranged.groupby("_range") \
+        .map_groups(assign, batch_format="pandas")
+
+
+def _min_max_aggs(col: str):
+    from ray.data.aggregate import Max, Min
+    return Min(col), Max(col)
