@@ -289,6 +289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal (input_hint image+caption table)
         "images_decode_stats": images_q.images_decode_stats,
         "images_neardup_phash": images_q.images_neardup_phash,
+        "images_dedup_clusters": images_q.images_dedup_clusters,
         "images_thumbnails": images_q.images_thumbnails,
         "caption_token_stats": images_q.caption_token_stats,
         "audio_features": images_q.audio_features_q,
@@ -557,6 +558,25 @@ def _multimodal_oracle_thunks(tag: str) -> dict:
                    {ham} AS hamming
             FROM m a JOIN m b ON b.image_id > a.image_id
             WHERE {ham} <= 8 AND ({_blocks_pred('a.phash', 'b.phash')})
+        """,
+        "images_dedup_clusters": lambda: f"""
+            WITH RECURSIVE {meta()},
+            pairs AS (
+              SELECT a.image_id AS x, b.image_id AS y
+              FROM m a JOIN m b ON b.image_id > a.image_id
+              WHERE {ham} <= 8 AND ({_blocks_pred('a.phash', 'b.phash')})
+            ),
+            und AS (SELECT x, y FROM pairs
+                    UNION SELECT y, x FROM pairs),
+            reach(id, r) AS (
+              SELECT image_id, image_id FROM m
+              UNION
+              SELECT u.y, reach.r
+              FROM reach JOIN und u ON u.x = reach.id
+            )
+            SELECT id AS image_id, MIN(r) AS cluster,
+                   id = MIN(r) AS keep
+            FROM reach GROUP BY id
         """,
         "audio_features": lambda: f"""
             WITH {_values_cte('e', _expected_table('audio', tag))}

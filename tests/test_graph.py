@@ -72,3 +72,26 @@ def test_pagerank_shard_count_invariant(ray_session):
     shards3 = _sealed_shards(SF, num_shards=3)
     assert pagerank(shards3).equals(got1)
     assert connected_components(shards3).equals(cc1)
+
+
+def test_images_dedup_clusters_transitive(ray_session):
+    """Cluster assignment is transitively closed over the pair graph
+    and keeps exactly one representative per cluster."""
+    import pandas as pd
+
+    from uniparser_ray.pipelines.images_q import (images_dedup_clusters,
+                                                  images_neardup_phash)
+    sf = "/root/testdata/sf0.001"
+    out = images_dedup_clusters(sf).to_pandas()
+    pairs = images_neardup_phash(sf).to_pandas()
+    rep = dict(zip(out["image_id"], out["cluster"]))
+    # every near-dup pair landed in the same cluster
+    assert all(rep[a] == rep[b]
+               for a, b in zip(pairs["image_a"], pairs["image_b"]))
+    # representative is the min member and the only kept row
+    g = out.groupby("cluster")
+    assert (g["image_id"].min() == g["image_id"].first().index).all()
+    assert out["keep"].sum() == out["cluster"].nunique()
+    # singletons keep themselves
+    assert (out[~out["image_id"].isin(
+        pd.concat([pairs["image_a"], pairs["image_b"]]))]["keep"]).all()

@@ -331,3 +331,59 @@ def expected_crawl_images(tag: str) -> pa.Table:
     rows = [_image_row_from_blob(iid, blob, cap)
             for iid, (blob, cap) in sorted(result["images"].items())]
     return pa.Table.from_pylist(rows)
+
+
+def images_dedup_clusters(sf_dir: str, max_hamming: int = 8):
+    """Near-dup image CLUSTERING: the phash candidate pairs (the same
+    block-bucketed rule as images_neardup_phash) become edges of a
+    similarity graph; BSP connected components collapse transitive
+    chains (A~B, B~C => one cluster even when A!~C) and each image is
+    assigned its cluster representative (lexicographic min image_id) —
+    ``keep`` marks the one row per cluster a training pipeline retains.
+    Oracle: DuckDB recomputes the pair rule from the stored phash
+    column and closes it transitively with a RECURSIVE CTE — a fully
+    computed SQL twin of the distributed label propagation."""
+    import numpy as np
+    import ray
+
+    from ..rulevm.urlutil import url_hash64
+    from ..stages import graph_bsp
+    from ..stages.dedup import hamming_block_pairs
+
+    table = images_lance_for(sf_dir)
+    ds = table.read_dataset(columns=["image_id", "phash"])
+    pairs = hamming_block_pairs(ds, "image_id", "phash", max_hamming,
+                                out_prefix="image")
+
+    num_shards = max(2, min(8, int(ray.cluster_resources()
+                                   .get("CPU", 4)) // 2))
+    shards = graph_bsp.build_shards(num_shards)
+
+    def _hash_ids(vals) -> np.ndarray:
+        return np.fromiter((url_hash64(v) for v in vals),
+                           dtype=np.uint64, count=len(vals))
+
+    def _ingest_nodes(t: pa.Table) -> pa.Table:
+        ids = t["image_id"].to_pylist()
+        ray.get(graph_bsp.ingest_nodes(shards, _hash_ids(ids), ids))
+        return t.slice(0, 0)
+
+    def _ingest_pairs(t: pa.Table) -> pa.Table:
+        a = t["image_a"].to_pylist()
+        b = t["image_b"].to_pylist()
+        ray.get(graph_bsp.ingest_edge_batch(
+            shards, _hash_ids(a), _hash_ids(b)))
+        return t.slice(0, 0)
+
+    ds.select_columns(["image_id"]).map_batches(
+        _ingest_nodes, batch_format="pyarrow").materialize()
+    pairs.map_batches(_ingest_pairs, batch_format="pyarrow").materialize()
+    ray.get([s.seal.remote() for s in shards])
+    out = graph_bsp.component_assignments(shards).to_pandas()
+    for s in shards:
+        ray.kill(s, no_restart=True)
+    out = out.rename(columns={"id": "image_id"})
+    out["keep"] = out["image_id"] == out["cluster"]
+    return pa.Table.from_pandas(
+        out.sort_values("image_id").reset_index(drop=True),
+        preserve_index=False)

@@ -222,6 +222,16 @@ class GraphShard:
         self.label = new
         return changed
 
+    def cc_assignments(self, rep_map) -> pa.Table:
+        """Per-owned-node cluster assignment: label -> representative
+        id via the (component-count-sized) broadcast map (passed as an
+        ObjectRef; Ray resolves it once per shard)."""
+        reps = pd.Series(self.label).map(rep_map)
+        return pa.table({
+            "id": pa.array(self.urls, pa.string()),
+            "cluster": pa.array(reps.to_numpy(), pa.string()),
+        })
+
     def cc_partials(self) -> pd.DataFrame:
         """Per-shard partial per-component aggregate: (label, n owned
         members, lexicographic min member url).  Component count <<
@@ -295,18 +305,35 @@ def pagerank(shards, iterations: int = 8, top_k: int = 50) -> pa.Table:
                                 preserve_index=False)
 
 
-def connected_components(shards, max_rounds: int = 200) -> pa.Table:
-    """Weakly-connected components by min-label propagation; rounds =
-    graph diameter (convergence detected by global changed-count)."""
+def _cc_run(shards, max_rounds: int = 200) -> pd.DataFrame:
+    """Propagate labels to convergence; return the merged per-component
+    partials (label, n, min_url) — component-count-sized."""
     ray.get([s.cc_init.remote() for s in shards])
     for _ in range(max_rounds):
         changed = ray.get(_exchange(shards, "cc_messages", "cc_apply"))
         if sum(changed) == 0:
             break
-    parts = pd.concat(ray.get([s.cc_partials.remote() for s in shards]))
+    return pd.concat(ray.get([s.cc_partials.remote() for s in shards]))
+
+
+def connected_components(shards, max_rounds: int = 200) -> pa.Table:
+    """Weakly-connected components by min-label propagation; rounds =
+    graph diameter (convergence detected by global changed-count)."""
+    parts = _cc_run(shards, max_rounds)
     g = parts.groupby("label").agg(
         n_pages=("n", "sum"), component=("min_url", "min")).reset_index()
     out = g[["component", "n_pages"]].sort_values(
         ["n_pages", "component"], ascending=[False, True])
     return pa.Table.from_pandas(out.reset_index(drop=True),
                                 preserve_index=False)
+
+
+def component_assignments(shards, max_rounds: int = 200) -> pa.Table:
+    """Per-node (id, cluster representative): run components, build the
+    component-count-sized label->min-member map once, broadcast it, and
+    let each shard label its own nodes."""
+    parts = _cc_run(shards, max_rounds)
+    rep = parts.groupby("label")["min_url"].min()
+    rep_ref = ray.put(rep)
+    tbls = ray.get([s.cc_assignments.remote(rep_ref) for s in shards])
+    return pa.concat_tables(tbls)
