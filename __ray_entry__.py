@@ -241,6 +241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_order_stats": relational.segment_order_stats,
         "q5_local_supplier_volume": relational.q5_local_supplier_volume,
         "part_topk_price": relational.part_topk_price,
+        "customers_without_orders": relational.customers_without_orders,
         "orders_topk_per_customer": relational.orders_topk_per_customer,
         "part_price_bands": relational.part_price_bands,
         # statistics (sketches + rank stats)
@@ -840,6 +841,12 @@ def oracle_sql(sf_tag: str = None) -> dict[str, str]:
                   string_split_regex(text, '\s+'), s -> s <> '')) AS t
               FROM documents)
             GROUP BY 1 ORDER BY n DESC, token LIMIT 20
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name, c_mktsegment FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_totalprice > 400000.0)
         """,
         "doc_sample_hash": """
             SELECT doc_id, lang, n_chars FROM documents

@@ -659,3 +659,43 @@ def segment_order_stats(sf_dir: str):
         return df
 
     return out.map_batches(finish, batch_format="pandas")
+
+
+def customers_without_orders(sf_dir: str, min_price: float = 400_000.0):
+    """Distributed ANTI-join (the relational twin of the crawl's
+    seen-filter): customers with no order above ``min_price``.  Both
+    sides bucket by the key hash; the probe side is pre-shrunk by the
+    pushed-down price filter plus a per-batch distinct combiner (only
+    unique qualifying custkeys move), and each bucket filters with one
+    vectorized ``isin`` — no pandas merge, no driver set."""
+    from ..stages.combine import hash_bucket_combine
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_name", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]) \
+        .map_batches(lambda df: df.loc[df["o_totalprice"] > min_price,
+                                       ["o_custkey"]],
+                     batch_format="pandas")
+
+    def tag_cust(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_probe"] = np.int8(0)
+        return df
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"c_custkey": df["o_custkey"].unique()})
+        out["c_name"] = pd.Series([None] * len(out), dtype=object)
+        out["c_mktsegment"] = pd.Series([None] * len(out), dtype=object)
+        out["_probe"] = np.int8(1)
+        return out[["c_custkey", "c_name", "c_mktsegment", "_probe"]]
+
+    u = cust.map_batches(tag_cust, batch_format="pandas").union(
+        orders.map_batches(tag_orders, batch_format="pandas"))
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        seen = g.loc[g["_probe"] == 1, "c_custkey"]
+        keep = g[(g["_probe"] == 0) & ~g["c_custkey"].isin(seen)]
+        return keep[["c_custkey", "c_name", "c_mktsegment"]] \
+            .astype({"c_custkey": "int64"})
+
+    return hash_bucket_combine(u, ["c_custkey"], anti)
