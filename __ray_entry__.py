@@ -279,6 +279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dedup_exact": documents.doc_dedup_exact,
         "doc_dedup_jaccard": documents.doc_dedup_jaccard,
         "doc_dedup_minhash": documents.doc_dedup_minhash,
+        "doc_dedup_clusters": documents.doc_dedup_clusters,
         "doc_dedup_simhash": documents.doc_dedup_simhash,
         "embedding_neardup": vectors.embedding_neardup,
         "embedding_neardup_lsh": vectors.embedding_neardup_lsh,
@@ -927,6 +928,19 @@ def oracle_sql(sf_tag: str = None) -> dict[str, str]:
         "doc_signatures": _signatures_sql(),
         "doc_dedup_simhash": _simhash_pairs_sql(max_hamming=6),
         "doc_dedup_minhash": _minhash_pairs_sql(threshold=0.6),
+        "doc_dedup_clusters": f"""
+            WITH RECURSIVE pairs AS ({_minhash_pairs_sql(threshold=0.6)}),
+            und AS (SELECT doc_a AS x, doc_b AS y FROM pairs
+                    UNION SELECT doc_b, doc_a FROM pairs),
+            reach(id, r) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT u.y, reach.r
+              FROM reach JOIN und u ON u.x = reach.id
+            )
+            SELECT id AS doc_id, MIN(r) AS cluster, id = MIN(r) AS keep
+            FROM reach GROUP BY id
+        """,
         "embedding_neardup_lsh": _embedding_lsh_sql(threshold=0.35),
         "label_centroids": """
             WITH dim AS (

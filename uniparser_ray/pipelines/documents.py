@@ -301,3 +301,61 @@ def doc_shard_assign(sf_dir: str, budget: int = 50_000,
 def _min_max_aggs(col: str):
     from ray.data.aggregate import Max, Min
     return Min(col), Max(col)
+
+
+def doc_dedup_clusters(sf_dir: str, threshold: float = 0.6):
+    """Transitive near-dup document CLUSTERING: the MinHash+LSH
+    verified pairs become edges; BSP connected components assign every
+    document its cluster representative (min doc_id) and a ``keep``
+    flag — the "keep one per duplicate cluster" step pairwise dedup
+    alone can't produce (A~B, B~C chains collapse even when A!~C).
+
+    Node ids are the int64 doc_ids themselves (identity hash into the
+    shard space), so the propagated min-label IS the representative.
+    Oracle: the full minhash SQL twin wrapped in a RECURSIVE-CTE
+    transitive closure."""
+    import numpy as np
+    import ray
+
+    from ..stages import graph_bsp
+
+    pairs = doc_dedup_minhash(sf_dir, threshold=threshold)
+    ids = _read(sf_dir, ["doc_id"])
+
+    num_shards = max(2, min(8, int(ray.cluster_resources()
+                                   .get("CPU", 4)) // 2))
+    shards = graph_bsp.build_shards(num_shards)
+
+    def _ingest_nodes(t: pa.Table) -> pa.Table:
+        v = t["doc_id"].to_numpy().astype(np.uint64)
+        ray.get(graph_bsp.ingest_nodes(
+            shards, v, [int(x) for x in v]))
+        return t.slice(0, 0)
+
+    def _ingest_pairs(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy().astype(np.uint64)
+        b = t["doc_b"].to_numpy().astype(np.uint64)
+        ray.get(graph_bsp.ingest_edge_batch(shards, a, b))
+        return t.slice(0, 0)
+
+    ids.map_batches(_ingest_nodes, batch_format="pyarrow").materialize()
+    if isinstance(pairs, pa.Table):
+        # the minhash pipeline's small-corpus fast path returns a
+        # materialized table — ingest it in one driver-side call
+        ray.get(graph_bsp.ingest_edge_batch(
+            shards,
+            pairs["doc_a"].to_numpy().astype("uint64"),
+            pairs["doc_b"].to_numpy().astype("uint64")))
+    else:
+        pairs.map_batches(_ingest_pairs,
+                          batch_format="pyarrow").materialize()
+    ray.get([s.seal.remote() for s in shards])
+    out = graph_bsp.component_assignments(shards).to_pandas()
+    for s in shards:
+        ray.kill(s, no_restart=True)
+    out = out.rename(columns={"id": "doc_id"})
+    out = out.astype({"doc_id": "int64", "cluster": "int64"})
+    out["keep"] = out["doc_id"] == out["cluster"]
+    return pa.Table.from_pandas(
+        out.sort_values("doc_id").reset_index(drop=True),
+        preserve_index=False)

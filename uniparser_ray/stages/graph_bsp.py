@@ -227,9 +227,10 @@ class GraphShard:
         id via the (component-count-sized) broadcast map (passed as an
         ObjectRef; Ray resolves it once per shard)."""
         reps = pd.Series(self.label).map(rep_map)
+        # type-inferred: node ids may be urls (str) or integer keys
         return pa.table({
-            "id": pa.array(self.urls, pa.string()),
-            "cluster": pa.array(reps.to_numpy(), pa.string()),
+            "id": pa.array(list(self.urls)),
+            "cluster": pa.array(list(reps)),
         })
 
     def cc_partials(self) -> pd.DataFrame:
