@@ -95,3 +95,20 @@ def test_images_dedup_clusters_transitive(ray_session):
     # singletons keep themselves
     assert (out[~out["image_id"].isin(
         pd.concat([pairs["image_a"], pairs["image_b"]]))]["keep"]).all()
+
+
+def test_doc_dedup_clusters_int_ids(ray_session):
+    """Integer node-id path: cluster rep is the min doc_id, every
+    minhash pair co-clusters, non-dups keep themselves."""
+    from uniparser_ray.pipelines.documents import (doc_dedup_clusters,
+                                                   doc_dedup_minhash)
+    sf = "/root/testdata/sf0.001"
+    out = doc_dedup_clusters(sf).to_pandas()
+    pairs = doc_dedup_minhash(sf)
+    pairs = pairs.to_pandas() if hasattr(pairs, "to_pandas") else pairs
+    rep = dict(zip(out["doc_id"], out["cluster"]))
+    assert all(rep[a] == rep[b]
+               for a, b in zip(pairs["doc_a"], pairs["doc_b"]))
+    assert (out.groupby("cluster")["doc_id"].min().to_numpy()
+            == sorted(out["cluster"].unique())).all()
+    assert out["keep"].sum() == out["cluster"].nunique()
