@@ -274,6 +274,54 @@ def run_steady(num_cpus: int, politeness: bool = False) -> dict:
     }
 
 
+def run_graph(num_cpus: int, n_nodes: int = 200_000, degree: int = 8,
+              iters: int = 8) -> dict:
+    """BSP graph-engine stress: integer PageRank over a deterministic
+    synthetic graph (each node -> ``degree`` hash-derived neighbors).
+    Reports superstep edge throughput — the number that scales with
+    cluster size once edges are pinned in the shard actors."""
+    import numpy as np
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from uniparser_ray.stages import graph_bsp
+
+    B = max(2, min(32, num_cpus))
+    shards = graph_bsp.build_shards(B)
+    ids = np.arange(n_nodes, dtype=np.uint64)
+    # deterministic pseudo-random neighbors: splitmix-style mix
+    futs = []
+    for chunk in np.array_split(ids, 64):
+        src = np.repeat(chunk, degree)
+        salt = np.tile(np.arange(degree, dtype=np.uint64), len(chunk))
+        x = (src * np.uint64(0x9E3779B97F4A7C15)
+             + salt * np.uint64(0xBF58476D1CE4E5B9))
+        x ^= x >> np.uint64(31)
+        dst = x % np.uint64(n_nodes)
+        futs += graph_bsp.ingest_nodes(shards, chunk,
+                                       [int(v) for v in chunk])
+        futs += graph_bsp.ingest_edge_batch(shards, src, dst)
+    ray.get(futs)
+    infos = ray.get([s.seal.remote() for s in shards])
+    n_edges = sum(i["fwd_edges"] for i in infos)
+    # warm-up superstep (first touch pays numpy paging), then timed
+    ray.get([s.pr_init.remote() for s in shards])
+    ray.get(graph_bsp._exchange(shards, "pr_messages", "pr_apply"))
+    t0 = time.perf_counter()
+    ray.get([s.pr_init.remote() for s in shards])
+    for _ in range(iters):
+        ray.get(graph_bsp._exchange(shards, "pr_messages", "pr_apply"))
+    sec = time.perf_counter() - t0
+    for s in shards:
+        ray.kill(s, no_restart=True)
+    return {"num_cpus": num_cpus, "shards": B, "nodes": n_nodes,
+            "edges": n_edges, "supersteps": iters,
+            "sec": round(sec, 3),
+            "edge_traversals_per_sec": round(n_edges * iters / sec, 1)}
+
+
 def _cpu_work(n):
     x = 0
     for i in range(n):
@@ -294,6 +342,12 @@ def _cpu_mops(procs: int, per: int = 6_000_000) -> float:
 def main():
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if "--graph" in sys.argv:
+        print(json.dumps(run_graph(num_cpus)))
+        import ray
+        ray.shutdown()
+        return
 
     if "--steady" in sys.argv:
         print(json.dumps(run_steady(num_cpus,
