@@ -314,12 +314,19 @@ def run_graph(num_cpus: int, n_nodes: int = 200_000, degree: int = 8,
     for _ in range(iters):
         ray.get(graph_bsp._exchange(shards, "pr_messages", "pr_apply"))
     sec = time.perf_counter() - t0
+    # components leg on the same sealed shards (propagation + adaptive
+    # pointer jumping to convergence)
+    t0 = time.perf_counter()
+    cc = graph_bsp.connected_components(shards)
+    cc_sec = time.perf_counter() - t0
     for s in shards:
         ray.kill(s, no_restart=True)
     return {"num_cpus": num_cpus, "shards": B, "nodes": n_nodes,
             "edges": n_edges, "supersteps": iters,
             "sec": round(sec, 3),
-            "edge_traversals_per_sec": round(n_edges * iters / sec, 1)}
+            "edge_traversals_per_sec": round(n_edges * iters / sec, 1),
+            "components": cc.num_rows,
+            "components_sec": round(cc_sec, 3)}
 
 
 def _cpu_work(n):
@@ -344,7 +351,14 @@ def main():
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
     if "--graph" in sys.argv:
-        print(json.dumps(run_graph(num_cpus)))
+        # size the stress graph via env: per-shard superstep compute
+        # must exceed the single-host ~100ms RPC floor before strong
+        # scaling is visible (128M edges: GRAPH_NODES=2000000
+        # GRAPH_DEGREE=64; see BASELINE.md)
+        print(json.dumps(run_graph(
+            num_cpus,
+            n_nodes=int(os.environ.get("GRAPH_NODES", 200_000)),
+            degree=int(os.environ.get("GRAPH_DEGREE", 8)))))
         import ray
         ray.shutdown()
         return

@@ -144,9 +144,54 @@ class GraphShard:
          self.cc_slices) = _segment_plan(cdst, self.B)
 
         self._node_chunks = self._fwd_chunks = self._rev_chunks = None
+        # exchange-structure caches are seal-derived: invalidate
+        self._pr_plan = self._cc_plan = None
+        self._pr_structure_sent = self._cc_structure_sent = False
         self.sealed = True
         return {"nodes": len(self.nodes), "fwd_edges": len(fsrc),
                 "cc_edges": len(csrc)}
+
+    # -- structure-cached exchange ------------------------------------------
+    # The (sender, receiver) message STRUCTURE — which distinct
+    # destination vertices each sender aggregates for — is fixed at
+    # seal time.  So the first superstep ships (dst_hashes, values);
+    # every later superstep ships values ONLY (hashes=None), halving
+    # payload bytes, and the receiver replays a one-time plan
+    # (concat -> permute -> reduceat) instead of re-running
+    # searchsorted + scattered np.add.at per superstep.
+
+    def _recv_plan(self, payloads, cache_attr: str):
+        plan = getattr(self, cache_attr, None)
+        if plan is not None:
+            return plan
+        idx_parts = []
+        for p in payloads:
+            if p is None:
+                idx_parts.append(np.empty(0, np.int64))
+                continue
+            hashes = p[0]
+            idx_parts.append(np.searchsorted(self.nodes, hashes)
+                             .astype(np.int64))
+        idx = np.concatenate(idx_parts) if idx_parts \
+            else np.empty(0, np.int64)
+        order = np.argsort(idx, kind="stable")
+        idx_sorted = idx[order]
+        if len(idx_sorted):
+            segs = np.flatnonzero(
+                np.r_[True, idx_sorted[1:] != idx_sorted[:-1]])
+            uniq_idx = idx_sorted[segs]
+        else:
+            segs = np.empty(0, np.int64)
+            uniq_idx = idx_sorted
+        plan = (order, segs, uniq_idx)
+        setattr(self, cache_attr, plan)
+        return plan
+
+    @staticmethod
+    def _payload_values(payloads, empty_dtype):
+        vals = [np.empty(0, empty_dtype) if p is None else p[1]
+                for p in payloads]
+        return np.concatenate(vals) if vals else np.empty(0, empty_dtype)
 
     # -- PageRank ----------------------------------------------------------
     def pr_init(self):
@@ -156,7 +201,9 @@ class GraphShard:
         """Superstep send half: per-edge mass rank//outdeg, aggregated
         per distinct destination in the seal-time order.  Returns B
         payloads — one (dst_hashes, masses) pair per receiving shard
-        (object-store routed; the driver forwards refs only)."""
+        (object-store routed; the driver forwards refs only); after
+        the first superstep dst_hashes is None (structure cached by
+        the receiver)."""
         deg = self.outdeg[self.pr_src_idx]
         per_edge = self.rank[self.pr_src_idx] // np.maximum(deg, 1)
         ordered = per_edge[self.pr_order]
@@ -164,23 +211,25 @@ class GraphShard:
             masses = np.add.reduceat(ordered, self.pr_segs)
         else:
             masses = np.empty(0, np.int64)
+        first = not getattr(self, "_pr_structure_sent", False)
+        self._pr_structure_sent = True
         out = []
         for lo, hi in self.pr_slices:
-            out.append((self.pr_uniq_dst[lo:hi], masses[lo:hi]))
+            out.append((self.pr_uniq_dst[lo:hi] if first else None,
+                        masses[lo:hi]))
         return tuple(out) if self.B > 1 else out[0]
 
     def pr_apply(self, *payloads):
         """Superstep receive half: sum incoming mass into owned
-        vertices, damp, rebase."""
+        vertices, damp, rebase.  First call builds the receive plan
+        from the shipped hashes; later calls replay it (values-only
+        payloads)."""
+        order, segs, uniq_idx = self._recv_plan(payloads, "_pr_plan")
+        m = self._payload_values(payloads, np.int64)
         mass = np.zeros(len(self.nodes), np.int64)
-        for p in payloads:
-            if p is None:
-                continue
-            hashes, m = p
-            if len(hashes) == 0:
-                continue
-            idx = np.searchsorted(self.nodes, hashes)
-            np.add.at(mass, idx, m)
+        if len(m):
+            sums = np.add.reduceat(m[order], segs)
+            mass[uniq_idx] = sums
         self.rank = PR_BASE + PR_DAMP_NUM * mass // 100
         return True
 
@@ -201,23 +250,24 @@ class GraphShard:
             mins = np.minimum.reduceat(ordered, self.cc_segs)
         else:
             mins = np.empty(0, np.uint64)
+        first = not getattr(self, "_cc_structure_sent", False)
+        self._cc_structure_sent = True
         out = []
         for lo, hi in self.cc_slices:
-            out.append((self.cc_uniq_dst[lo:hi], mins[lo:hi]))
+            out.append((self.cc_uniq_dst[lo:hi] if first else None,
+                        mins[lo:hi]))
         return tuple(out) if self.B > 1 else out[0]
 
     def cc_apply(self, *payloads) -> int:
         """Min-combine incoming labels; returns #owned vertices whose
-        label changed (global sum 0 = converged)."""
+        label changed (global sum 0 = converged).  Receive plan cached
+        as in ``pr_apply`` (message structure is seal-fixed)."""
+        order, segs, uniq_idx = self._recv_plan(payloads, "_cc_plan")
         new = self.label.copy()
-        for p in payloads:
-            if p is None:
-                continue
-            hashes, mins = p
-            if len(hashes) == 0:
-                continue
-            idx = np.searchsorted(self.nodes, hashes)
-            np.minimum.at(new, idx, mins)
+        m = self._payload_values(payloads, np.uint64)
+        if len(m):
+            mins = np.minimum.reduceat(m[order], segs)
+            new[uniq_idx] = np.minimum(new[uniq_idx], mins)
         changed = int((new != self.label).sum())
         self.label = new
         return changed
