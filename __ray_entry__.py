@@ -293,6 +293,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_neardup_phash": images_q.images_neardup_phash,
         "images_dedup_clusters": images_q.images_dedup_clusters,
         "images_thumbnails": images_q.images_thumbnails,
+        "images_aspect_buckets": images_q.images_aspect_buckets,
+        "images_shard_pack": images_q.images_shard_pack,
         "caption_token_stats": images_q.caption_token_stats,
         "audio_features": images_q.audio_features_q,
         "video_frames": images_q.video_frames_q,
@@ -512,6 +514,9 @@ def _expected_table(kind: str, tag: str) -> pa.Table:
         return expected_video_frames(_VIDEO_BY_SF.get(tag, 60), k=3)
     if kind == "crawl":
         return expected_crawl_images(tag)
+    if kind == "sizes":
+        from uniparser_ray.pipelines.images_q import expected_images_sizes
+        return expected_images_sizes(tag)
     from uniparser_ray.pipelines.graph import (expected_components,
                                                expected_host_degrees,
                                                expected_pagerank)
@@ -522,6 +527,15 @@ def _expected_table(kind: str, tag: str) -> pa.Table:
     if kind == "hostdeg":
         return expected_host_degrees(tag)
     raise KeyError(kind)
+
+
+def _aspect_bucket_values() -> str:
+    """The ASPECT_BUCKETS list as SQL VALUES rows with the SAME integer
+    ar keys the Ray side compares on (bit-exact argmin)."""
+    from uniparser_ray.pipelines.images_q import _AR_SCALE, ASPECT_BUCKETS
+    return ", ".join(
+        f"({i}, '{name}', {(_AR_SCALE * n) // d})"
+        for i, (name, n, d) in enumerate(ASPECT_BUCKETS))
 
 
 def _multimodal_oracle_thunks(tag: str) -> dict:
@@ -579,6 +593,34 @@ def _multimodal_oracle_thunks(tag: str) -> dict:
             SELECT id AS image_id, MIN(r) AS cluster,
                    id = MIN(r) AS keep
             FROM reach GROUP BY id
+        """,
+        "images_aspect_buckets": lambda: f"""
+            WITH {meta()},
+            b(idx, bname, ar) AS (SELECT * FROM (VALUES
+              {_aspect_bucket_values()}) AS _b(idx, bname, ar))
+            SELECT image_id, w, h, ar_key, bucket, keep FROM (
+              SELECT m.image_id, CAST(m.w AS BIGINT) AS w,
+                     CAST(m.h AS BIGINT) AS h,
+                     (1000000 * m.w) // m.h AS ar_key,
+                     b.bname AS bucket,
+                     (m.w >= 32 AND m.h >= 32
+                      AND (1000000 * m.w) // m.h BETWEEN 250000 AND 4000000)
+                       AS keep,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY m.image_id
+                       ORDER BY abs((1000000 * m.w) // m.h - b.ar), b.idx)
+                       AS rn
+              FROM m CROSS JOIN b)
+            WHERE rn = 1
+        """,
+        "images_shard_pack": lambda: f"""
+            WITH {_values_cte('s', _expected_table('sizes', tag))}
+            SELECT image_id, nbytes,
+                   CAST(COALESCE(SUM(nbytes) OVER (
+                     ORDER BY image_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS BIGINT) // 262144 AS shard
+            FROM s
         """,
         "audio_features": lambda: f"""
             WITH {_values_cte('e', _expected_table('audio', tag))}

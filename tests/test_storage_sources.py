@@ -123,3 +123,47 @@ def test_synthweb_oracle_crawl():
         assert img["src"].startswith("/img/")
         assert img["caption"].startswith("a ")
     assert all(u.startswith("http://host-") for u in page["__request__"])
+
+
+def test_images_shard_pack_prefix_sum(ray_session):
+    """Distributed two-pass ordered prefix sum == single-process
+    cumsum over the generator's sizes; packing invariants hold."""
+    from uniparser_ray.pipelines.images_q import (expected_images_sizes,
+                                                  images_shard_pack)
+    got = images_shard_pack("/root/testdata/sf0.001") \
+        .to_pandas().sort_values("image_id").reset_index(drop=True)
+    exp = expected_images_sizes("sf0.001").to_pandas()
+    assert (got["image_id"].to_numpy() == exp["image_id"].to_numpy()).all()
+    assert (got["nbytes"].to_numpy() == exp["nbytes"].to_numpy()).all()
+    before = exp["nbytes"].cumsum().shift(fill_value=0).to_numpy()
+    assert (got["shard"].to_numpy() == before // 262_144).all()
+    # packing invariants: shards are contiguous from 0; each shard's
+    # payload stays under budget + one max item (greedy bound)
+    shards = got.groupby("shard")["nbytes"].sum()
+    assert list(shards.index) == list(range(len(shards)))
+    assert (shards.to_numpy()[:-1]
+            <= 262_144 + exp["nbytes"].max()).all()
+
+
+def test_images_aspect_buckets_argmin_and_gate(ray_session):
+    """Bucket = integer-key argmin with list-order tie-break; quality
+    gate flags extremes."""
+    import numpy as np
+
+    from uniparser_ray.pipelines.images_q import (_AR_SCALE,
+                                                  ASPECT_BUCKETS,
+                                                  images_aspect_buckets)
+    got = images_aspect_buckets("/root/testdata/sf0.001").to_pandas()
+    keys = np.array([(_AR_SCALE * n) // d for _, n, d in ASPECT_BUCKETS])
+    names = [b[0] for b in ASPECT_BUCKETS]
+    ar = got["ar_key"].to_numpy()
+    want = np.argmin(np.abs(ar[:, None] - keys[None, :]), axis=1)
+    assert (got["bucket"].to_numpy()
+            == np.array(names, object)[want]).all()
+    # gate: a 16px side or an out-of-band ratio is dropped
+    small = got[(got.w < 32) | (got.h < 32)]
+    assert len(small) and not small["keep"].any()
+    wide = got[got.ar_key > 4_000_000]
+    assert not wide["keep"].any()
+    kept = got[got.keep]
+    assert len(kept) and (kept.w >= 32).all() and (kept.h >= 32).all()

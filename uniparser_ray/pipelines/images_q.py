@@ -387,3 +387,131 @@ def images_dedup_clusters(sf_dir: str, max_hamming: int = 8):
     return pa.Table.from_pandas(
         out.sort_values("image_id").reset_index(drop=True),
         preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# training-data shaping: aspect-ratio bucketing + byte-budget shard packing
+# ---------------------------------------------------------------------------
+
+# SD-style aspect buckets as (name, num, den); the comparison key is the
+# INTEGER (1_000_000 * num) // den so the argmin is bit-exact in both
+# numpy and the SQL oracle (no libm log/ulp tie hazards).  Ties break
+# by bucket list position.
+ASPECT_BUCKETS = (
+    ("square_1_1", 1, 1),
+    ("wide_4_3", 4, 3),
+    ("tall_3_4", 3, 4),
+    ("wide_16_9", 16, 9),
+    ("tall_9_16", 9, 16),
+    ("wide_2_1", 2, 1),
+    ("tall_1_2", 1, 2),
+)
+_AR_SCALE = 1_000_000
+# quality gate: min side + aspect-ratio sanity band (scaled keys)
+_QUALITY_MIN_SIDE = 32
+_AR_KEEP_LO = _AR_SCALE // 4      # 1:4
+_AR_KEEP_HI = _AR_SCALE * 4      # 4:1
+
+
+def images_aspect_buckets(sf_dir: str):
+    """Aspect-ratio bucket assignment + quality gate over the image
+    table — the shaping pass a diffusion-style training pipeline runs
+    before batching (images batch by bucket so crops stay minimal).
+
+    One column-pruned vectorized ``map_batches``: no bytes leave
+    storage; ar_key = (1e6*w)//h integer arithmetic end-to-end; bucket
+    = argmin |ar_key - bucket_key| with first-bucket tie-break.
+    Oracle: CROSS JOIN against a VALUES bucket table + ROW_NUMBER
+    argmin, bit-identical keys."""
+    table = images_lance_for(sf_dir)
+    ds = table.read_dataset(columns=["image_id", "w", "h"])
+    bucket_keys = np.array([(_AR_SCALE * n) // d
+                            for _, n, d in ASPECT_BUCKETS], np.int64)
+    bucket_names = np.array([b[0] for b in ASPECT_BUCKETS], object)
+
+    def assign(t: pa.Table) -> pa.Table:
+        w = t["w"].to_numpy().astype(np.int64)
+        h = t["h"].to_numpy().astype(np.int64)
+        ar = (_AR_SCALE * w) // h
+        diffs = np.abs(ar[:, None] - bucket_keys[None, :])
+        b = np.argmin(diffs, axis=1)     # first min = list-order tie-break
+        keep = ((w >= _QUALITY_MIN_SIDE) & (h >= _QUALITY_MIN_SIDE)
+                & (ar >= _AR_KEEP_LO) & (ar <= _AR_KEEP_HI))
+        return pa.table({
+            "image_id": t["image_id"],
+            "w": pa.array(w, pa.int64()),
+            "h": pa.array(h, pa.int64()),
+            "ar_key": pa.array(ar, pa.int64()),
+            "bucket": pa.array(bucket_names[b], pa.string()),
+            "keep": pa.array(keep, pa.bool_()),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def images_shard_pack(sf_dir: str, budget: int = 262_144,
+                      num_ranges: int = 16):
+    """Deterministic WebDataset-style shard packing: images are packed
+    (in image_id order) into shards of ~``budget`` encoded bytes —
+    ``shard = bytes_before_me // budget``.
+
+    Distributed global ordered prefix sum (same two-pass primitive as
+    documents.doc_shard_assign): bytes are read ONCE in a map_batches
+    that keeps only (image_id, key, nbytes) metadata rows (24B/row —
+    at 100 TB of images the meta is ~0.002% of the data); pass 1 folds
+    per-range sums into exclusive offsets on the driver (num_ranges
+    values, not rows); pass 2 adds offset + in-range ordered cumsum.
+    Integer arithmetic end-to-end — bit-exact vs the SQL window
+    oracle."""
+    import pyarrow.compute as pc
+
+    table = images_lance_for(sf_dir)
+    ds = table.read_dataset(columns=["image_id", "bytes"])
+
+    def to_meta(t: pa.Table) -> pa.Table:
+        ids = t["image_id"]
+        key = pc.cast(pc.utf8_slice_codeunits(ids, 4, 99), pa.int64())
+        return pa.table({"image_id": ids, "_key": key,
+                         "nbytes": pc.binary_length(t["bytes"])
+                         .cast(pa.int64())})
+
+    meta = ds.map_batches(to_meta, batch_format="pyarrow").materialize()
+
+    from ray.data.aggregate import Max, Min
+    stats = meta.aggregate(Min("_key"), Max("_key"))
+    lo, hi = stats["min(_key)"], stats["max(_key)"]
+    bounds = np.linspace(lo, hi + 1, num_ranges + 1)[1:-1]
+
+    def with_range(t: pa.Table) -> pa.Table:
+        r = np.searchsorted(bounds, t["_key"].to_numpy(), side="right")
+        return t.append_column("_range", pa.array(r, pa.int64()))
+
+    ranged = meta.map_batches(with_range, batch_format="pyarrow")
+
+    from ..stages.combine import grouped_aggregate
+    sums = grouped_aggregate(ranged, ["_range"],
+                             {"total": ("nbytes", "sum")}).to_pandas()
+    totals = np.zeros(num_ranges, np.int64)
+    totals[sums["_range"].to_numpy()] = sums["total"].to_numpy()
+    offsets = np.concatenate([[0], np.cumsum(totals)[:-1]])
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("_key", kind="mergesort").copy()
+        r = int(g["_range"].iloc[0])
+        before = (int(offsets[r])
+                  + g["nbytes"].cumsum().shift(fill_value=0))
+        g["shard"] = (before // budget).astype("int64")
+        return g[["image_id", "nbytes", "shard"]]
+
+    return ranged.groupby("_range").map_groups(pack, batch_format="pandas")
+
+
+def expected_images_sizes(tag: str) -> pa.Table:
+    """Independent (image_id, nbytes) from the generator's pre-storage
+    encode — proves the stored bytes' length, not just the pipeline."""
+    from ..sources.images import render_encoded
+    n = _n_images(tag)
+    ids = [f"img-{i:010d}" for i in range(n)]
+    sizes = [len(render_encoded(i)) for i in range(n)]
+    return pa.table({"image_id": pa.array(ids, pa.string()),
+                     "nbytes": pa.array(sizes, pa.int64())})
