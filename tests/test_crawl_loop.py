@@ -10,7 +10,7 @@ import pytest
 
 from uniparser_ray.crawl.loop import CrawlConfig, run_crawl
 from uniparser_ray.crawl.oracle import BFSOracle
-from uniparser_ray.sources.codecs import decode_image
+from uniparser_ray.sources.codecs import decode_image, psnr
 from uniparser_ray.sources.synthweb import SynthWeb
 from uniparser_ray.storage.lance_layout import LanceLayoutTable
 
@@ -86,7 +86,12 @@ def test_crawl_matches_oracle(ray_crawl, oracle_result):
     for image_id, row in got.items():
         blob, caption = want[image_id]
         assert row["caption"] == caption
-        assert np.array_equal(decode_image(row["bytes"]), decode_image(blob))
+        got_px, want_px = decode_image(row["bytes"]), decode_image(blob)
+        assert np.array_equal(got_px, want_px)
+        # the conformance bound as stated ("PSNR>=40dB for lossy"):
+        # lossless codecs give +inf; a swapped-in lossy codec must
+        # still clear 40dB here
+        assert psnr(got_px, want_px) >= 40.0
         assert row["w"] > 0 and row["h"] > 0
 
 

@@ -216,3 +216,17 @@ def average_hash64(pixels: np.ndarray) -> int:
         val = (val << 1) | int(b)
     # wrap to signed int64 range for the Arrow column
     return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio (dB) between two uint8 pixel arrays —
+    the per-row conformance metric for lossy codecs ("decoded-pixel
+    allclose, PSNR>=40dB").  Identical arrays -> +inf.  Shape mismatch
+    is a hard fail (conformance requires identical dimensions)."""
+    if a.shape != b.shape:
+        raise ValueError(f"shape mismatch: {a.shape} vs {b.shape}")
+    diff = a.astype(np.float64) - b.astype(np.float64)
+    mse = float(np.mean(diff * diff))
+    if mse == 0.0:
+        return float("inf")
+    return 10.0 * np.log10((255.0 ** 2) / mse)
