@@ -246,6 +246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_price_bands": relational.part_price_bands,
         # statistics (sketches + rank stats)
         "events_distinct_users": stats.events_distinct_users,
+        "events_stratified_sample": stats.events_stratified_sample,
         "events_hll_users": stats.events_hll_users,
         "order_price_quantiles": stats.order_price_quantiles,
         "events_value_quantiles": stats.events_value_quantiles,
@@ -797,6 +798,18 @@ def oracle_sql(sf_tag: str = None) -> dict[str, str]:
         "events_distinct_users": """
             SELECT event_type, COUNT(DISTINCT user_id) AS n_users
             FROM events GROUP BY 1
+        """,
+        "events_stratified_sample": """
+            -- class-balancing sampler: per-stratum keep rate
+            -- min(1, target/count) in basis points, decided by the
+            -- same md5-31bit residue the Ray side computes
+            WITH c AS (SELECT event_type, COUNT(*) AS cnt
+                       FROM events GROUP BY event_type)
+            SELECT e.event_id, e.event_type
+            FROM events e JOIN c USING (event_type)
+            WHERE (('0x' || substr(md5(CAST(e.event_id AS VARCHAR)),
+                                   1, 15))::BIGINT % 2147483647) % 10000
+                  < LEAST(10000, (500 * 10000) // cnt)
         """,
         "events_hll_users": """
             -- the APPROXIMATE sketch itself is value-checked: the md5

@@ -515,3 +515,26 @@ def test_doc_tfidf_topk_against_pandas(ray_session):
     for c in ("doc_id", "token", "tf", "df", "rk"):
         assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
     assert np.allclose(got["tfidf"], exp["tfidf"])
+
+
+def test_events_stratified_sample_balances_and_reproduces(ray_session):
+    """Per-stratum counts land near target (hash-residue binomial);
+    identical output across repeated runs (coordination-free
+    determinism)."""
+    from uniparser_ray.pipelines.stats import events_stratified_sample
+
+    sf = "/root/testdata/sf0.001"
+    a = events_stratified_sample(sf, target=200).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    b = events_stratified_sample(sf, target=200).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    assert a.equals(b)
+    per = a.groupby("event_type").size()
+    import pyarrow.parquet as pq
+    totals = pq.read_table(f"{sf}/events.parquet", columns=["event_type"]) \
+        .to_pandas().groupby("event_type").size()
+    for kind, n in per.items():
+        want = min(200, totals[kind])
+        # binomial noise bound: 5 sigma of rate*total
+        import math
+        assert abs(n - want) <= max(5, 5 * math.sqrt(want)), (kind, n, want)

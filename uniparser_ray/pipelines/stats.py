@@ -101,3 +101,38 @@ def events_value_quantiles(sf_dir: str, qs=(0.5, 0.9)):
 
     ds = _read(sf_dir, "events", ["event_type", "value"])
     return exact_quantiles(ds, "value", qs, by="event_type")
+
+
+def events_stratified_sample(sf_dir: str, target: int = 500):
+    """Class-balancing stratified sampler: each ``event_type`` stratum
+    is downsampled toward ``target`` rows with a per-stratum keep rate
+    ``min(1, target/count)`` in integer basis points, applied as a
+    DETERMINISTIC hash-residue test on event_id — the stratified
+    variant of ``doc_sample_hash``.
+
+    Two stages: a tiny grouped count (rows = #strata) folds to a
+    basis-point rate map broadcast via ``ray.put``; the sample itself
+    is one coordination-free vectorized pass — every worker makes the
+    identical keep/drop decision from the row alone, so the sample
+    reproduces across cluster sizes, retries, resumes and
+    re-partitioning (seeded ``Dataset.random_sample`` can't).  Integer
+    arithmetic end-to-end; the oracle computes the same rates in SQL."""
+    import ray
+
+    from ..stages.combine import grouped_aggregate
+    from ..stages.sketches import hash31
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+    counts = grouped_aggregate(ds, ["event_type"],
+                               {"cnt": ("event_id", "count")}).to_pandas()
+    rates = {k: min(10_000, (target * 10_000) // int(c))
+             for k, c in zip(counts["event_type"], counts["cnt"])}
+    rates_ref = ray.put(rates)
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        r = ray.get(rates_ref)
+        h = hash31(df["event_id"].to_numpy()) % 10_000
+        lim = df["event_type"].map(r).to_numpy()
+        return df[h < lim]
+
+    return ds.map_batches(keep, batch_format="pandas")
