@@ -296,6 +296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_thumbnails": images_q.images_thumbnails,
         "images_aspect_buckets": images_q.images_aspect_buckets,
         "images_shard_pack": images_q.images_shard_pack,
+        "images_bucket_shards": images_q.images_bucket_shards,
         "caption_token_stats": images_q.caption_token_stats,
         "audio_features": images_q.audio_features_q,
         "video_frames": images_q.video_frames_q,
@@ -613,6 +614,26 @@ def _multimodal_oracle_thunks(tag: str) -> dict:
                        AS rn
               FROM m CROSS JOIN b)
             WHERE rn = 1
+        """,
+        "images_bucket_shards": lambda: f"""
+            WITH {meta()},
+            {_values_cte('s', _expected_table('sizes', tag))},
+            b(idx, bname, ar) AS (SELECT * FROM (VALUES
+              {_aspect_bucket_values()}) AS _b(idx, bname, ar)),
+            assigned AS (
+              SELECT image_id, bucket FROM (
+                SELECT m.image_id, b.bname AS bucket,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY m.image_id
+                         ORDER BY abs((1000000 * m.w) // m.h - b.ar),
+                                  b.idx) AS rn
+                FROM m CROSS JOIN b) WHERE rn = 1)
+            SELECT a.image_id, a.bucket, s.nbytes,
+                   CAST(COALESCE(SUM(s.nbytes) OVER (
+                     PARTITION BY a.bucket ORDER BY a.image_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS BIGINT) // 131072 AS shard
+            FROM assigned a JOIN s USING (image_id)
         """,
         "images_shard_pack": lambda: f"""
             WITH {_values_cte('s', _expected_table('sizes', tag))}

@@ -167,3 +167,21 @@ def test_images_aspect_buckets_argmin_and_gate(ray_session):
     assert not wide["keep"].any()
     kept = got[got.keep]
     assert len(kept) and (kept.w >= 32).all() and (kept.h >= 32).all()
+
+
+def test_images_bucket_shards_never_mix_ratios(ray_session):
+    """Per-bucket packing: shard numbering restarts at 0 per bucket,
+    packing order is image_id within bucket, shards never mix
+    buckets."""
+    from uniparser_ray.pipelines.images_q import images_bucket_shards
+    got = images_bucket_shards("/root/testdata/sf0.001") \
+        .to_pandas().sort_values(["bucket", "image_id"]) \
+        .reset_index(drop=True)
+    for _, g in got.groupby("bucket"):
+        before = g["nbytes"].cumsum().shift(fill_value=0).to_numpy()
+        assert (g["shard"].to_numpy() == before // 131_072).all()
+        assert g["shard"].iloc[0] == 0
+    # (bucket, shard) pairs are unique packing units: no shard id is
+    # reused across buckets WITH different composition — i.e. each
+    # row's unit is identified only by the pair, by construction
+    assert got.groupby(["bucket", "shard"])["nbytes"].sum().gt(0).all()

@@ -515,3 +515,75 @@ def expected_images_sizes(tag: str) -> pa.Table:
     sizes = [len(render_encoded(i)) for i in range(n)]
     return pa.table({"image_id": pa.array(ids, pa.string()),
                      "nbytes": pa.array(sizes, pa.int64())})
+
+
+def images_bucket_shards(sf_dir: str, budget: int = 131_072,
+                         num_ranges: int = 8):
+    """Per-aspect-bucket shard packing — the composition a bucketed
+    training loader needs: images are FIRST assigned their aspect
+    bucket (integer argmin, as ``images_aspect_buckets``), then packed
+    (in image_id order WITHIN the bucket) into shards of ~``budget``
+    encoded bytes; shard numbering restarts per bucket, so a shard
+    never mixes aspect ratios.
+
+    Same two-pass ordered-prefix-sum primitive as ``images_shard_pack``
+    with a composite (bucket, range) partition: pass 1 folds per-
+    (bucket, range) byte totals into per-bucket exclusive offsets on
+    the driver (#buckets × num_ranges values); pass 2 adds offset +
+    in-range cumsum.  Oracle: window SUM PARTITION BY bucket over the
+    generator-side sizes joined to the bucket argmin."""
+    import pyarrow.compute as pc
+
+    table = images_lance_for(sf_dir)
+    ds = table.read_dataset(columns=["image_id", "bytes", "w", "h"])
+    bucket_keys = np.array([(_AR_SCALE * n) // d
+                            for _, n, d in ASPECT_BUCKETS], np.int64)
+    bucket_names = np.array([b[0] for b in ASPECT_BUCKETS], object)
+
+    def to_meta(t: pa.Table) -> pa.Table:
+        w = t["w"].to_numpy().astype(np.int64)
+        h = t["h"].to_numpy().astype(np.int64)
+        ar = (_AR_SCALE * w) // h
+        b = np.argmin(np.abs(ar[:, None] - bucket_keys[None, :]), axis=1)
+        key = pc.cast(pc.utf8_slice_codeunits(t["image_id"], 4, 99),
+                      pa.int64())
+        return pa.table({
+            "image_id": t["image_id"],
+            "_key": key,
+            "bucket": pa.array(bucket_names[b], pa.string()),
+            "nbytes": pc.binary_length(t["bytes"]).cast(pa.int64()),
+        })
+
+    meta = ds.map_batches(to_meta, batch_format="pyarrow").materialize()
+
+    from ray.data.aggregate import Max, Min
+    stats = meta.aggregate(Min("_key"), Max("_key"))
+    lo, hi = stats["min(_key)"], stats["max(_key)"]
+    bounds = np.linspace(lo, hi + 1, num_ranges + 1)[1:-1]
+
+    def with_range(t: pa.Table) -> pa.Table:
+        r = np.searchsorted(bounds, t["_key"].to_numpy(), side="right")
+        return t.append_column("_range", pa.array(r, pa.int64()))
+
+    ranged = meta.map_batches(with_range, batch_format="pyarrow")
+
+    from ..stages.combine import grouped_aggregate
+    sums = grouped_aggregate(ranged, ["bucket", "_range"],
+                             {"total": ("nbytes", "sum")}).to_pandas()
+    # per-bucket exclusive offsets over the range axis (tiny:
+    # #buckets x num_ranges values on the driver)
+    offsets: dict = {}
+    for bname, g in sums.groupby("bucket"):
+        t = np.zeros(num_ranges, np.int64)
+        t[g["_range"].to_numpy()] = g["total"].to_numpy()
+        offsets[bname] = np.concatenate([[0], np.cumsum(t)[:-1]])
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("_key", kind="mergesort").copy()
+        off = offsets[g["bucket"].iloc[0]][int(g["_range"].iloc[0])]
+        before = int(off) + g["nbytes"].cumsum().shift(fill_value=0)
+        g["shard"] = (before // budget).astype("int64")
+        return g[["image_id", "bucket", "nbytes", "shard"]]
+
+    return ranged.groupby(["bucket", "_range"]) \
+        .map_groups(pack, batch_format="pandas")
