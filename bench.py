@@ -136,6 +136,16 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
            lambda: len(stats_p.order_price_quantiles(sf_dir)))
     timed3("events_hll_users",
            lambda: consume(stats_p.events_hll_users(sf_dir)))
+    timed3("events_stratified_sample",
+           lambda: consume(stats_p.events_stratified_sample(sf_dir)))
+    # image training-data shaping: bucket_shards reads every encoded
+    # byte once (binary-read throughput), aspect_buckets is the
+    # column-pruned no-bytes path
+    from uniparser_ray.pipelines import images_q as images_p
+    timed3("images_aspect_buckets",
+           lambda: consume(images_p.images_aspect_buckets(sf_dir)))
+    timed3("images_bucket_shards",
+           lambda: consume(images_p.images_bucket_shards(sf_dir)))
     # link-graph family: first call pays the distributed edge
     # extraction + BSP shard build; components reuses the sealed shards
     from uniparser_ray.pipelines import graph as graph_p
