@@ -21,6 +21,14 @@ _STOPWORDS_SQL = ("'the','a','an','and','or','of','to','in','is','are',"
                   "'was','be','on','for','with','as','at','by','it',"
                   "'this','that','from'")
 
+# literal twins of uniparser_ray.stages.text PII regexes and
+# pipelines.documents.DECONTAM_BENCH_MOD (imported lazily at oracle
+# build time would be cleaner, but these are embedded in f-strings
+# evaluated at module import)
+DECONTAM_MOD_SQL = 41
+PII_EMAIL_SQL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_SQL = r"\+\d{1,2}-\d{3}-\d{1,6}"
+
 # ---------------------------------------------------------------------------
 # oracle SQL builders for the tokenhash sketch family
 # (see uniparser_ray/stages/tokenhash.py: every sketch is defined over
@@ -276,6 +284,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_langid": documents.doc_langid,
         "doc_fingerprint": documents.doc_fingerprint,
         "doc_signatures": documents.doc_signatures,
+        "doc_repetition": documents.doc_repetition,
+        "doc_decontaminate": documents.doc_decontaminate,
+        "doc_pii_redact": documents.doc_pii_redact,
         # dedup family
         "doc_dedup_exact": documents.doc_dedup_exact,
         "doc_dedup_jaccard": documents.doc_dedup_jaccard,
@@ -683,6 +694,90 @@ def _multimodal_oracle_thunks(tag: str) -> dict:
 # Repeat oracle_sql() calls in a process are cheap (memoized tables).
 
 
+
+
+def _repetition_sql() -> str:
+    """Gopher-style repetition signals: identical token-id distinct
+    structure as the numpy path (both count tokenhash 31-bit ids),
+    fractions are exact-int/exact-int double divisions, flag is
+    integer cross-multiplication — no float comparisons."""
+    return f"""
+            WITH {_TOK_CTES},
+            tok AS (SELECT doc_id, unnest(h) AS tid FROM ids),
+            cnt AS (SELECT doc_id, tid, COUNT(*) AS c
+                    FROM tok GROUP BY 1, 2),
+            agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+                           CAST(COUNT(*) AS BIGINT) AS nd,
+                           CAST(MAX(c) AS BIGINT) AS topc
+                    FROM cnt GROUP BY 1)
+            SELECT d.doc_id,
+                   COALESCE(n, 0) AS n_tokens,
+                   COALESCE(nd, 0) AS n_distinct,
+                   COALESCE(topc, 0) AS top_tf,
+                   CASE WHEN COALESCE(n, 0) = 0 THEN 0.0
+                        ELSE (n - nd) * 1.0 / n END AS dup_frac,
+                   CASE WHEN COALESCE(n, 0) = 0 THEN 0.0
+                        ELSE topc * 1.0 / n END AS top_frac,
+                   CAST(5 * COALESCE(topc, 0) > COALESCE(n, 0)
+                        OR 5 * (COALESCE(n, 0) - COALESCE(nd, 0))
+                            > 4 * COALESCE(n, 0) AS BIGINT) AS repetitive
+            FROM documents d LEFT JOIN agg USING (doc_id)
+    """
+
+
+def _decontaminate_sql() -> str:
+    """Benchmark decontamination: held-out set = doc_id % MOD == 0;
+    same 3-shingle hashes as the pipeline's tokenhash pass."""
+    return f"""
+            WITH {_TOK_CTES},
+            {_sh_cte()},
+            bench AS (SELECT DISTINCT s FROM sh
+                      WHERE doc_id % {DECONTAM_MOD_SQL} = 0),
+            per AS (SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS ns,
+                           CAST(SUM(CASE WHEN b.s IS NOT NULL
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS nc
+                    FROM sh LEFT JOIN bench b ON sh.s = b.s
+                    WHERE sh.doc_id % {DECONTAM_MOD_SQL} <> 0
+                    GROUP BY 1)
+            SELECT d.doc_id,
+                   COALESCE(ns, 0) AS n_shingles,
+                   COALESCE(nc, 0) AS n_contaminated,
+                   CAST(COALESCE(nc, 0) > 0 AS BIGINT) AS contaminated
+            FROM documents d LEFT JOIN per USING (doc_id)
+            WHERE d.doc_id % {DECONTAM_MOD_SQL} <> 0
+    """
+
+
+def _pii_redact_sql() -> str:
+    """PII redaction: both engines evaluate RE2, so regexp_replace's
+    'g' pass is semantics-identical to pc.replace_substring_regex; the
+    synthetic contact block is appended identically on both sides (the
+    corpus itself carries no PII)."""
+    return f"""
+            WITH aug AS (
+              SELECT doc_id,
+                     text || ' Contact user' || doc_id
+                          || '@mail.example or call +1-555-0'
+                          || (doc_id % 1000) || ' now.'
+                          || CASE WHEN doc_id % 3 = 0
+                                  THEN ' cc admin' || doc_id || '@ex.org'
+                                  ELSE '' END AS t
+              FROM documents),
+            e AS (SELECT doc_id,
+                         CAST(length(regexp_extract_all(t,
+                             '{PII_EMAIL_SQL}')) AS BIGINT) AS n_emails,
+                         regexp_replace(t, '{PII_EMAIL_SQL}',
+                                        '<EMAIL>', 'g') AS t2
+                  FROM aug)
+            SELECT doc_id, n_emails,
+                   CAST(length(regexp_extract_all(t2,
+                       '{PII_PHONE_SQL}')) AS BIGINT) AS n_phones,
+                   md5(regexp_replace(t2, '{PII_PHONE_SQL}',
+                                      '<PHONE>', 'g')) AS clean_md5
+            FROM e
+    """
+
+
 def oracle_sql(sf_tag: str = None) -> dict[str, str]:
     """Per-query DuckDB oracle SQL.  ``sf_tag`` selects the scale the
     multimodal VALUES literals are built for — defaults to
@@ -994,6 +1089,9 @@ def oracle_sql(sf_tag: str = None) -> dict[str, str]:
         """,
         "doc_fingerprint":
             "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
+        "doc_repetition": _repetition_sql(),
+        "doc_decontaminate": _decontaminate_sql(),
+        "doc_pii_redact": _pii_redact_sql(),
         "doc_dedup_exact": """
             SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_id,
                    COUNT(*) AS dup_count

@@ -108,3 +108,55 @@ def test_jaccard_oracle_messy(con):
     sql = con.execute(entry._jaccard_sql()).fetchdf()
     got = sorted(map(tuple, sql[["doc_a", "doc_b", "jaccard_sim"]].values))
     assert got == sorted(want)
+
+
+def test_repetition_oracle_messy(con):
+    from uniparser_ray.stages.text import repetition_batch
+    py = _canon(repetition_batch(_docs_table()).to_pandas())
+    sql = _canon(con.execute(entry._repetition_sql()).fetchdf())
+    assert py.equals(sql[py.columns].astype(py.dtypes.to_dict())), \
+        pd.concat([py, sql], axis=1)
+
+
+def test_pii_redact_oracle_messy(con):
+    from uniparser_ray.pipelines.documents import _pii_augment
+    from uniparser_ray.stages.text import pii_redact_batch
+    docs = _docs_table()
+    ids = np.arange(len(MESSY), dtype=np.int64)
+    aug = pa.table({"doc_id": docs["doc_id"],
+                    "text": pa.array(_pii_augment(ids, MESSY), pa.string())})
+    py = _canon(pii_redact_batch(aug).to_pandas())
+    sql = _canon(con.execute(entry._pii_redact_sql()).fetchdf())
+    assert py.equals(sql[py.columns].astype(py.dtypes.to_dict()))
+    # every augmented doc carries exactly one phone and 1-2 emails
+    assert (py["n_phones"] == 1).all()
+    assert set(py["n_emails"]) <= {1, 2}
+
+
+def test_decontaminate_oracle_messy(con):
+    """Benchmark residue class on a corpus where doc 0 (the 'fox' doc)
+    is the held-out set: any doc sharing a 3-shingle with it must flag."""
+    from uniparser_ray.stages.text import contamination_counts
+    from uniparser_ray.stages.tokenhash import shingle_hashes
+
+    bench_texts = [t for i, t in enumerate(MESSY) if i % 41 == 0]
+    sh, _ = shingle_hashes(bench_texts, 3)
+    block = np.unique(sh)
+    rest_ids = [i for i in range(len(MESSY)) if i % 41 != 0]
+    rest = [MESSY[i] for i in rest_ids]
+    ns, nc = contamination_counts(rest, block)
+    py = pd.DataFrame({"doc_id": np.asarray(rest_ids, np.int64),
+                       "n_shingles": ns, "n_contaminated": nc,
+                       "contaminated": (nc > 0).astype(np.int64)})
+    sql = _canon(con.execute(entry._decontaminate_sql()).fetchdf())
+    assert _canon(py).equals(sql[py.columns].astype(py.dtypes.to_dict()))
+
+
+def test_pii_and_decontam_constants_in_sync():
+    """The SQL literals embedded in __ray_entry__ must equal the
+    pipeline/stage constants they twin."""
+    from uniparser_ray.pipelines.documents import DECONTAM_BENCH_MOD
+    from uniparser_ray.stages.text import PII_EMAIL_RE, PII_PHONE_RE
+    assert entry.DECONTAM_MOD_SQL == DECONTAM_BENCH_MOD
+    assert entry.PII_EMAIL_SQL == PII_EMAIL_RE
+    assert entry.PII_PHONE_SQL == PII_PHONE_RE

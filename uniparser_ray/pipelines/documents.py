@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -359,3 +360,104 @@ def doc_dedup_clusters(sf_dir: str, threshold: float = 0.6):
     return pa.Table.from_pandas(
         out.sort_values("doc_id").reset_index(drop=True),
         preserve_index=False)
+
+
+def doc_repetition(sf_dir: str):
+    """Gopher-style repetition quality signals (dup-token fraction,
+    top-token fraction, integer-exact repetitive flag) — one vectorized
+    pass, no shuffle."""
+    from ..stages.text import repetition_batch
+    return _read(sf_dir, ["doc_id", "text"]).map_batches(
+        repetition_batch, batch_format="pyarrow")
+
+
+# Documents whose doc_id lands in this residue class stand in for the
+# "held-out benchmark" set in the decontamination pipeline.
+DECONTAM_BENCH_MOD = 41
+
+
+def doc_decontaminate(sf_dir: str):
+    """Benchmark decontamination: flag training documents sharing any
+    word 3-shingle with the held-out benchmark set (the GPT-3/Gopher
+    n-gram-overlap recipe, public).
+
+    Scale shape: the benchmark corpus is small BY DEFINITION (eval
+    sets, not training data), so its distinct shingle hashes are
+    collected once, sorted, and broadcast via ``ray.put``; the
+    training sweep is then a single shuffle-free ``map_batches`` pass
+    doing a vectorized ``searchsorted`` membership test per batch.  At
+    blocklists beyond driver memory the same pass would swap the
+    sorted array for a bloom filter (``state/seen.py``) at the cost of
+    a false-positive rate — the broadcast/probe shape is unchanged.
+    """
+    import ray
+
+    from ..stages.text import contamination_counts
+    from ..stages.tokenhash import shingle_hashes
+
+    ds = _read(sf_dir, ["doc_id", "text"])
+
+    def bench_shingles(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].to_pylist(), dtype=np.int64)
+        mask = ids % DECONTAM_BENCH_MOD == 0
+        texts = [x for x, m in zip(t["text"].to_pylist(), mask) if m]
+        sh, _ = shingle_hashes(texts, k=3)
+        return pa.Table.from_arrays(
+            [pa.array(np.unique(sh).view(np.int64), pa.int64())],
+            names=["s"])
+
+    parts = ds.map_batches(bench_shingles,
+                           batch_format="pyarrow").take_all()
+    block = np.unique(np.array([r["s"] for r in parts],
+                               dtype=np.int64).view(np.uint64))
+    block_ref = ray.put(block)
+
+    def score(t: pa.Table) -> pa.Table:
+        blk = ray.get(block_ref)
+        ids = np.asarray(t["doc_id"].to_pylist(), dtype=np.int64)
+        mask = ids % DECONTAM_BENCH_MOD != 0
+        texts = [x for x, m in zip(t["text"].to_pylist(), mask) if m]
+        ns, nc = contamination_counts(texts, blk)
+        return pa.Table.from_arrays(
+            [pa.array(ids[mask], pa.int64()),
+             pa.array(ns, pa.int64()),
+             pa.array(nc, pa.int64()),
+             pa.array((nc > 0).astype(np.int64), pa.int64())],
+            names=["doc_id", "n_shingles", "n_contaminated",
+                   "contaminated"])
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+# Deterministic PII augmentation: the synthetic corpus carries no PII,
+# so both engines append the same synthetic contact block before
+# redacting — the regex path is exercised for real and the redacted
+# md5 is value-checked.
+def _pii_augment(ids: "np.ndarray", texts: list[str]) -> list[str]:
+    out = []
+    for i, t in zip(ids, texts):
+        s = (f"{t} Contact user{i}@mail.example or call "
+             f"+1-555-0{i % 1000} now.")
+        if i % 3 == 0:
+            s += f" cc admin{i}@ex.org"
+        out.append(s)
+    return out
+
+
+def doc_pii_redact(sf_dir: str):
+    """PII scrubbing: RE2 email + phone redaction counts and the md5 of
+    the redacted text.  pyarrow.compute and DuckDB both evaluate RE2,
+    so the oracle's ``regexp_replace(..., 'g')`` is semantics-identical
+    to ``pc.replace_substring_regex`` by construction."""
+    from ..stages.text import pii_redact_batch
+
+    def aug(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].to_pylist(), dtype=np.int64)
+        return pa.Table.from_arrays(
+            [t["doc_id"], pa.array(_pii_augment(ids, t["text"].to_pylist()),
+                                   pa.string())],
+            names=["doc_id", "text"])
+
+    return _read(sf_dir, ["doc_id", "text"]) \
+        .map_batches(aug, batch_format="pyarrow") \
+        .map_batches(pii_redact_batch, batch_format="pyarrow")

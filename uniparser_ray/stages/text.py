@@ -7,7 +7,10 @@ numpy) or cheap per-row Python over precompiled tables:
 * quality scoring (length / punctuation / stopword ratios),
 * language ID (character n-gram heuristic — deterministic, no model),
 * document fingerprinting (md5 + 64-bit rolling content hash),
-* simhash (64-bit, over token 3-shingles).
+* simhash (64-bit, over token 3-shingles),
+* repetition signals (Gopher-style dup-token / top-token fractions),
+* benchmark decontamination (3-shingle overlap vs a broadcast blocklist),
+* PII redaction (RE2 regexes — the same engine pyarrow and DuckDB share).
 """
 
 from __future__ import annotations
@@ -133,3 +136,89 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
     return pa.Table.from_arrays(
         [batch["doc_id"], pa.array(out, pa.int64())],
         names=["doc_id", "simhash"])
+
+
+def repetition_batch(batch: pa.Table) -> pa.Table:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1, public):
+    duplicate-token fraction and top-token fraction per document.
+
+    Fully segmented numpy over the batch: tokens are hashed to the
+    31-bit tokenhash ids (so the DuckDB oracle counts the IDENTICAL
+    distinct structure), per-(doc, token) multiplicities come from one
+    ``np.unique`` over a packed (doc_idx << 32 | token_id) key, and
+    the repetitive flag is evaluated with integer cross-multiplication
+    (``5*top_tf > n`` ⟺ top_frac > 0.2) so no float comparison can
+    diverge between engines.
+    """
+    from .tokenhash import batch_token_ids
+
+    texts = batch["text"].to_pylist()
+    flat, offsets = batch_token_ids(texts)
+    ndocs = len(offsets) - 1
+    n_tokens = np.diff(offsets).astype(np.int64)
+    n_distinct = np.zeros(ndocs, np.int64)
+    top_tf = np.zeros(ndocs, np.int64)
+    if len(flat):
+        doc_idx = np.repeat(np.arange(ndocs, dtype=np.uint64), n_tokens)
+        key = (doc_idx << np.uint64(32)) | flat
+        uk, counts = np.unique(key, return_counts=True)
+        ud = (uk >> np.uint64(32)).astype(np.int64)
+        n_distinct = np.bincount(ud, weights=None,
+                                 minlength=ndocs).astype(np.int64)
+        np.maximum.at(top_tf, ud, counts.astype(np.int64))
+    n_dup = n_tokens - n_distinct
+    safe_n = np.maximum(n_tokens, 1).astype(np.float64)
+    dup_frac = np.where(n_tokens > 0, n_dup / safe_n, 0.0)
+    top_frac = np.where(n_tokens > 0, top_tf / safe_n, 0.0)
+    repetitive = ((5 * top_tf > n_tokens)
+                  | (5 * n_dup > 4 * n_tokens)).astype(np.int64)
+    return pa.Table.from_arrays(
+        [batch["doc_id"],
+         pa.array(n_tokens, pa.int64()),
+         pa.array(n_distinct, pa.int64()),
+         pa.array(top_tf, pa.int64()),
+         pa.array(dup_frac, pa.float64()),
+         pa.array(top_frac, pa.float64()),
+         pa.array(repetitive, pa.int64())],
+        names=["doc_id", "n_tokens", "n_distinct", "top_tf",
+               "dup_frac", "top_frac", "repetitive"])
+
+
+def contamination_counts(texts, doc_blocklist_sorted: np.ndarray):
+    """Per-doc (n_shingles, n_contaminated) vs a SORTED uint64 array of
+    blocked 3-shingle hashes — searchsorted membership + segmented sum,
+    no Python loop."""
+    from .tokenhash import _seg_starts, shingle_hashes
+
+    sh, counts = shingle_hashes(texts, k=3)
+    n_cont = np.zeros(len(counts), np.int64)
+    if len(sh) and len(doc_blocklist_sorted):
+        idx = np.searchsorted(doc_blocklist_sorted, sh)
+        idx_c = np.minimum(idx, len(doc_blocklist_sorted) - 1)
+        hit = (doc_blocklist_sorted[idx_c] == sh).astype(np.int64)
+        starts, nz = _seg_starts(counts)
+        n_cont[nz] = np.add.reduceat(hit, starts)
+    return counts.astype(np.int64), n_cont
+
+
+# PII patterns — RE2 syntax only (no backrefs/lookaround), evaluated by
+# pyarrow.compute (RE2) on the Ray side and DuckDB (also RE2) in the
+# oracle, so match semantics are identical by construction.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+\d{1,2}-\d{3}-\d{1,6}"
+
+
+def pii_redact_batch(batch: pa.Table) -> pa.Table:
+    """Scrub emails then phone numbers; emit counts + md5 of the
+    redacted text (the oracle recomputes the same md5, so the full
+    redacted string is value-checked without shipping it)."""
+    text = batch["text"]
+    n_emails = pc.count_substring_regex(text, PII_EMAIL_RE)
+    red = pc.replace_substring_regex(text, PII_EMAIL_RE, "<EMAIL>")
+    n_phones = pc.count_substring_regex(red, PII_PHONE_RE)
+    red = pc.replace_substring_regex(red, PII_PHONE_RE, "<PHONE>")
+    md5s = [hashlib.md5(t.encode()).hexdigest() for t in red.to_pylist()]
+    return pa.Table.from_arrays(
+        [batch["doc_id"], n_emails.cast(pa.int64()),
+         n_phones.cast(pa.int64()), pa.array(md5s, pa.string())],
+        names=["doc_id", "n_emails", "n_phones", "clean_md5"])
