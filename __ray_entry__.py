@@ -295,6 +295,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dedup_simhash": documents.doc_dedup_simhash,
         "embedding_neardup": vectors.embedding_neardup,
         "embedding_neardup_lsh": vectors.embedding_neardup_lsh,
+        # clustering / semantic dedup
+        "embedding_kmeans": vectors.embedding_kmeans,
+        "embedding_semdedup": vectors.embedding_semdedup,
         # similarity search
         "ann_topk": vectors.ann_topk,
         "ann_ivf": vectors.ann_ivf,
@@ -748,6 +751,88 @@ def _decontaminate_sql() -> str:
     """
 
 
+def _kmeans_ctes(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """Nested-CTE twin of the integer-exact distributed Lloyd iterations
+    (uniparser_ray/stages/kmeans.py): quantize -> (assign -> integer
+    rounded-mean update) x iters -> final assign.  Every value is
+    int64, so the argmin/centroid recursion is bit-identical."""
+    from uniparser_ray.stages.kmeans import QUANT_OFFSET, QUANT_SCALE
+
+    gs = f"generate_series(1, {dim})"
+    d2 = (f"CAST(list_sum(list_transform({gs}, "
+          f"i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))) AS BIGINT)")
+    parts = [f"""q AS (
+      SELECT vec_id,
+             list_transform(embedding, x ->
+                 CAST(FLOOR(CAST(x AS DOUBLE) * {QUANT_SCALE} + 0.5)
+                      AS BIGINT) + {QUANT_OFFSET}) AS v
+      FROM embeddings),
+    c0 AS (SELECT vec_id AS j, v FROM q WHERE vec_id < {k})"""]
+    for t in range(iters + 1):
+        parts.append(f"""d{t} AS (
+      SELECT q.vec_id, c.j, {d2} AS d2 FROM q, c{t} c),
+    a{t} AS (
+      SELECT vec_id, j AS cluster, d2 FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY d2, j) AS rk FROM d{t})
+      WHERE rk = 1)""")
+        if t == iters:
+            break
+        parts.append(f"""u{t} AS (
+      SELECT a.cluster AS j, i, CAST(SUM(q.v[i]) AS BIGINT) AS s,
+             COUNT(*) AS n
+      FROM a{t} a JOIN q USING (vec_id),
+           unnest({gs}) AS u_(i)
+      GROUP BY 1, 2),
+    c{t + 1} AS (
+      SELECT j, list((2 * s + n) // (2 * n) ORDER BY i) AS v
+      FROM u{t} GROUP BY j
+      UNION ALL
+      SELECT j, v FROM c{t} WHERE j NOT IN (SELECT j FROM u{t}))""")
+    return ",\n    ".join(parts)
+
+
+def _kmeans_sql(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    return f"""
+        WITH {_kmeans_ctes(k, iters, dim)}
+        SELECT vec_id, cluster, d2 AS dist2 FROM a{iters}
+    """
+
+
+def _semdedup_sql(k: int = 8, iters: int = 2, dim: int = 64,
+                  threshold_bp2: int = 1225) -> str:
+    """kmeans CTEs + in-cluster self-join under the quantized-cosine
+    integer test (dot > 0 and S^2*dot^2 >= bp2*|a|^2*|b|^2)."""
+    from uniparser_ray.stages.kmeans import COS_SCALE
+
+    gs = f"generate_series(1, {dim})"
+    return f"""
+        WITH {_kmeans_ctes(k, iters, dim)},
+        qr AS (
+          SELECT vec_id,
+                 list_transform(embedding, x ->
+                     CAST(FLOOR(CAST(x AS DOUBLE) * {COS_SCALE} + 0.5)
+                          AS BIGINT)) AS v
+          FROM embeddings),
+        met AS (
+          SELECT a.vec_id, a.cluster, qr.v,
+                 CAST(list_sum(list_transform({gs},
+                     i -> qr.v[i] * qr.v[i])) AS BIGINT) AS nrm
+          FROM a{iters} a JOIN qr USING (vec_id)),
+        prs AS (
+          SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, x.cluster,
+                 CAST(list_sum(list_transform({gs},
+                     i -> x.v[i] * y.v[i])) AS BIGINT) AS dot,
+                 x.nrm AS na, y.nrm AS nb
+          FROM met x JOIN met y
+            ON x.cluster = y.cluster AND x.vec_id < y.vec_id)
+        SELECT vec_a, vec_b, cluster FROM prs
+        WHERE dot > 0
+          AND {COS_SCALE * COS_SCALE} * dot * dot
+              >= {threshold_bp2} * na * nb
+    """
+
+
 def _pii_redact_sql() -> str:
     """PII redaction: both engines evaluate RE2, so regexp_replace's
     'g' pass is semantics-identical to pc.replace_substring_regex; the
@@ -1092,6 +1177,8 @@ def oracle_sql(sf_tag: str = None) -> dict[str, str]:
         "doc_repetition": _repetition_sql(),
         "doc_decontaminate": _decontaminate_sql(),
         "doc_pii_redact": _pii_redact_sql(),
+        "embedding_kmeans": _kmeans_sql(),
+        "embedding_semdedup": _semdedup_sql(),
         "doc_dedup_exact": """
             SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_id,
                    COUNT(*) AS dup_count

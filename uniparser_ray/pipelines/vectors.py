@@ -163,3 +163,94 @@ def label_centroids(sf_dir: str):
     df = pd.DataFrame(rows).sort_values("label")
     df["label"] = df["label"].astype("int32")
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def _kmeans_centroids(sf_dir: str, k: int, iters: int):
+    """Run Lloyd iterations; returns the final int64 centroid matrix.
+    Each iteration is one shuffle-free map_batches pass whose output is
+    k rows per batch (partial sums) — vectors never cross the wire."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..stages.kmeans import (QUANT_OFFSET, QUANT_SCALE,
+                                 combine_partials, make_partial_fn,
+                                 quantize)
+
+    init_tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"],
+                             filters=[("vec_id", "<", k)])
+    init = init_tbl.to_pandas().sort_values("vec_id")
+    if len(init) != k:
+        raise ValueError(f"k-means init needs vec_ids 0..{k-1} "
+                         f"(got {len(init)} rows)")
+    cents = quantize(np.array(init["embedding"].tolist(), np.float64),
+                     QUANT_SCALE, QUANT_OFFSET)
+    dim = cents.shape[1]
+    ds = _read(sf_dir, ["vec_id", "embedding"])
+    for _ in range(iters):
+        ref = ray.put(cents)
+        parts = ds.map_batches(make_partial_fn(ref),
+                               batch_format="pyarrow").take_all()
+        cents = combine_partials(parts, k, dim, cents)
+    return cents
+
+
+def embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 2):
+    """Integer-exact distributed k-means labels after ``iters`` Lloyd
+    updates: (vec_id, cluster, dist2) with dist2 an EXACT int64, so the
+    nested-CTE DuckDB oracle hash-matches every value (see
+    stages/kmeans.py for why the arithmetic is integer end-to-end)."""
+    import ray
+
+    from ..stages.kmeans import make_assign_fn
+
+    cents = _kmeans_centroids(sf_dir, k, iters)
+    ref = ray.put(cents)
+    return _read(sf_dir, ["vec_id", "embedding"]).map_batches(
+        make_assign_fn(ref), batch_format="pyarrow")
+
+
+def embedding_semdedup(sf_dir: str, k: int = 8, iters: int = 2,
+                       threshold_bp2: int = 1225):
+    """SemDeDup-style cluster-then-dedup: k-means partitions the
+    corpus, then near-dup pairs are found ONLY within each cluster —
+    the all-pairs O(n^2) cost becomes O(sum of cluster sizes squared),
+    and the in-cluster pass shuffles each vector exactly once (grouped
+    by its cluster id).  Pair test is the quantized-cosine integer
+    comparison (stages/kmeans.semdedup_group), so the SQL twin —
+    the full kmeans oracle + an in-cluster self-join — value-matches.
+
+    Scale note: cluster sizes bound the quadratic term; a production
+    run sizes k so max-cluster fits a worker (SemDeDup's own design
+    assumption) and salts any skewed cluster.  The co-location uses
+    ``hash_bucket_combine`` on the cluster id (with its adaptive
+    no-shuffle fast path for kilobyte inputs) rather than a sort-based
+    ``groupby``: with only k distinct keys a sort produces more output
+    partitions than keys, and Ray emits the surplus as schema-less
+    empty bundles that trip its schema-divergence warning."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..stages.combine import hash_bucket_combine
+    from ..stages.kmeans import make_assign_fn, semdedup_group
+
+    cents = _kmeans_centroids(sf_dir, k, iters)
+    ref = ray.put(cents)
+    labeled = _read(sf_dir, ["vec_id", "embedding"]).map_batches(
+        make_assign_fn(ref, keep_vec=True), batch_format="pyarrow")
+
+    def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
+                              "vec_b": pd.Series([], dtype="int64"),
+                              "cluster": pd.Series([], dtype="int64")})
+        outs = [semdedup_group(g.reset_index(drop=True),
+                               threshold_bp2).to_pandas()
+                for _, g in df.groupby("cluster")]
+        return pd.concat([empty] + outs, ignore_index=True) \
+            if outs else empty
+
+    n = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    limit = 200_000 if n <= 200_000 else None
+    return hash_bucket_combine(labeled, ["cluster"], pairs_in_bucket,
+                               num_buckets=max(k, 16),
+                               driver_limit_rows=limit)
