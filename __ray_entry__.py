@@ -312,6 +312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_shard_pack": images_q.images_shard_pack,
         "images_bucket_shards": images_q.images_bucket_shards,
         "caption_token_stats": images_q.caption_token_stats,
+        "images_caption_align": images_q.images_caption_align,
         "audio_features": images_q.audio_features_q,
         "video_frames": images_q.video_frames_q,
         # the crawl itself
@@ -584,6 +585,25 @@ def _multimodal_oracle_thunks(tag: str) -> dict:
                    length(caption) AS n_chars
             FROM m
         """,
+        # the CTE named `documents` SHADOWS the registered view inside
+        # this query, so the text family's tokenhash/simhash CTEs apply
+        # verbatim to the caption column
+        "images_caption_align": lambda: f"""
+            WITH {meta()},
+            documents AS (SELECT image_id AS doc_id, caption AS text
+                          FROM m),
+            {_TOK_CTES},
+            {_sh_cte()},
+            {_params_cte("sp", 64, _simhash_seed())},
+            {_simhash_ctes()}
+            SELECT m.image_id,
+                   COALESCE(s.simhash, 0) AS cap_simhash,
+                   bit_count(xor(m.phash, COALESCE(s.simhash, 0)))
+                       AS hamming,
+                   CAST(bit_count(xor(m.phash, COALESCE(s.simhash, 0)))
+                        <= {_ALIGN_MAX_HAMMING()} AS BIGINT) AS aligned
+            FROM m LEFT JOIN simh s ON s.doc_id = m.image_id
+        """,
         "images_neardup_phash": lambda: f"""
             WITH {meta()}
             SELECT a.image_id AS image_a, b.image_id AS image_b,
@@ -749,6 +769,16 @@ def _decontaminate_sql() -> str:
             FROM documents d LEFT JOIN per USING (doc_id)
             WHERE d.doc_id % {DECONTAM_MOD_SQL} <> 0
     """
+
+
+def _simhash_seed() -> int:
+    from uniparser_ray.stages.tokenhash import SIMHASH_SEED
+    return SIMHASH_SEED
+
+
+def _ALIGN_MAX_HAMMING() -> int:
+    from uniparser_ray.pipelines.images_q import ALIGN_MAX_HAMMING
+    return ALIGN_MAX_HAMMING
 
 
 def _kmeans_ctes(k: int = 8, iters: int = 2, dim: int = 64) -> str:

@@ -185,3 +185,39 @@ def test_images_bucket_shards_never_mix_ratios(ray_session):
     # reused across buckets WITH different composition — i.e. each
     # row's unit is identified only by the pair, by construction
     assert got.groupby(["bucket", "shard"])["nbytes"].sum().gt(0).all()
+
+
+def test_caption_align_stage_semantics(ray_session):
+    """Alignment score = 64 - hamming(phash, caption simhash): the
+    stage must equal a direct tokenhash recomputation, flag both ways
+    at the default threshold, and score empty captions as simhash 0."""
+    import numpy as np
+    import pyarrow as pa
+
+    from uniparser_ray.pipelines.images_q import (ALIGN_MAX_HAMMING,
+                                                  CaptionAlignStage,
+                                                  images_caption_align)
+    from uniparser_ray.stages.dedup import popcount64
+    from uniparser_ray.stages.tokenhash import (shingle_hashes,
+                                                simhash_values)
+
+    # direct stage call on a constructed batch incl. an empty caption
+    batch = pa.table({
+        "image_id": pa.array(["a", "b", "c"], pa.string()),
+        "caption": pa.array(["red square on white field", "", "solo"],
+                            pa.string()),
+        "phash": pa.array([123456789, -42, 0], pa.int64())})
+    out = CaptionAlignStage()(batch).to_pandas()
+    sh, counts = shingle_hashes(batch["caption"].to_pylist(), 3)
+    sim = simhash_values(sh, counts)
+    ph = np.array([123456789, -42, 0], np.int64).view(np.uint64)
+    want_ham = popcount64(sim ^ ph)
+    assert out["hamming"].tolist() == want_ham.tolist()
+    assert out.loc[1, "cap_simhash"] == 0          # empty caption
+    assert (out["aligned"] ==
+            (out["hamming"] <= ALIGN_MAX_HAMMING).astype("int64")).all()
+
+    # pipeline over the synthetic table: threshold splits non-trivially
+    full = images_caption_align("/root/testdata/sf0.001").to_pandas()
+    assert set(full["aligned"].unique()) == {0, 1}
+    assert len(full) == 300

@@ -587,3 +587,57 @@ def images_bucket_shards(sf_dir: str, budget: int = 131_072,
 
     return ranged.groupby(["bucket", "_range"]) \
         .map_groups(pack, batch_format="pandas")
+
+
+ALIGN_MAX_HAMMING = 30
+
+
+class CaptionAlignStage:
+    """CLIP-score-SHAPED image-caption alignment scorer.
+
+    A production run swaps the score body for batched model inference
+    (weights loaded once per actor right here in ``__init__``); this
+    deterministic stand-in keeps the plumbing — warm stateful stage,
+    batched scoring, filter threshold — real and value-checked: the
+    score is 64 - hamming(phash, caption-simhash), where the caption
+    simhash is the SAME tokenhash construction the text family uses,
+    so the DuckDB oracle recomputes every score exactly.
+    """
+
+    def __init__(self, max_hamming: int = ALIGN_MAX_HAMMING):
+        # per-actor setup (the "model load" slot): simhash affine
+        # params are derived once, not per batch
+        from ..stages.tokenhash import SIMHASH_SEED, affine_params
+        self.params = affine_params(64, SIMHASH_SEED)
+        self.max_hamming = max_hamming
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..stages.dedup import popcount64
+        from ..stages.tokenhash import (shingle_hashes, simhash_values,
+                                        to_int64)
+        caps = batch["caption"].to_pylist()
+        sh, counts = shingle_hashes(caps, k=3)
+        sim = simhash_values(sh, counts)
+        ph = np.asarray(batch["phash"].to_pylist(),
+                        np.int64).view(np.uint64)
+        ham = popcount64(sim ^ ph)
+        return pa.Table.from_arrays([
+            batch["image_id"],
+            pa.array(to_int64(sim), pa.int64()),
+            pa.array(ham, pa.int64()),
+            pa.array((ham <= self.max_hamming).astype(np.int64),
+                     pa.int64())],
+            names=["image_id", "cap_simhash", "hamming", "aligned"])
+
+
+def images_caption_align(sf_dir: str):
+    """Image-caption alignment filtering (the LAION-style CLIP-score
+    gate, with a deterministic value-checked scorer — see
+    CaptionAlignStage): one shuffle-free pass over (image_id, caption,
+    phash); bytes never leave storage."""
+    from ..stages.taskcache import cached_stage
+
+    table = images_lance_for(sf_dir)
+    ds = table.read_dataset(columns=["image_id", "caption", "phash"])
+    return ds.map_batches(cached_stage(CaptionAlignStage),
+                          batch_format="pyarrow", batch_size=1024)
