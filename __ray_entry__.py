@@ -255,6 +255,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # statistics (sketches + rank stats)
         "events_distinct_users": stats.events_distinct_users,
         "events_stratified_sample": stats.events_stratified_sample,
+        "events_watermark_late": stats.events_watermark_late,
         "events_hll_users": stats.events_hll_users,
         "order_price_quantiles": stats.order_price_quantiles,
         "events_value_quantiles": stats.events_value_quantiles,
@@ -771,6 +772,11 @@ def _decontaminate_sql() -> str:
     """
 
 
+def _WATERMARK_LATENESS_US() -> int:
+    from uniparser_ray.pipelines.stats import WATERMARK_LATENESS_US
+    return WATERMARK_LATENESS_US
+
+
 def _simhash_seed() -> int:
     from uniparser_ray.stages.tokenhash import SIMHASH_SEED
     return SIMHASH_SEED
@@ -1041,6 +1047,25 @@ def oracle_sql(sf_tag: str = None) -> dict[str, str]:
             WHERE (('0x' || substr(md5(CAST(e.event_id AS VARCHAR)),
                                    1, 15))::BIGINT % 2147483647) % 10000
                   < LEAST(10000, (500 * 10000) // cnt)
+        """,
+        "events_watermark_late": f"""
+            -- streaming watermark / late-data flag: arrival order is
+            -- the deterministic md5-residue permutation of event_id;
+            -- late iff ts + allowed_lateness < running max event-time
+            WITH e AS (
+              SELECT event_id, epoch_us(ts) AS ts_us,
+                     ('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                                     1, 15))::BIGINT % 2147483647 AS arr
+              FROM events)
+            SELECT event_id, ts_us,
+                   COALESCE(MAX(ts_us) OVER w, 0) AS max_before,
+                   CAST(ts_us + {_WATERMARK_LATENESS_US()}
+                        < COALESCE(MAX(ts_us) OVER w, 0)
+                        AS BIGINT) AS late
+            FROM e
+            WINDOW w AS (ORDER BY arr, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING)
         """,
         "events_hll_users": """
             -- the APPROXIMATE sketch itself is value-checked: the md5

@@ -538,3 +538,39 @@ def test_events_stratified_sample_balances_and_reproduces(ray_session):
         # binomial noise bound: 5 sigma of rate*total
         import math
         assert abs(n - want) <= max(5, 5 * math.sqrt(want)), (kind, n, want)
+
+
+def test_events_watermark_late_semantics(ray_session):
+    """Late flags are range-partition-count invariant, the globally
+    first arrival has max_before 0, and 14-day lateness splits the
+    corpus into both classes; flags equal a single-process replay."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from uniparser_ray.pipelines.stats import (WATERMARK_LATENESS_US,
+                                               events_watermark_late)
+    from uniparser_ray.stages.sketches import hash31
+
+    sf = "/root/testdata/sf0.001"
+    out32 = events_watermark_late(sf).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    out3 = events_watermark_late(sf, num_ranges=3).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    assert out32.equals(out3)
+
+    src = pq.read_table(f"{sf}/events.parquet",
+                        columns=["event_id", "ts"]).to_pandas()
+    eid = src["event_id"].to_numpy()
+    ts = src["ts"].astype("int64").to_numpy()
+    order = np.lexsort((eid, hash31(eid).astype(np.int64)))
+    run = np.maximum.accumulate(ts[order])
+    before = np.concatenate([[0], run[:-1]])
+    late = (ts[order] + WATERMARK_LATENESS_US < before).astype("int64")
+    replay = dict(zip(eid[order].tolist(), zip(before.tolist(),
+                                               late.tolist())))
+    got = dict(zip(out32["event_id"],
+                   zip(out32["max_before"], out32["late"])))
+    assert got == replay
+    assert set(out32["late"].unique()) == {0, 1}
+    first = eid[order][0]
+    assert got[first][0] == 0

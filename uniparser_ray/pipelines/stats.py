@@ -136,3 +136,67 @@ def events_stratified_sample(sf_dir: str, target: int = 500):
         return df[h < lim]
 
     return ds.map_batches(keep, batch_format="pandas")
+
+
+WATERMARK_LATENESS_US = 14 * 86_400 * 10**6   # 14 days (~half the span)
+_P31 = 2147483647
+
+
+def events_watermark_late(sf_dir: str, lateness_us: int = None,
+                          num_ranges: int = 32):
+    """Streaming watermark / late-data detection (the Dataflow-model
+    semantics, public): an event is LATE iff its timestamp trails the
+    watermark — the running max event-time seen so far minus the
+    allowed lateness — at its arrival position.
+
+    The shipped events table is time-ordered, so ARRIVAL order is
+    modeled by the deterministic md5-residue permutation of event_id
+    (the same device the hash sampler uses — reproducible across
+    cluster sizes, retries, and in SQL).  The running max over that
+    order is the distributed ordered prefix-SCAN with max instead of
+    sum (doc_shard_assign's primitive): arrival hashes are uniform on
+    [0, 2^31), so the range partition needs no min/max pass; pass 1
+    computes per-range maxima, the driver folds num_ranges exclusive
+    prefix maxima, pass 2 re-sorts within ranges and cummaxes.  No
+    global sort; integer microseconds end-to-end."""
+    import pyarrow as pa
+
+    from ..stages.combine import grouped_aggregate
+    from ..stages.sketches import hash31
+
+    L = WATERMARK_LATENESS_US if lateness_us is None else lateness_us
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+    bounds = np.linspace(0, _P31, num_ranges + 1)[1:-1]
+
+    def with_range(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        arr = hash31(eid).astype(np.int64)
+        r = np.searchsorted(bounds, arr, side="right")
+        return pa.Table.from_arrays(
+            [t["event_id"], t["ts"].cast(pa.int64()),
+             pa.array(arr, pa.int64()), pa.array(r, pa.int64())],
+            names=["event_id", "ts_us", "arr", "_range"])
+
+    ranged = ds.map_batches(with_range, batch_format="pyarrow")
+
+    sums = grouped_aggregate(ranged, ["_range"],
+                             {"mx": ("ts_us", "max")}).to_pandas()
+    sums = sums.sort_values("_range")
+    maxima = np.zeros(num_ranges, np.int64)
+    maxima[sums["_range"].to_numpy()] = sums["mx"].to_numpy()
+    # exclusive running max across ranges; 0 before the first event
+    prefix = np.concatenate(
+        [[0], np.maximum.accumulate(maxima)[:-1]])
+
+    def flag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["arr", "event_id"], kind="mergesort").copy()
+        r = int(g["_range"].iloc[0])
+        run = np.maximum.accumulate(g["ts_us"].to_numpy())
+        before = np.maximum(
+            int(prefix[r]),
+            np.concatenate([[0], run[:-1]]))
+        g["max_before"] = before.astype("int64")
+        g["late"] = (g["ts_us"].to_numpy() + L < before).astype("int64")
+        return g[["event_id", "ts_us", "max_before", "late"]]
+
+    return ranged.groupby("_range").map_groups(flag, batch_format="pandas")
