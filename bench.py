@@ -155,6 +155,26 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     timed3("web_host_degrees",
            lambda: consume(graph_p.web_host_degrees(sf_dir)))
     graph_p.reset_shard_cache()
+    # training-data cleaning / clustering family (round-3 additions):
+    # decontamination + PII are shuffle-free sweeps, kmeans is 2 Lloyd
+    # partial-sum passes + a labeling pass, semdedup adds the
+    # in-cluster pair pass, caption_align is the CLIP-shaped gate
+    from uniparser_ray.pipelines import documents as docs_p
+    from uniparser_ray.pipelines import vectors as vecs_p
+    timed3("doc_decontaminate",
+           lambda: consume(docs_p.doc_decontaminate(sf_dir)))
+    timed3("doc_pii_redact",
+           lambda: consume(docs_p.doc_pii_redact(sf_dir)))
+    timed3("doc_repetition",
+           lambda: consume(docs_p.doc_repetition(sf_dir)))
+    timed3("embedding_kmeans",
+           lambda: consume(vecs_p.embedding_kmeans(sf_dir)))
+    timed3("embedding_semdedup",
+           lambda: consume(vecs_p.embedding_semdedup(sf_dir)))
+    timed3("images_caption_align",
+           lambda: consume(images_p.images_caption_align(sf_dir)))
+    timed3("events_watermark_late",
+           lambda: consume(stats_p.events_watermark_late(sf_dir)))
     return {
         "metric": "crawl+operator suite wall time",
         "value": total,
