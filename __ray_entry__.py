@@ -316,6 +316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_caption_align": images_q.images_caption_align,
         "audio_features": images_q.audio_features_q,
         "video_frames": images_q.video_frames_q,
+        "video_shot_boundaries": images_q.video_shot_boundaries,
         # the crawl itself
         "crawl_images": images_q.crawl_images,
         # link-graph analytics (BSP shard actors over parsed edges)
@@ -530,6 +531,9 @@ def _expected_table(kind: str, tag: str) -> pa.Table:
         return expected_audio_features(_AUDIO_BY_SF.get(tag, 200))
     if kind == "video":
         return expected_video_frames(_VIDEO_BY_SF.get(tag, 60), k=3)
+    if kind == "shots":
+        from uniparser_ray.stages.multimodal import expected_shot_rows
+        return expected_shot_rows(_VIDEO_BY_SF.get(tag, 60))
     if kind == "crawl":
         return expected_crawl_images(tag)
     if kind == "sizes":
@@ -686,6 +690,12 @@ def _multimodal_oracle_thunks(tag: str) -> dict:
         "video_frames": lambda: f"""
             WITH {_values_cte('e', _expected_table('video', tag))}
             SELECT video_id, frame_index, frame_md5, t_seconds FROM e
+        """,
+        "video_shot_boundaries": lambda: f"""
+            WITH {_values_cte('e', _expected_table('shots', tag))}
+            SELECT video_id, frame_index, sad, is_boundary, shot_id,
+                   is_keyframe
+            FROM e
         """,
         "crawl_images": lambda: f"""
             WITH {_values_cte('e', _expected_table('crawl', tag))}

@@ -175,6 +175,8 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
            lambda: consume(images_p.images_caption_align(sf_dir)))
     timed3("events_watermark_late",
            lambda: consume(stats_p.events_watermark_late(sf_dir)))
+    timed3("video_shot_boundaries",
+           lambda: consume(images_p.video_shot_boundaries(sf_dir)))
     return {
         "metric": "crawl+operator suite wall time",
         "value": total,

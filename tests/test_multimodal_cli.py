@@ -232,3 +232,50 @@ def test_http_console_endpoints():
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_video_shot_boundaries(ray_session):
+    """Detected shots equal the generator's shot structure for every
+    clip; exactly one keyframe per shot; SAD separates intra-shot
+    (<=512) from cross-shot (>5000)."""
+    import numpy as np
+
+    from uniparser_ray.pipelines.images_q import video_shot_boundaries
+    from uniparser_ray.stages.multimodal import _synth_shot_frames
+
+    out = video_shot_boundaries("/root/testdata/sf0.001").to_pandas() \
+        .sort_values(["video_id", "frame_index"])
+    for vid, g in out.groupby("video_id"):
+        i = int(vid.split("-")[1])
+        _, shot_lens = _synth_shot_frames(i)
+        # structural equality: shot_id runs have the generator lengths
+        runs = g.groupby("shot_id").size().tolist()
+        assert runs == shot_lens, (vid, runs, shot_lens)
+        # one keyframe per shot, and it is the shot's first frame
+        keys = g[g["is_keyframe"] == 1]
+        assert len(keys) == len(shot_lens)
+        assert keys.groupby("shot_id")["frame_index"].min().tolist() \
+            == keys["frame_index"].tolist()
+        # crisp SAD separation
+        intra = g[(g["is_boundary"] == 0) & (g["frame_index"] > 0)]["sad"]
+        cross = g[g["is_boundary"] == 1]["sad"]
+        assert (intra <= 512).all()
+        assert (cross > 5000).all()
+
+
+def test_video_shot_stage_nonraw_stub_strict():
+    """Non-rawrgb clips raise in strict mode (declared stub), like the
+    frame sampler."""
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from uniparser_ray.stages.multimodal import VideoShotStage
+
+    batch = pa.table({"video_id": ["x"], "bytes": [b"\x00" * 64],
+                      "n_frames": [2], "w": [2], "h": [2],
+                      "fps": [8.0], "fmt": ["h264"]})
+    with _pytest.raises(NotImplementedError):
+        VideoShotStage(strict=True)(batch)
+    # non-strict: deterministic fake frames still produce valid rows
+    out = VideoShotStage(strict=False)(batch)
+    assert out.num_rows == 2

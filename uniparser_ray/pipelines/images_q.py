@@ -641,3 +641,25 @@ def images_caption_align(sf_dir: str):
     ds = table.read_dataset(columns=["image_id", "caption", "phash"])
     return ds.map_batches(cached_stage(CaptionAlignStage),
                           batch_format="pyarrow", batch_size=1024)
+
+
+def video_shot_boundaries(sf_dir: str, threshold: int = 5000):
+    """Shot-boundary detection + per-shot keyframe flag over
+    shot-structured synthetic clips — the video-curation step that
+    feeds shot keyframes to a caption/embedding stage.  Integer SAD
+    per consecutive frame pair, one vectorized pass per clip; rawrgb
+    decode is real, other codecs stub (stages/multimodal.py).  Oracle:
+    boundary/shot columns derived STRUCTURALLY from the generator's
+    shot lengths, sad from the source arrays — an independent path
+    value-checking the byte decode end-to-end."""
+    import ray.data as rd
+
+    from ..stages.multimodal import VideoShotStage, synth_shot_video_table
+    from ..stages.taskcache import cached_stage
+
+    tag = _sf_tag(sf_dir)
+    n = _VIDEO_BY_SF.get(tag, 60)
+    t = synth_shot_video_table(n)
+    return rd.from_arrow(t).map_batches(
+        cached_stage(VideoShotStage, threshold=threshold),
+        batch_format="pyarrow", batch_size=16)

@@ -282,3 +282,120 @@ def video_frame_samples(ds, k: int = 4, concurrency: int = 4):
     return ds.map_batches(cached_stage(VideoFrameSampleStage, k=k),
                           batch_format="pyarrow", batch_size=16,
                           concurrency=concurrency)
+
+
+def _synth_shot_frames(i: int, seed: int = 11) -> tuple:
+    """Deterministic SHOT-STRUCTURED clip: 2-4 shots, each a random
+    base frame with a tiny intra-shot wobble (+2/frame on one channel,
+    clipped — SAD <= 512), so consecutive-frame SAD separates crisply
+    from cross-shot SAD (~65k for 16x16x3 random bases).  Returns
+    (frames uint8[n,16,16,3], shot_lens list)."""
+    rng = np.random.default_rng(seed * 1_000_003 + i)
+    n_shots = 2 + (i % 3)
+    shot_lens = [2 + int(rng.integers(0, 3)) for _ in range(n_shots)]
+    frames = []
+    for ln in shot_lens:
+        base = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+        for j in range(ln):
+            f = base.copy()
+            f[..., 0] = np.minimum(f[..., 0].astype(np.int32) + 2 * j,
+                                   255).astype(np.uint8)
+            frames.append(f)
+    return np.stack(frames), shot_lens
+
+
+def synth_shot_video_table(n_videos: int, seed: int = 11) -> pa.Table:
+    """Shot-structured synthetic videos in the VIDEO_SCHEMA layout."""
+    ids, blobs, nfs, ws, hs, fps, fmts = [], [], [], [], [], [], []
+    for i in range(n_videos):
+        frames, _ = _synth_shot_frames(i, seed)
+        n, h, w, _c = frames.shape
+        ids.append(f"shot-{i:08d}")
+        blobs.append(frames.tobytes())
+        nfs.append(n)
+        ws.append(w)
+        hs.append(h)
+        fps.append(8.0)
+        fmts.append("rawrgb")
+    return pa.Table.from_arrays([
+        pa.array(ids, pa.string()), pa.array(blobs, pa.binary()),
+        pa.array(nfs, pa.int32()), pa.array(ws, pa.int32()),
+        pa.array(hs, pa.int32()), pa.array(fps, pa.float32()),
+        pa.array(fmts, pa.string())], schema=VIDEO_SCHEMA)
+
+
+def shot_rows_from_frames(frames: np.ndarray, threshold: int):
+    """Per-frame (sad, is_boundary, shot_id) from a clip's frame
+    stack — integer SAD (sum of absolute per-pixel diffs to the
+    previous frame), one vectorized diff over the whole clip.  Frame 0
+    has sad 0 and starts shot 0."""
+    n = frames.shape[0]
+    sad = np.zeros(n, np.int64)
+    if n > 1:
+        d = np.abs(frames[1:].astype(np.int64)
+                   - frames[:-1].astype(np.int64))
+        sad[1:] = d.sum(axis=(1, 2, 3))
+    bound = (sad > threshold).astype(np.int64)
+    bound[0] = 0
+    shot = np.cumsum(bound)
+    return sad, bound, shot
+
+
+class VideoShotStage(VideoFrameSampleStage):
+    """Shot-boundary detection + keyframe flag: decode (rawrgb real,
+    other codecs stub exactly as the frame sampler), one vectorized
+    SAD pass per clip, emit one row per frame.  The keyframe a
+    training pipeline would caption/encode is each shot's FIRST frame
+    (``is_keyframe``); integer SAD makes every output value exact, so
+    the VALUES oracle (built from the generator's SOURCE arrays, an
+    independent path) hash-matches through the byte decode."""
+
+    def __init__(self, threshold: int = 5000, strict: bool = False):
+        super().__init__(strict=strict)
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vids, idxs, sads, bnds, shots, keys = [], [], [], [], [], []
+        for row in batch.to_pylist():
+            frames = self._decode_frames(row)
+            sad, bound, shot = shot_rows_from_frames(frames,
+                                                     self.threshold)
+            n = len(sad)
+            vids += [row["video_id"]] * n
+            idxs += list(range(n))
+            sads += sad.tolist()
+            bnds += bound.tolist()
+            shots += shot.tolist()
+            first = np.concatenate([[1], bound[1:]])
+            keys += first.tolist()
+        return pa.Table.from_arrays([
+            pa.array(vids, pa.string()), pa.array(idxs, pa.int64()),
+            pa.array(sads, pa.int64()), pa.array(bnds, pa.int64()),
+            pa.array(shots, pa.int64()), pa.array(keys, pa.int64())],
+            names=["video_id", "frame_index", "sad", "is_boundary",
+                   "shot_id", "is_keyframe"])
+
+
+def expected_shot_rows(n_videos: int, threshold: int = 5000,
+                       seed: int = 11) -> pa.Table:
+    """Oracle-side expected shot rows.  The boundary / shot_id /
+    keyframe columns come STRUCTURALLY from the generator's shot_lens
+    (fully independent of any pixel math); sad is recomputed from the
+    source frame arrays (proving the pipeline's byte decode).  The
+    structural and SAD-derived boundaries must agree — asserted here,
+    so a drifting threshold fails loudly at oracle-build time."""
+    rows = []
+    for i in range(n_videos):
+        frames, shot_lens = _synth_shot_frames(i, seed)
+        sad, bound, shot = shot_rows_from_frames(frames, threshold)
+        starts = np.cumsum([0] + shot_lens[:-1])
+        struct_bound = np.zeros(len(sad), np.int64)
+        struct_bound[starts[1:]] = 1
+        assert (bound == struct_bound).all(), (i, bound, shot_lens)
+        for j in range(len(sad)):
+            rows.append({
+                "video_id": f"shot-{i:08d}", "frame_index": j,
+                "sad": int(sad[j]), "is_boundary": int(bound[j]),
+                "shot_id": int(shot[j]),
+                "is_keyframe": int(j == 0 or bound[j])})
+    return pa.Table.from_pylist(rows)
