@@ -65,8 +65,13 @@ def update_centroids(sums: np.ndarray, counts: np.ndarray,
     return out
 
 
-def batch_quantized(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+def batch_quantized(batch: pa.Table,
+                    dim: int = None) -> tuple[np.ndarray, np.ndarray]:
     ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+    if not len(ids):
+        # an empty block's list column collapses to shape (0,) — keep
+        # the (0, dim) 2-d contract the assign kernel needs
+        return ids, np.zeros((0, dim or 0), np.int64)
     vecs = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
     return ids, quantize(vecs, QUANT_SCALE, QUANT_OFFSET)
 
@@ -79,7 +84,7 @@ def make_partial_fn(cents_ref) -> Callable[[pa.Table], pa.Table]:
 
     def partial(batch: pa.Table) -> pa.Table:
         cents = ray.get(cents_ref)
-        _, q = batch_quantized(batch)
+        _, q = batch_quantized(batch, dim=cents.shape[1])
         cl, _ = _assign(q, cents)
         k, dim = cents.shape
         sums = np.zeros((k, dim), np.int64)
@@ -102,7 +107,7 @@ def make_assign_fn(cents_ref, keep_vec: bool = False
 
     def label(batch: pa.Table) -> pa.Table:
         cents = ray.get(cents_ref)
-        ids, q = batch_quantized(batch)
+        ids, q = batch_quantized(batch, dim=cents.shape[1])
         cl, d2 = _assign(q, cents)
         cols = [pa.array(ids, pa.int64()), pa.array(cl, pa.int64()),
                 pa.array(d2, pa.int64())]
@@ -110,9 +115,12 @@ def make_assign_fn(cents_ref, keep_vec: bool = False
         if keep_vec:
             # the COSINE-scale quantization rides along for semdedup's
             # in-cluster pass (no second read of the vector table)
-            vecs = np.array(batch["embedding"].to_pylist(),
-                            dtype=np.float64)
-            qcos = quantize(vecs, COS_SCALE)
+            if len(ids):
+                vecs = np.array(batch["embedding"].to_pylist(),
+                                dtype=np.float64)
+                qcos = quantize(vecs, COS_SCALE)
+            else:
+                qcos = np.zeros((0, cents.shape[1]), np.int64)
             cols.append(pa.array(qcos.tolist(), pa.list_(pa.int64())))
             names.append("qv")
         return pa.Table.from_arrays(cols, names=names)
