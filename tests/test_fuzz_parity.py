@@ -1,0 +1,124 @@
+"""Property-based oracle↔pipeline parity: hypothesis generates
+adversarial ASCII corpora (repeats, empties, whitespace runs, token
+collisions) and every sketch/stat must match its DuckDB twin exactly.
+
+Alphabet note: the twins tokenize with RE2 ``\\s+`` (ASCII whitespace)
+while python ``str.split()`` also splits on unicode whitespace
+(``\\u00a0`` etc.), so the generator sticks to ASCII — the shipped and
+synthetic corpora are ASCII, and the boundary is documented here.
+"""
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+from hypothesis import given, settings, strategies as st
+
+import __ray_entry__ as entry
+
+TOKEN = st.text(alphabet="abcXYZ019._-", min_size=1, max_size=5)
+DOC = st.lists(TOKEN, min_size=0, max_size=12).map(" ".join)
+# inject repetition + messy whitespace shapes
+MESSY_DOC = st.one_of(
+    DOC,
+    st.builds(lambda t, n: (" " + t) * n, TOKEN, st.integers(2, 6)),
+    st.builds(lambda d: d.replace(" ", "\t", 1) + "  ", DOC),
+    st.just(""), st.just("   "),
+)
+CORPUS = st.lists(MESSY_DOC, min_size=1, max_size=8)
+
+
+def _register(docs):
+    con = duckdb.connect()
+    con.register("documents", pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string())}))
+    return con
+
+
+def _canon(df):
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+@settings(max_examples=40, deadline=None)
+@given(CORPUS)
+def test_fuzz_repetition_parity(docs):
+    from uniparser_ray.stages.text import repetition_batch
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs, pa.string())})
+    py = _canon(repetition_batch(t).to_pandas())
+    sql = _canon(_register(docs).execute(entry._repetition_sql()).fetchdf())
+    assert py.equals(sql[py.columns].astype(py.dtypes.to_dict())), \
+        (docs, py, sql)
+
+
+@settings(max_examples=40, deadline=None)
+@given(CORPUS)
+def test_fuzz_signatures_parity(docs):
+    from uniparser_ray.stages.text import fingerprint_batch, simhash_batch
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs, pa.string())})
+    py = fingerprint_batch(t).to_pandas().merge(
+        simhash_batch(t).to_pandas(),
+        on="doc_id")[["doc_id", "fp_rolling", "simhash"]]
+    sql = _canon(_register(docs).execute(entry._signatures_sql()).fetchdf())
+    assert _canon(py).equals(sql[py.columns].astype(py.dtypes.to_dict())), \
+        (docs, py, sql)
+
+
+@settings(max_examples=25, deadline=None)
+@given(CORPUS)
+def test_fuzz_decontaminate_parity(docs):
+    import numpy as np
+
+    from uniparser_ray.stages.text import contamination_counts
+    from uniparser_ray.stages.tokenhash import shingle_hashes
+
+    bench = [t for i, t in enumerate(docs) if i % 41 == 0]
+    sh, _ = shingle_hashes(bench, 3)
+    block = np.unique(sh)
+    rest_ids = [i for i in range(len(docs)) if i % 41 != 0]
+    ns, nc = contamination_counts([docs[i] for i in rest_ids], block)
+    py = _canon(pd.DataFrame({
+        "doc_id": pd.array(rest_ids, dtype="int64"),
+        "n_shingles": ns, "n_contaminated": nc,
+        "contaminated": (nc > 0).astype("int64")}))
+    sql = _canon(_register(docs).execute(
+        entry._decontaminate_sql()).fetchdf())
+    assert py.equals(sql[py.columns].astype(py.dtypes.to_dict())), \
+        (docs, py, sql)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.lists(st.floats(-1, 1, allow_nan=False, width=32),
+                         min_size=3, max_size=3),
+                min_size=3, max_size=12))
+def test_fuzz_kmeans_parity(vecs):
+    """Random small embedding tables: the nested-CTE oracle equals the
+    integer reference for k=2, dim=3 (duplicates/ties included by the
+    shared float32 domain)."""
+    import numpy as np
+
+    from uniparser_ray.stages.kmeans import (QUANT_OFFSET, QUANT_SCALE,
+                                             _assign, quantize,
+                                             update_centroids)
+
+    arr = np.asarray(vecs, np.float32)
+    con = duckdb.connect()
+    con.register("embeddings", pa.table({
+        "vec_id": pa.array(range(len(arr)), pa.int64()),
+        "embedding": pa.array([r.tolist() for r in arr],
+                              pa.list_(pa.float32()))}))
+    sql = con.execute(entry._kmeans_sql(k=2, iters=2, dim=3)).fetchdf() \
+        .sort_values("vec_id").reset_index(drop=True)
+
+    q = quantize(arr.astype(np.float64), QUANT_SCALE, QUANT_OFFSET)
+    cents = q[:2].copy()
+    for _ in range(2):
+        cl, _d = _assign(q, cents)
+        sums = np.zeros((2, 3), np.int64)
+        np.add.at(sums, cl, q)
+        counts = np.bincount(cl, minlength=2).astype(np.int64)
+        cents = update_centroids(sums, counts, cents)
+    cl, d2 = _assign(q, cents)
+    assert sql["cluster"].astype("int64").tolist() == cl.tolist(), vecs
+    assert sql["dist2"].astype("int64").tolist() == d2.tolist(), vecs
