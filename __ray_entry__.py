@@ -317,6 +317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_features": images_q.audio_features_q,
         "video_frames": images_q.video_frames_q,
         "video_shot_boundaries": images_q.video_shot_boundaries,
+        "audio_vad_segments": images_q.audio_vad_segments,
         # the crawl itself
         "crawl_images": images_q.crawl_images,
         # link-graph analytics (BSP shard actors over parsed edges)
@@ -534,6 +535,10 @@ def _expected_table(kind: str, tag: str) -> pa.Table:
     if kind == "shots":
         from uniparser_ray.stages.multimodal import expected_shot_rows
         return expected_shot_rows(_VIDEO_BY_SF.get(tag, 60))
+    if kind == "vad":
+        from uniparser_ray.pipelines.images_q import _AUDIO_BY_SF as _A
+        from uniparser_ray.stages.multimodal import expected_vad_segments
+        return expected_vad_segments(_A.get(tag, 200))
     if kind == "crawl":
         return expected_crawl_images(tag)
     if kind == "sizes":
@@ -690,6 +695,12 @@ def _multimodal_oracle_thunks(tag: str) -> dict:
         "video_frames": lambda: f"""
             WITH {_values_cte('e', _expected_table('video', tag))}
             SELECT video_id, frame_index, frame_md5, t_seconds FROM e
+        """,
+        "audio_vad_segments": lambda: f"""
+            WITH {_values_cte('e', _expected_table('vad', tag))}
+            SELECT clip_id, seg_index, start_win, n_windows, active,
+                   energy_sum
+            FROM e
         """,
         "video_shot_boundaries": lambda: f"""
             WITH {_values_cte('e', _expected_table('shots', tag))}

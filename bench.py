@@ -177,6 +177,8 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
            lambda: consume(stats_p.events_watermark_late(sf_dir)))
     timed3("video_shot_boundaries",
            lambda: consume(images_p.video_shot_boundaries(sf_dir)))
+    timed3("audio_vad_segments",
+           lambda: consume(images_p.audio_vad_segments(sf_dir)))
     return {
         "metric": "crawl+operator suite wall time",
         "value": total,

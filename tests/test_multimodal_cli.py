@@ -279,3 +279,41 @@ def test_video_shot_stage_nonraw_stub_strict():
     # non-strict: deterministic fake frames still produce valid rows
     out = VideoShotStage(strict=False)(batch)
     assert out.num_rows == 2
+
+
+def test_audio_vad_segments(ray_session):
+    """Detected segments equal the generator plan per clip; active
+    windows dominate energy by construction; non-pcm16 strict raises."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from uniparser_ray.pipelines.images_q import audio_vad_segments
+    from uniparser_ray.stages.multimodal import (AudioVadStage,
+                                                 VAD_THRESHOLD, VAD_WINDOW,
+                                                 _synth_segmented_pcm)
+
+    out = audio_vad_segments("/root/testdata/sf0.001").to_pandas() \
+        .sort_values(["clip_id", "seg_index"])
+    for cid, g in out.groupby("clip_id"):
+        i = int(cid.split("-")[1])
+        _, plan = _synth_segmented_pcm(i)
+        assert list(zip(g["n_windows"], g["active"])) \
+            == [(n, a) for n, a in plan]
+        # segments tile the clip contiguously
+        assert g["start_win"].tolist() \
+            == np.concatenate([[0], g["n_windows"].cumsum()[:-1]]).tolist()
+        act = g[g["active"] == 1]
+        sil = g[g["active"] == 0]
+        if len(act) and len(sil):
+            assert act["energy_sum"].min() > VAD_THRESHOLD * \
+                act["n_windows"].min()
+            assert (sil["energy_sum"]
+                    <= VAD_THRESHOLD * sil["n_windows"]).all()
+
+    batch = pa.table({"clip_id": ["x"], "bytes": [b"\x00" * 640],
+                      "sample_rate": [8000], "n_samples": [320],
+                      "fmt": ["mp3"]})
+    with _pytest.raises(NotImplementedError):
+        AudioVadStage(strict=True)(batch)
+    assert AudioVadStage(strict=False)(batch).num_rows >= 1

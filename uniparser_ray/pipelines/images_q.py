@@ -663,3 +663,24 @@ def video_shot_boundaries(sf_dir: str, threshold: int = 5000):
     return rd.from_arrow(t).map_batches(
         cached_stage(VideoShotStage, threshold=threshold),
         batch_format="pyarrow", batch_size=16)
+
+
+def audio_vad_segments(sf_dir: str):
+    """VAD-style audio segmentation — the audio-curation step that
+    gates training clips on speech/activity content: integer window
+    energies + run-length segments over VAD-structured pcm16 clips
+    (stages/multimodal.AudioVadStage; real pcm16 decode, strict stubs
+    otherwise).  Oracle: segment structure derived from the
+    generator's plan, energies from the source arrays — the
+    independent path value-checking the byte decode."""
+    import ray.data as rd
+
+    from ..stages.multimodal import AudioVadStage, synth_vad_audio_table
+    from ..stages.taskcache import cached_stage
+
+    tag = _sf_tag(sf_dir)
+    n = _AUDIO_BY_SF.get(tag, 200)
+    t = synth_vad_audio_table(n)
+    return rd.from_arrow(t).map_batches(
+        cached_stage(AudioVadStage), batch_format="pyarrow",
+        batch_size=64)

@@ -399,3 +399,140 @@ def expected_shot_rows(n_videos: int, threshold: int = 5000,
                 "shot_id": int(shot[j]),
                 "is_keyframe": int(j == 0 or bound[j])})
     return pa.Table.from_pylist(rows)
+
+
+VAD_WINDOW = 160          # 20 ms @ 8 kHz
+VAD_THRESHOLD = 100_000   # per-window sum(|int16 sample|)
+
+
+def _synth_segmented_pcm(i: int, seed: int = 23) -> tuple:
+    """Deterministic VAD-STRUCTURED clip: alternating silence (tiny
+    ±40 dither, window energy <= 6,400) and tone (±(12k..16k) square,
+    window energy >= 1.9M) segments, each a whole number of 20 ms
+    windows so structural boundaries align with the analysis grid.
+    Returns (int16 samples, [(n_windows, active)] plan)."""
+    rng = np.random.default_rng(seed * 999_983 + i)
+    n_segs = 2 + (i % 4)
+    start_active = i % 2
+    plan = []
+    chunks = []
+    amp = 12_000 + 1_000 * (i % 5)
+    for s in range(n_segs):
+        n_win = 1 + int(rng.integers(0, 4))
+        active = (s + start_active) % 2
+        n = n_win * VAD_WINDOW
+        if active:
+            wave = np.full(n, amp, np.int32)
+            wave[1::2] = -amp
+        else:
+            wave = rng.integers(-40, 41, n).astype(np.int32)
+        plan.append((n_win, active))
+        chunks.append(wave)
+    return np.concatenate(chunks).astype("<i2"), plan
+
+
+def synth_vad_audio_table(n_clips: int, seed: int = 23,
+                          sample_rate: int = 8000) -> pa.Table:
+    """VAD-structured synthetic audio in the AUDIO_SCHEMA layout."""
+    ids, blobs, srs, ns, fmts = [], [], [], [], []
+    for i in range(n_clips):
+        pcm, _ = _synth_segmented_pcm(i, seed)
+        ids.append(f"vad-{i:08d}")
+        blobs.append(pcm.tobytes())
+        srs.append(sample_rate)
+        ns.append(len(pcm))
+        fmts.append("pcm16")
+    return pa.Table.from_arrays([
+        pa.array(ids, pa.string()), pa.array(blobs, pa.binary()),
+        pa.array(srs, pa.int32()), pa.array(ns, pa.int32()),
+        pa.array(fmts, pa.string())], schema=AUDIO_SCHEMA)
+
+
+def vad_segments_from_pcm(pcm: np.ndarray, threshold: int = VAD_THRESHOLD,
+                          window: int = VAD_WINDOW):
+    """Run-length (start_win, n_windows, active, energy_sum) segments
+    from an int16 sample array — integer energies (sum |sample| per
+    window), vectorized reshape + diff RLE; a trailing partial window
+    is dropped (the generator emits whole windows)."""
+    n_win = len(pcm) // window
+    if n_win == 0:
+        return np.zeros((0, 4), np.int64)
+    w = np.abs(pcm[:n_win * window].astype(np.int64)) \
+        .reshape(n_win, window).sum(axis=1)
+    active = (w > threshold).astype(np.int64)
+    cuts = np.flatnonzero(np.diff(active)) + 1
+    starts = np.concatenate([[0], cuts])
+    ends = np.concatenate([cuts, [n_win]])
+    return np.stack([
+        starts, ends - starts, active[starts],
+        np.add.reduceat(w, starts)], axis=1).astype(np.int64)
+
+
+class AudioVadStage(AudioFeatureStage):
+    """Energy-threshold voice-activity segmentation: decode (pcm16
+    real, other codecs exactly as AudioFeatureStage), one vectorized
+    window-energy + RLE pass per clip, one row per segment.  Integer
+    energies make every value exact, so the VALUES oracle (built
+    structurally from the generator's segment plan) hash-matches
+    through the byte decode."""
+
+    def __init__(self, threshold: int = VAD_THRESHOLD,
+                 window: int = VAD_WINDOW, strict: bool = False):
+        super().__init__(strict=strict)
+        self.threshold = threshold
+        self.window = window
+
+    def _decode_int16(self, row: dict) -> np.ndarray:
+        if row["fmt"] == "pcm16":
+            return np.frombuffer(row["bytes"], dtype="<i2",
+                                 count=row["n_samples"])
+        x = self._decode(row["bytes"], row["fmt"], row["n_samples"])
+        return np.clip(x * 32767.0, -32768, 32767).astype("<i2")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, segs, starts, lens, actives, energies = [], [], [], [], [], []
+        for row in batch.to_pylist():
+            rle = vad_segments_from_pcm(self._decode_int16(row),
+                                        self.threshold, self.window)
+            for k in range(rle.shape[0]):
+                ids.append(row["clip_id"])
+                segs.append(k)
+                starts.append(int(rle[k, 0]))
+                lens.append(int(rle[k, 1]))
+                actives.append(int(rle[k, 2]))
+                energies.append(int(rle[k, 3]))
+        return pa.Table.from_arrays([
+            pa.array(ids, pa.string()), pa.array(segs, pa.int64()),
+            pa.array(starts, pa.int64()), pa.array(lens, pa.int64()),
+            pa.array(actives, pa.int64()), pa.array(energies, pa.int64())],
+            names=["clip_id", "seg_index", "start_win", "n_windows",
+                   "active", "energy_sum"])
+
+
+def expected_vad_segments(n_clips: int, seed: int = 23) -> pa.Table:
+    """Oracle-side expected segments: active/boundary structure comes
+    from the generator's segment PLAN (independent of energy math);
+    energies are recomputed from the source arrays.  Plan-vs-detected
+    agreement is asserted at build time, so threshold drift fails
+    loudly."""
+    rows = []
+    for i in range(n_clips):
+        pcm, plan = _synth_segmented_pcm(i, seed)
+        rle = vad_segments_from_pcm(pcm)
+        # adjacent plan segments with equal activity merge in the RLE;
+        # rebuild the merged structural plan for comparison
+        merged = []
+        for n_win, active in plan:
+            if merged and merged[-1][1] == active:
+                merged[-1][0] += n_win
+            else:
+                merged.append([n_win, active])
+        assert [(int(r[1]), int(r[2])) for r in rle] \
+            == [(n, a) for n, a in merged], (i, plan, rle)
+        for k in range(rle.shape[0]):
+            rows.append({"clip_id": f"vad-{i:08d}", "seg_index": k,
+                         "start_win": int(rle[k, 0]),
+                         "n_windows": int(rle[k, 1]),
+                         "active": int(rle[k, 2]),
+                         "energy_sum": int(rle[k, 3])})
+    return pa.Table.from_pylist(rows)
