@@ -15,9 +15,9 @@ def _read(sf_dir: str, columns=None):
 def _queries(sf_dir: str, n: int = 5):
     import pyarrow.parquet as pq
     t = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                      columns=["vec_id", "embedding"])
-    df = t.to_pandas()
-    df = df[df["vec_id"] < n].sort_values("vec_id")
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "<", n)])  # row-group pushdown
+    df = t.to_pandas().sort_values("vec_id")
     return df["vec_id"].tolist(), np.array(df["embedding"].tolist(),
                                            dtype=np.float64)
 
