@@ -122,3 +122,69 @@ def test_fuzz_kmeans_parity(vecs):
     cl, d2 = _assign(q, cents)
     assert sql["cluster"].astype("int64").tolist() == cl.tolist(), vecs
     assert sql["dist2"].astype("int64").tolist() == d2.tolist(), vecs
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.text(
+    alphabet="abcZ09@+-._% ", min_size=0, max_size=40), min_size=1,
+    max_size=6))
+def test_fuzz_pii_redact_parity(docs):
+    """Random '@'/'+'/digit-heavy ASCII soup: pyarrow's RE2 pass must
+    equal DuckDB's regexp_replace(...,'g') on counts AND the full
+    redacted text (via md5) — including texts that already look like
+    emails/phones before augmentation."""
+    import numpy as np
+
+    from uniparser_ray.pipelines.documents import _pii_augment
+    from uniparser_ray.stages.text import pii_redact_batch
+
+    ids = list(range(len(docs)))
+    aug = _pii_augment(np.asarray(ids, np.int64), docs)
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(aug, pa.string())})
+    py = _canon(pii_redact_batch(t).to_pandas())
+    sql = _canon(_register(docs).execute(entry._pii_redact_sql()).fetchdf())
+    assert py.equals(sql[py.columns].astype(py.dtypes.to_dict())), \
+        (docs, py, sql)
+    assert (py["n_emails"] >= 1).all() and (py["n_phones"] >= 1).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.tuples(DOC, st.integers(-2**63, 2**63 - 1)),
+                min_size=1, max_size=8))
+def test_fuzz_caption_align_parity(rows):
+    """Random captions x random 64-bit phashes: the alignment stage
+    equals the shadowed-view SQL twin for every hamming/simhash/flag."""
+    from uniparser_ray.pipelines.images_q import CaptionAlignStage
+
+    caps = [c for c, _ in rows]
+    phs = [p for _, p in rows]
+    batch = pa.table({
+        "image_id": pa.array([f"i{k}" for k in range(len(rows))],
+                             pa.string()),
+        "caption": pa.array(caps, pa.string()),
+        "phash": pa.array(phs, pa.int64())})
+    py = CaptionAlignStage()(batch).to_pandas() \
+        .sort_values("image_id").reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.register("m", pa.table({"image_id": batch["image_id"],
+                                "caption": batch["caption"],
+                                "phash": batch["phash"]}))
+    from uniparser_ray.stages.tokenhash import SIMHASH_SEED
+    sql = con.execute(f"""
+        WITH documents AS (SELECT image_id AS doc_id, caption AS text
+                           FROM m),
+        {entry._TOK_CTES},
+        {entry._sh_cte()},
+        {entry._params_cte("sp", 64, SIMHASH_SEED)},
+        {entry._simhash_ctes()}
+        SELECT m.image_id,
+               COALESCE(s.simhash, 0) AS cap_simhash,
+               bit_count(xor(m.phash, COALESCE(s.simhash, 0))) AS hamming,
+               CAST(bit_count(xor(m.phash, COALESCE(s.simhash, 0)))
+                    <= {entry._ALIGN_MAX_HAMMING()} AS BIGINT) AS aligned
+        FROM m LEFT JOIN simh s ON s.doc_id = m.image_id
+    """).fetchdf().sort_values("image_id").reset_index(drop=True)
+    assert py.equals(sql[py.columns].astype(py.dtypes.to_dict())), \
+        (rows, py, sql)
