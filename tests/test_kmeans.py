@@ -147,3 +147,42 @@ def test_semdedup_pipeline_matches_brute():
         want += list(zip(t["vec_a"].to_pylist(), t["vec_b"].to_pylist(),
                          t["cluster"].to_pylist()))
     assert got == sorted(want) and len(got) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_semdedup_shuffle_path_equals_fast_path():
+    """The distributed hash-bucket shuffle path must produce the same
+    pair set as the adaptive driver fast path (which the small sf dirs
+    normally take)."""
+    import ray
+
+    from uniparser_ray.pipelines.vectors import (_kmeans_centroids, _read)
+    from uniparser_ray.stages.combine import hash_bucket_combine
+    from uniparser_ray.stages.kmeans import make_assign_fn, semdedup_group
+
+    sf = "/root/testdata/sf0.001"
+    cents = _kmeans_centroids(sf, 8, 2)
+    ref = ray.put(cents)
+
+    def labeled():
+        return _read(sf, ["vec_id", "embedding"]).map_batches(
+            make_assign_fn(ref, keep_vec=True), batch_format="pyarrow")
+
+    def pairs_in_bucket(df):
+        empty = pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
+                              "vec_b": pd.Series([], dtype="int64"),
+                              "cluster": pd.Series([], dtype="int64")})
+        outs = [semdedup_group(g.reset_index(drop=True)).to_pandas()
+                for _, g in df.groupby("cluster")]
+        return pd.concat([empty] + outs, ignore_index=True) \
+            if outs else empty
+
+    def run(limit):
+        out = hash_bucket_combine(labeled(), ["cluster"], pairs_in_bucket,
+                                  num_buckets=16,
+                                  driver_limit_rows=limit).to_pandas()
+        return sorted(map(tuple, out[["vec_a", "vec_b", "cluster"]]
+                          .values.tolist()))
+
+    fast, shuffle = run(200_000), run(None)
+    assert fast == shuffle and len(fast) > 0
