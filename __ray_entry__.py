@@ -286,6 +286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": documents.doc_fingerprint,
         "doc_signatures": documents.doc_signatures,
         "doc_repetition": documents.doc_repetition,
+        "doc_source_mix": documents.doc_source_mix,
         "doc_decontaminate": documents.doc_decontaminate,
         "doc_pii_redact": documents.doc_pii_redact,
         # dedup family
@@ -1251,6 +1252,18 @@ def oracle_sql(sf_tag: str = None) -> dict[str, str]:
         "doc_fingerprint":
             "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
         "doc_repetition": _repetition_sql(),
+        # training-mix weighting: exact integer keep rates
+        "doc_source_mix": f"""
+            WITH per AS (
+              SELECT source,
+                     CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(len({_SPLIT_SQL})) AS BIGINT) AS n_tokens
+              FROM documents GROUP BY 1)
+            SELECT source, n_docs, n_tokens,
+                   (10000 * (SELECT MIN(n_tokens) FROM per))
+                       // GREATEST(n_tokens, 1) AS keep_bp
+            FROM per
+        """,
         "doc_decontaminate": _decontaminate_sql(),
         "doc_pii_redact": _pii_redact_sql(),
         "embedding_kmeans": _kmeans_sql(),

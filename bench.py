@@ -179,6 +179,8 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
            lambda: consume(images_p.video_shot_boundaries(sf_dir)))
     timed3("audio_vad_segments",
            lambda: consume(images_p.audio_vad_segments(sf_dir)))
+    timed3("doc_source_mix",
+           lambda: consume(docs_p.doc_source_mix(sf_dir)))
     return {
         "metric": "crawl+operator suite wall time",
         "value": total,

@@ -461,3 +461,42 @@ def doc_pii_redact(sf_dir: str):
     return _read(sf_dir, ["doc_id", "text"]) \
         .map_batches(aug, batch_format="pyarrow") \
         .map_batches(pii_redact_batch, batch_format="pyarrow")
+
+
+def doc_source_mix(sf_dir: str):
+    """Training-mix weighting: per-source document/token counts and
+    the keep rate (basis points) a sampler would apply to equalize the
+    TOKEN contribution of every source (the data-mixing step of a
+    multi-source training corpus, e.g. Pile-style source balancing —
+    public recipe).
+
+    Scale shape: one vectorized counting pass collapses each batch to
+    (source, n_docs, n_tokens) partials; the grouped combine moves
+    O(sources x batches) rows; the driver computes S keep rates with
+    exact integer arithmetic ((10000 * min_tokens) // tokens — floor
+    division on non-negative ints, identical in numpy and DuckDB), so
+    a residue-test sampler downstream (doc_sample_hash's device) is
+    reproducible everywhere."""
+    from ..stages.combine import grouped_aggregate
+
+    ds = _read(sf_dir, ["source", "text"])
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        n_tok = df["text"].map(lambda t: len(t.split()))
+        g = df.assign(n_tokens=n_tok).groupby("source", sort=False) \
+            .agg(n_docs=("source", "size"), n_tokens=("n_tokens", "sum")) \
+            .reset_index()
+        return g
+
+    per = grouped_aggregate(
+        ds.map_batches(counts, batch_format="pandas"), ["source"],
+        {"n_docs": ("n_docs", "sum"), "n_tokens": ("n_tokens", "sum")}) \
+        .to_pandas()
+    per["n_docs"] = per["n_docs"].astype("int64")
+    per["n_tokens"] = per["n_tokens"].astype("int64")
+    mn = int(per["n_tokens"].min())
+    per["keep_bp"] = (10000 * mn) // per["n_tokens"].clip(lower=1)
+    per["keep_bp"] = per["keep_bp"].astype("int64")
+    return pa.Table.from_pandas(
+        per.sort_values("source").reset_index(drop=True),
+        preserve_index=False)
