@@ -318,6 +318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_features": images_q.audio_features_q,
         "video_frames": images_q.video_frames_q,
         "video_shot_boundaries": images_q.video_shot_boundaries,
+        "crawl_round_metrics": images_q.crawl_round_metrics,
         "audio_vad_segments": images_q.audio_vad_segments,
         # the crawl itself
         "crawl_images": images_q.crawl_images,
@@ -536,6 +537,10 @@ def _expected_table(kind: str, tag: str) -> pa.Table:
     if kind == "shots":
         from uniparser_ray.stages.multimodal import expected_shot_rows
         return expected_shot_rows(_VIDEO_BY_SF.get(tag, 60))
+    if kind == "crawlmetrics":
+        from uniparser_ray.pipelines.images_q import \
+            expected_crawl_round_metrics
+        return expected_crawl_round_metrics(tag)
     if kind == "vad":
         from uniparser_ray.pipelines.images_q import _AUDIO_BY_SF as _A
         from uniparser_ray.stages.multimodal import expected_vad_segments
@@ -708,6 +713,10 @@ def _multimodal_oracle_thunks(tag: str) -> dict:
             SELECT video_id, frame_index, sad, is_boundary, shot_id,
                    is_keyframe
             FROM e
+        """,
+        "crawl_round_metrics": lambda: f"""
+            WITH {_values_cte('e', _expected_table('crawlmetrics', tag))}
+            SELECT round, granted, pages_ok, images_written FROM e
         """,
         "crawl_images": lambda: f"""
             WITH {_values_cte('e', _expected_table('crawl', tag))}

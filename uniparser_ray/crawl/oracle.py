@@ -166,6 +166,7 @@ class BFSOracle:
                 # granted==0 implies admitted==0 (every non-empty host
                 # grants >=1), mirroring the loop's early break
                 break
+            imgs_before = len(images)
             fetched_urls = sorted(u for u, *_ in granted)
             next_candidates = []
             for url, parent, depth, prio, host, h in granted:
@@ -219,7 +220,11 @@ class BFSOracle:
             for url, parent, depth, prio, host, h in backlog:
                 next_candidates.append((url, parent, depth, prio, True))
             rounds.append({"round": r, "fetched": fetched_urls,
-                           "granted": len(granted), "backlog": len(backlog)})
+                           "granted": len(granted), "backlog": len(backlog),
+                           "pages_ok": sum(
+                               1 for u in fetched_urls
+                               if pages[u][0] == 200),
+                           "images": len(images) - imgs_before})
             candidates = next_candidates
         return {"rounds": rounds, "pages": pages, "images": images,
                 "seen": seen, "parents": parents, "rule_names": rule_names}

@@ -684,3 +684,55 @@ def audio_vad_segments(sf_dir: str):
     return rd.from_arrow(t).map_batches(
         cached_stage(AudioVadStage), batch_format="pyarrow",
         batch_size=64)
+
+
+def expected_crawl_round_metrics(tag: str) -> pa.Table:
+    """Per-round expected metrics from the single-process conformance
+    crawler — the independent path for the distributed loop's own
+    per-round accounting (the north rule's frontier/fetch/parse
+    metrics as a value-checked surface, not just a JSON side file)."""
+    from ..crawl.oracle import BFSOracle
+    from ..sources.synthweb import SynthWeb
+
+    web_cfg = _CRAWL_BY_SF.get(tag, _CRAWL_BY_SF["sf0.01"])
+    web = SynthWeb(**web_cfg)
+    oracle = BFSOracle(SynthWeb(**web_cfg), web.rule_pack(),
+                       per_host_budget=_CRAWL_BUDGET)
+    result = oracle.run(web.seed_urls(), max_rounds=_CRAWL_ROUNDS)
+    return pa.table({
+        "round": pa.array([r["round"] for r in result["rounds"]],
+                          pa.int64()),
+        "granted": pa.array([r["granted"] for r in result["rounds"]],
+                            pa.int64()),
+        "pages_ok": pa.array([r["pages_ok"] for r in result["rounds"]],
+                             pa.int64()),
+        "images_written": pa.array([r["images"] for r in result["rounds"]],
+                                   pa.int64())})
+
+
+def crawl_round_metrics(sf_dir: str):
+    """Run the distributed crawl and return its PER-ROUND metrics
+    (granted, 200-fetches, new image rows) as a table — lineage/metrics
+    as a first-class value-checked output.  The conformance oracle
+    replays the same rounds, so every count is checked, pinning not
+    just WHAT was crawled (crawl_images) but the round-by-round
+    schedule the frontier/politeness/seen machinery produced."""
+    from ..crawl.loop import CrawlConfig, run_crawl
+    from ..sources.synthweb import SynthWeb
+
+    tag = _sf_tag(sf_dir)
+    web_cfg = _CRAWL_BY_SF.get(tag, _CRAWL_BY_SF["sf0.01"])
+    web = SynthWeb(**web_cfg)
+    out = f"/tmp/uniparser_ray_cache/crawl_metrics_{tag}"
+    shutil.rmtree(out, ignore_errors=True)
+    cfg = CrawlConfig(web_config=web_cfg, out_dir=out, seeds=web.seed_urls(),
+                      max_rounds=_CRAWL_ROUNDS, per_host_budget=_CRAWL_BUDGET,
+                      fetch_concurrency=4, seen_shard_bits=3)
+    totals = run_crawl(cfg, web.rule_pack())
+    rows = totals["per_round"]
+    return pa.table({
+        "round": pa.array([m["round"] for m in rows], pa.int64()),
+        "granted": pa.array([m["granted"] for m in rows], pa.int64()),
+        "pages_ok": pa.array([m["pages_ok"] for m in rows], pa.int64()),
+        "images_written": pa.array([m["images_written"] for m in rows],
+                                   pa.int64())})
