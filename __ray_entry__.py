@@ -319,6 +319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frames": images_q.video_frames_q,
         "video_shot_boundaries": images_q.video_shot_boundaries,
         "crawl_round_metrics": images_q.crawl_round_metrics,
+        "crawl_image_lineage": images_q.crawl_image_lineage,
         "audio_vad_segments": images_q.audio_vad_segments,
         # the crawl itself
         "crawl_images": images_q.crawl_images,
@@ -541,6 +542,10 @@ def _expected_table(kind: str, tag: str) -> pa.Table:
         from uniparser_ray.pipelines.images_q import \
             expected_crawl_round_metrics
         return expected_crawl_round_metrics(tag)
+    if kind == "lineage":
+        from uniparser_ray.pipelines.images_q import \
+            expected_crawl_image_lineage
+        return expected_crawl_image_lineage(tag)
     if kind == "vad":
         from uniparser_ray.pipelines.images_q import _AUDIO_BY_SF as _A
         from uniparser_ray.stages.multimodal import expected_vad_segments
@@ -717,6 +722,10 @@ def _multimodal_oracle_thunks(tag: str) -> dict:
         "crawl_round_metrics": lambda: f"""
             WITH {_values_cte('e', _expected_table('crawlmetrics', tag))}
             SELECT round, granted, pages_ok, images_written FROM e
+        """,
+        "crawl_image_lineage": lambda: f"""
+            WITH {_values_cte('e', _expected_table('lineage', tag))}
+            SELECT image_id, round FROM e
         """,
         "crawl_images": lambda: f"""
             WITH {_values_cte('e', _expected_table('crawl', tag))}

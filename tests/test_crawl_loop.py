@@ -95,6 +95,23 @@ def test_crawl_matches_oracle(ray_crawl, oracle_result):
         assert row["w"] > 0 and row["h"] > 0
 
 
+def test_crawl_image_lineage_matches_oracle(ray_crawl, oracle_result):
+    """Per-image provenance is a property of the Lance LAYOUT (round=N
+    partition dirs in the committed manifest), and it must equal the
+    conformance crawler's first-seen round for every image."""
+    out, _ = ray_crawl
+    store = LanceLayoutTable(str(out / "images_lance"))
+    got = {}
+    for frag in store.manifest()["fragments"]:
+        rnd = int(frag["file"].split("round=")[1].split("/")[0])
+        t = pq.read_table(store.data_dir / frag["file"],
+                          columns=["image_id"])
+        for iid in t["image_id"].to_pylist():
+            assert iid not in got  # one fragment owns each image
+            got[iid] = rnd
+    assert got == oracle_result["image_round"]
+
+
 def test_result_tree_assembly_matches_oracle(ray_crawl, oracle_result):
     """Distributed groupby(parent) __result__ reassembly over the flat
     page rows reproduces the reference-shaped nested trees the

@@ -135,6 +135,7 @@ class BFSOracle:
         rounds = []          # [{fetched urls (sorted), ...}]
         pages = {}           # url -> (status, result_json-able body)
         images = {}          # image_id -> (bytes, caption)
+        image_round = {}     # image_id -> round first seen (lineage)
         parents = {}         # url -> fetching parent url ("" for seeds)
         rule_names = {}      # url -> crawler rule name
         candidates = [(u, "", 0, 0.0, False) for u in seeds]
@@ -213,6 +214,7 @@ class BFSOracle:
                         from ..rulevm.parsers import md5 as _md5
                         image_id = f"img-{_md5(img_url, 16)}"
                     images[image_id] = (blob, img.get("caption") or "")
+                    image_round[image_id] = r
                 for link in body.get(EngineConfig.__request__) or []:
                     if isinstance(link, str):
                         next_candidates.append(
@@ -227,6 +229,7 @@ class BFSOracle:
                            "images": len(images) - imgs_before})
             candidates = next_candidates
         return {"rounds": rounds, "pages": pages, "images": images,
+                "image_round": image_round,
                 "seen": seen, "parents": parents, "rule_names": rule_names}
 
 

@@ -210,17 +210,19 @@ def _image_row_from_blob(image_id: str, blob: bytes, caption: str) -> dict:
             "bytes_md5": hashlib.md5(blob).hexdigest()}
 
 
-def crawl_images(sf_dir: str):
-    """The flagship: full distributed crawl over the sf-scaled
-    synthetic web; returns the input_hint-shaped image+caption table
-    (bytes as md5 hex — pixel equality is pytest-pinned).  Oracle:
-    the single-process conformance crawler (crawl/oracle.BFSOracle, an
-    independent implementation of the same crawl semantics) produces
-    the expected rows."""
+_CRAWL_RUNS: dict = {}
+
+
+def _ensure_crawl(tag: str):
+    """One distributed crawl per (process, tag), shared by every
+    crawl-backed query (images / round metrics / lineage): rerunning
+    the identical deterministic crawl three times would triple the
+    harness cost for no extra coverage.  Returns (out_dir, totals)."""
+    if tag in _CRAWL_RUNS:
+        return _CRAWL_RUNS[tag]
     from ..crawl.loop import CrawlConfig, run_crawl
     from ..sources.synthweb import SynthWeb
 
-    tag = _sf_tag(sf_dir)
     web_cfg = _CRAWL_BY_SF.get(tag, _CRAWL_BY_SF["sf0.01"])
     web = SynthWeb(**web_cfg)
     out = f"/tmp/uniparser_ray_cache/crawl_{tag}"
@@ -228,7 +230,20 @@ def crawl_images(sf_dir: str):
     cfg = CrawlConfig(web_config=web_cfg, out_dir=out, seeds=web.seed_urls(),
                       max_rounds=_CRAWL_ROUNDS, per_host_budget=_CRAWL_BUDGET,
                       fetch_concurrency=4, seen_shard_bits=3)
-    run_crawl(cfg, web.rule_pack())
+    totals = run_crawl(cfg, web.rule_pack())
+    _CRAWL_RUNS[tag] = (out, totals)
+    return _CRAWL_RUNS[tag]
+
+
+def crawl_images(sf_dir: str):
+    """The flagship: full distributed crawl over the sf-scaled
+    synthetic web; returns the input_hint-shaped image+caption table
+    (bytes as md5 hex — pixel equality is pytest-pinned).  Oracle:
+    the single-process conformance crawler (crawl/oracle.BFSOracle, an
+    independent implementation of the same crawl semantics) produces
+    the expected rows."""
+    tag = _sf_tag(sf_dir)
+    out, _totals = _ensure_crawl(tag)
     table = LanceLayoutTable(f"{out}/images_lance")
     # md5 the payloads WHERE THEY LIVE: a map_batches over the Lance
     # fragments hashes each block's bytes in parallel; the driver only
@@ -320,17 +335,42 @@ def expected_images_meta(tag: str) -> pa.Table:
     return _images_meta_table(tag)
 
 
+_ORACLE_RUNS: dict = {}
+
+
+def _oracle_result(tag: str) -> dict:
+    """One conformance-crawler replay per (process, tag), shared by
+    every expected_crawl_* helper (images / round metrics / lineage):
+    the BFS replay is deterministic, so rerunning it per oracle query
+    only multiplies harness cost."""
+    if tag not in _ORACLE_RUNS:
+        from ..crawl.oracle import BFSOracle
+        from ..sources.synthweb import SynthWeb
+        web_cfg = _CRAWL_BY_SF.get(tag, _CRAWL_BY_SF["sf0.01"])
+        web = SynthWeb(**web_cfg)
+        oracle = BFSOracle(SynthWeb(**web_cfg), web.rule_pack(),
+                           per_host_budget=_CRAWL_BUDGET)
+        _ORACLE_RUNS[tag] = oracle.run(web.seed_urls(),
+                                       max_rounds=_CRAWL_ROUNDS)
+    return _ORACLE_RUNS[tag]
+
+
 def expected_crawl_images(tag: str) -> pa.Table:
-    from ..crawl.oracle import BFSOracle
-    from ..sources.synthweb import SynthWeb
-    web_cfg = _CRAWL_BY_SF.get(tag, _CRAWL_BY_SF["sf0.01"])
-    web = SynthWeb(**web_cfg)
-    oracle = BFSOracle(SynthWeb(**web_cfg), web.rule_pack(),
-                       per_host_budget=_CRAWL_BUDGET)
-    result = oracle.run(web.seed_urls(), max_rounds=_CRAWL_ROUNDS)
+    result = _oracle_result(tag)
     rows = [_image_row_from_blob(iid, blob, cap)
             for iid, (blob, cap) in sorted(result["images"].items())]
     return pa.Table.from_pylist(rows)
+
+
+def expected_crawl_image_lineage(tag: str) -> pa.Table:
+    """Expected (image_id, round) lineage: the conformance crawler's
+    first-seen round per image — the independent path for the Lance
+    manifest's round=N partition provenance."""
+    result = _oracle_result(tag)
+    items = sorted(result["image_round"].items())
+    return pa.table({
+        "image_id": pa.array([i for i, _ in items], pa.string()),
+        "round": pa.array([r for _, r in items], pa.int64())})
 
 
 def images_dedup_clusters(sf_dir: str, max_hamming: int = 8):
@@ -691,14 +731,7 @@ def expected_crawl_round_metrics(tag: str) -> pa.Table:
     crawler — the independent path for the distributed loop's own
     per-round accounting (the north rule's frontier/fetch/parse
     metrics as a value-checked surface, not just a JSON side file)."""
-    from ..crawl.oracle import BFSOracle
-    from ..sources.synthweb import SynthWeb
-
-    web_cfg = _CRAWL_BY_SF.get(tag, _CRAWL_BY_SF["sf0.01"])
-    web = SynthWeb(**web_cfg)
-    oracle = BFSOracle(SynthWeb(**web_cfg), web.rule_pack(),
-                       per_host_budget=_CRAWL_BUDGET)
-    result = oracle.run(web.seed_urls(), max_rounds=_CRAWL_ROUNDS)
+    result = _oracle_result(tag)
     return pa.table({
         "round": pa.array([r["round"] for r in result["rounds"]],
                           pa.int64()),
@@ -717,18 +750,8 @@ def crawl_round_metrics(sf_dir: str):
     replays the same rounds, so every count is checked, pinning not
     just WHAT was crawled (crawl_images) but the round-by-round
     schedule the frontier/politeness/seen machinery produced."""
-    from ..crawl.loop import CrawlConfig, run_crawl
-    from ..sources.synthweb import SynthWeb
-
     tag = _sf_tag(sf_dir)
-    web_cfg = _CRAWL_BY_SF.get(tag, _CRAWL_BY_SF["sf0.01"])
-    web = SynthWeb(**web_cfg)
-    out = f"/tmp/uniparser_ray_cache/crawl_metrics_{tag}"
-    shutil.rmtree(out, ignore_errors=True)
-    cfg = CrawlConfig(web_config=web_cfg, out_dir=out, seeds=web.seed_urls(),
-                      max_rounds=_CRAWL_ROUNDS, per_host_budget=_CRAWL_BUDGET,
-                      fetch_concurrency=4, seen_shard_bits=3)
-    totals = run_crawl(cfg, web.rule_pack())
+    _out, totals = _ensure_crawl(tag)
     rows = totals["per_round"]
     return pa.table({
         "round": pa.array([m["round"] for m in rows], pa.int64()),
@@ -736,3 +759,37 @@ def crawl_round_metrics(sf_dir: str):
         "pages_ok": pa.array([m["pages_ok"] for m in rows], pa.int64()),
         "images_written": pa.array([m["images_written"] for m in rows],
                                    pa.int64())})
+
+
+def crawl_image_lineage(sf_dir: str):
+    """Per-row LINEAGE from the versioned Lance manifest: which crawl
+    round produced each image row (fragments are committed under
+    round=N partition dirs, so provenance is a property of the layout,
+    not a side file).  The fragment list fans out as a Dataset and
+    each task reads ONLY its fragment's image_id column — bytes never
+    move.  Oracle: the conformance crawler's first-seen round per
+    image."""
+    import ray.data as rd
+
+    tag = _sf_tag(sf_dir)
+    out, _totals = _ensure_crawl(tag)
+    table = LanceLayoutTable(f"{out}/images_lance")
+    frags = table.manifest()["fragments"]
+    rows = [{"path": str(table.data_dir / f["file"]),
+             "round": int(f["file"].split("round=")[1].split("/")[0])}
+            for f in frags]
+
+    def read_ids(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+        ids, rnds = [], []
+        for row in batch.to_pylist():
+            t = pq.read_table(row["path"], columns=["image_id"])
+            ids += t["image_id"].to_pylist()
+            rnds += [row["round"]] * t.num_rows
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.string()), pa.array(rnds, pa.int64())],
+            names=["image_id", "round"])
+
+    return rd.from_items(rows).map_batches(read_ids,
+                                           batch_format="pyarrow",
+                                           batch_size=4)
