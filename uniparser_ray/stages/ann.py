@@ -30,6 +30,29 @@ def _unit(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
+# local top-k emits k rows per query PER BLOCK, so the global merge
+# input is bounded at |queries|·k·B; below this it merges on the
+# driver (no shuffle), above it falls into the bucketed combine
+_TOPK_MERGE_DRIVER_LIMIT = 200_000
+
+
+def _global_topk_merge(k: int):
+    """Per-query merge of the per-block partial top-ks.  Runs under
+    hash_bucket_combine (all rows of a query_id co-located), NOT a
+    sort-based groupby: when key cardinality is far below the block
+    count the sort shuffle emits schema-less empty partitions."""
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["query_id", "cosine_sim", "vec_id"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        df = df.groupby("query_id", sort=False).head(k).copy()
+        df["rank"] = (df.groupby("query_id", sort=False).cumcount()
+                      + 1).astype(np.int64)
+        df["cosine_sim"] = df["cosine_sim"].round(6)
+        return df
+    return merge
+
+
 class BruteTopKStage:
     """Per-batch exact cosine top-k against the broadcast query matrix."""
 
@@ -74,15 +97,9 @@ def brute_topk(ds, query_ids, query_matrix: np.ndarray, k: int = 10,
         cached_stage(BruteTopKStage, queries_ref=queries_ref, k=k),
         batch_format="pyarrow")
 
-    def global_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cosine_sim", "vec_id"],
-                          ascending=[False, True], kind="mergesort").head(k)
-        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
-        g["cosine_sim"] = g["cosine_sim"].round(6)
-        return g
-
-    return local.groupby("query_id").map_groups(global_topk,
-                                                batch_format="pandas")
+    from .combine import hash_bucket_combine
+    return hash_bucket_combine(local, ["query_id"], _global_topk_merge(k),
+                               driver_limit_rows=_TOPK_MERGE_DRIVER_LIMIT)
 
 
 # ---------------------------------------------------------------------------
@@ -309,16 +326,10 @@ class IVFIndex:
             cached_stage(IVFSearchStage, state_ref=ref, k=k),
             batch_format="pyarrow")
 
-        def global_topk(g: pd.DataFrame) -> pd.DataFrame:
-            g = g.sort_values(["cosine_sim", "vec_id"],
-                              ascending=[False, True],
-                              kind="mergesort").head(k)
-            g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
-            g["cosine_sim"] = g["cosine_sim"].round(6)
-            return g
-
-        return local.groupby("query_id").map_groups(global_topk,
-                                                    batch_format="pandas")
+        from .combine import hash_bucket_combine
+        return hash_bucket_combine(local, ["query_id"],
+                                   _global_topk_merge(k),
+                                   driver_limit_rows=_TOPK_MERGE_DRIVER_LIMIT)
 
 
 def ivf_topk(ds, query_ids, query_matrix: np.ndarray, k: int = 10,
