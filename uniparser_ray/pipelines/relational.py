@@ -29,15 +29,27 @@ def _read(sf_dir: str, table: str, columns=None):
     return read_parquet_clean(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
-def partial_groupby(ds, keys, agg_spec, batch_size: int = 65536):
+def partial_groupby(ds, keys, agg_spec, batch_size: int = 65536,
+                    driver_limit_rows: int = None):
     """Two-phase aggregate: per-batch pandas groupby -> hash-bucketed
     vectorized combine (see stages.combine for why not
     ``Dataset.groupby().aggregate()``).
 
     agg_spec: {out_col: (in_col, 'sum'|'count')} — count uses any col.
+    ``driver_limit_rows``: opt into the adaptive no-shuffle combine —
+    pass ONLY for provably low-cardinality keys (partials are bounded
+    by blocks x keys, so the count check stays cheap at any data size).
     """
     from ..stages.combine import grouped_aggregate
-    return grouped_aggregate(ds, keys, agg_spec, batch_size=batch_size)
+    return grouped_aggregate(ds, keys, agg_spec, batch_size=batch_size,
+                             driver_limit_rows=driver_limit_rows)
+
+
+# partials for a K-key aggregate are <= input_blocks * K rows; with K
+# of order 10-100 this limit is never hit by data growth alone, only
+# by block-count growth — and 200k partial rows is still a one-task
+# combine
+_LOWCARD_COMBINE_LIMIT = 200_000
 
 
 # ---------------------------------------------------------------------------
@@ -64,7 +76,8 @@ def q1_pricing_summary(sf_dir: str):
          "sum_base_price": ("l_extendedprice", "sum"),
          "sum_disc_price": ("disc_price", "sum"),
          "sum_charge": ("charge", "sum"),
-         "count_order": ("l_quantity", "count")})
+         "count_order": ("l_quantity", "count")},
+        driver_limit_rows=_LOWCARD_COMBINE_LIMIT)  # 6 flag/status combos
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         for c in ("sum_qty", "sum_base_price", "sum_disc_price", "sum_charge"):
@@ -178,7 +191,8 @@ def nation_revenue(sf_dir: str):
 
     out = partial_groupby(li.map_batches(probe, batch_format="pandas"),
                           ["n_name"], {"revenue": ("revenue", "sum"),
-                                       "n_items": ("revenue", "count")})
+                                       "n_items": ("revenue", "count")},
+                          driver_limit_rows=_LOWCARD_COMBINE_LIMIT)  # 25 nations
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         df["revenue"] = df["revenue"].round(2)
@@ -423,7 +437,8 @@ def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA",
         })
 
     agg = partial_groupby(joined.map_batches(probe, batch_format="pandas"),
-                          ["n_name"], {"revenue": ("rev", "sum")})
+                          ["n_name"], {"revenue": ("rev", "sum")},
+                          driver_limit_rows=_LOWCARD_COMBINE_LIMIT)  # 25 nations
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         df["revenue"] = df["revenue"].round(2)
@@ -494,7 +509,8 @@ def part_price_bands(sf_dir: str):
     out = partial_groupby(ds.map_batches(band, batch_format="pandas"),
                           ["band_lo"],
                           {"n_parts": ("p_retailprice", "count"),
-                           "sum_price": ("p_retailprice", "sum")})
+                           "sum_price": ("p_retailprice", "sum")},
+                          driver_limit_rows=_LOWCARD_COMBINE_LIMIT)  # |edges| bands
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         df["n_parts"] = df["n_parts"].astype("int64")
@@ -572,7 +588,8 @@ def orders_rollup(sf_dir: str):
               ["o_orderstatus", "o_orderpriority", "o_totalprice"]),
         ["o_orderstatus", "o_orderpriority"],
         {"n_orders": ("o_totalprice", "count"),
-         "revenue": ("o_totalprice", "sum")}).to_pandas()
+         "revenue": ("o_totalprice", "sum")},
+        driver_limit_rows=_LOWCARD_COMBINE_LIMIT).to_pandas()  # 3x5 cells
 
     mid = fine.groupby("o_orderstatus", as_index=False) \
         .agg(n_orders=("n_orders", "sum"), revenue=("revenue", "sum"))
@@ -651,7 +668,8 @@ def segment_order_stats(sf_dir: str):
                               right_cols=["c_custkey", "c_mktsegment"])
     out = partial_groupby(joined, ["c_mktsegment"],
                           {"total_price": ("o_totalprice", "sum"),
-                           "n_orders": ("o_totalprice", "count")})
+                           "n_orders": ("o_totalprice", "count")},
+                          driver_limit_rows=_LOWCARD_COMBINE_LIMIT)  # 5 segments
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         df["total_price"] = df["total_price"].round(2)

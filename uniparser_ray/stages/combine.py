@@ -92,11 +92,19 @@ def hash_bucket_combine(ds, keys: Sequence[str],
 
 
 def grouped_aggregate(ds, keys: Sequence[str], agg_spec: Dict[str, tuple],
-                      batch_size: int = 65536, num_buckets: int = 64):
+                      batch_size: int = 65536, num_buckets: int = 64,
+                      driver_limit_rows: int = None):
     """Two-phase grouped aggregate with vectorized combine.
 
     agg_spec: {out_col: (in_col, 'sum'|'count'|'min'|'max')}.
     count combines as sum-of-partial-counts.
+
+    ``driver_limit_rows`` (see ``hash_bucket_combine``) opts the final
+    combine into the adaptive no-shuffle fast path.  Pass it when the
+    key cardinality is provably small (the partials are bounded by
+    blocks x keys): low-cardinality aggregates otherwise pay a 64-way
+    all-to-all for kilobytes AND Ray's sort shuffle emits schema-less
+    empty partitions when keys << partition count.
     """
     keys = list(keys)
 
@@ -125,7 +133,8 @@ def grouped_aggregate(ds, keys: Sequence[str], agg_spec: Dict[str, tuple],
 
     partials = ds.map_batches(partial, batch_format="pandas",
                               batch_size=batch_size)
-    return hash_bucket_combine(partials, keys, combine, num_buckets)
+    return hash_bucket_combine(partials, keys, combine, num_buckets,
+                               driver_limit_rows=driver_limit_rows)
 
 
 def hash_bucket_join(left, right, left_on: str, right_on: str,
@@ -272,15 +281,20 @@ def hash_bucket_join(left, right, left_on: str, right_on: str,
         else:
             out = l.merge(r, on="_jkey", how=how).drop(columns=["_jkey"])
         out = out[allcols]
-        if not len(out):
-            # an empty PANDAS block with object/string columns trips
-            # Ray's sampled size estimator ("Error calculating size
-            # for column ..."); emit Arrow with the bucket's own field
-            # types instead (null-typed fields unify upward later)
-            return pa_.Table.from_arrays(
-                [pa_.array([], bucket.schema.field(c).type)
-                 for c in allcols], names=allcols)
-        return out
+        # Arrow out for EVERY bucket, typed from the bucket's own
+        # schema: a mixed pandas(non-empty)/arrow(empty) output stream
+        # can never agree on a block schema (PandasBlockSchema !=
+        # arrow schema), so each empty bucket used to fire Ray's
+        # "different schema" warning; and an empty PANDAS block with
+        # object columns additionally trips the sampled size estimator
+        arrays = []
+        for c in allcols:
+            typ = bucket.schema.field(c).type
+            if len(out):
+                arrays.append(pa_.Array.from_pandas(out[c], type=typ))
+            else:
+                arrays.append(pa_.array([], typ))
+        return pa_.Table.from_arrays(arrays, names=allcols)
 
     if small:
         # one partition = one "bucket" holding every key: merge once,
