@@ -281,6 +281,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample_hash": documents.doc_sample_hash,
         "doc_tfidf_topk": documents.doc_tfidf_topk,
         "doc_shard_assign": documents.doc_shard_assign,
+        "doc_seq_pack": documents.doc_seq_pack,
+        "doc_bpe_pairs": documents.doc_bpe_pairs,
+        "doc_dup_ngrams": documents.doc_dup_ngrams,
         "doc_quality": documents.doc_quality,
         "doc_langid": documents.doc_langid,
         "doc_fingerprint": documents.doc_fingerprint,
@@ -1234,6 +1237,66 @@ def oracle_sql(sf_tag: str = None) -> dict[str, str]:
                             AND 1 PRECEDING), 0) // 50000
                         AS BIGINT) AS shard
             FROM documents
+        """,
+        "doc_seq_pack": f"""
+            WITH toks AS (
+              SELECT doc_id, len({_SPLIT_SQL}) AS n_tokens
+              FROM documents),
+            cum AS (
+              SELECT doc_id, n_tokens,
+                     COALESCE(SUM(n_tokens) OVER (
+                         ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS cb
+              FROM toks)
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(cb // 512 AS BIGINT) AS seq_first,
+                   CAST(cb % 512 AS BIGINT) AS off_first,
+                   CAST(CASE WHEN n_tokens > 0
+                        THEN (cb + n_tokens - 1) // 512
+                        ELSE cb // 512 END AS BIGINT) AS seq_last,
+                   CAST(CASE WHEN n_tokens > 0
+                        THEN (cb + n_tokens - 1) // 512 - cb // 512 + 1
+                        ELSE 0 END AS BIGINT) AS n_seqs
+            FROM cum
+        """,
+        "doc_bpe_pairs": f"""
+            WITH {_TOK_CTES},
+            pairs AS (
+              SELECT ((h[i] * {_HB} + h[i + 1]) % {_P}) AS pair_hash,
+                     t[i] || ' ' || t[i + 1] AS ps
+              FROM (SELECT ids.doc_id, toks.t, ids.h, ids.n
+                    FROM ids JOIN toks USING (doc_id)) j,
+                   unnest(generate_series(1, n - 1)) AS u(i)
+              WHERE n >= 2),
+            agg AS (
+              SELECT pair_hash, MIN(ps) AS pair,
+                     COUNT(*) AS n_occurrences
+              FROM pairs GROUP BY 1)
+            SELECT CAST(ROW_NUMBER() OVER (
+                       ORDER BY n_occurrences DESC, pair_hash)
+                     AS BIGINT) AS rank,
+                   pair,
+                   CAST(pair_hash AS BIGINT) AS pair_hash,
+                   CAST(n_occurrences AS BIGINT) AS n_occurrences
+            FROM agg
+            ORDER BY n_occurrences DESC, pair_hash LIMIT 20
+        """,
+        "doc_dup_ngrams": f"""
+            WITH {_TOK_CTES},
+            {_roll_ctes()},
+            tot AS (SELECT wh, COUNT(*) AS c FROM roll GROUP BY 1),
+            per AS (
+              SELECT doc_id, COUNT(*) AS nw,
+                     SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS nd
+              FROM roll JOIN tot USING (wh) GROUP BY 1)
+            SELECT d.doc_id,
+                   CAST(COALESCE(p.nw, 0) AS BIGINT) AS n_windows,
+                   CAST(COALESCE(p.nd, 0) AS BIGINT) AS n_dup_windows,
+                   CAST(CASE WHEN COALESCE(p.nw, 0) = 0 THEN 0
+                        ELSE (10000 * p.nd) // p.nw END
+                     AS BIGINT) AS dup_bp
+            FROM documents d LEFT JOIN per p USING (doc_id)
         """,
         "doc_token_stats": r"""
             SELECT doc_id,

@@ -574,3 +574,93 @@ def test_events_watermark_late_semantics(ray_session):
     assert set(out32["late"].unique()) == {0, 1}
     first = eid[order][0]
     assert got[first][0] == 0
+
+
+def test_doc_seq_pack_prefix_sum(ray_session):
+    """Sequence packing equals the single-process token cumsum: every
+    doc's (seq_first, off_first, seq_last, n_seqs) placement matches,
+    and consecutive docs tile the packed token stream exactly."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from uniparser_ray.pipelines.documents import doc_seq_pack
+    L = 128
+    got = doc_seq_pack("/root/testdata/sf0.001", seq_len=L,
+                       num_ranges=5).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    n = docs["text"].map(lambda t: len(t.split())).to_numpy(np.int64)
+    cb = np.concatenate([[0], np.cumsum(n)[:-1]])
+    assert (got["n_tokens"].to_numpy() == n).all()
+    assert (got["seq_first"].to_numpy() == cb // L).all()
+    assert (got["off_first"].to_numpy() == cb % L).all()
+    pos = n > 0
+    assert (got["seq_last"].to_numpy()[pos]
+            == (cb[pos] + n[pos] - 1) // L).all()
+    assert (got["n_seqs"].to_numpy()[~pos] == 0).all()
+    # tiling: doc i+1 starts exactly where doc i ended
+    nxt = cb + n
+    assert (nxt[:-1] == cb[1:]).all()
+
+
+def test_doc_bpe_pairs_against_python(ray_session):
+    """Top-k adjacent-pair counts equal a single-process Counter."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from uniparser_ray.pipelines.documents import doc_bpe_pairs
+    from uniparser_ray.stages.tokenhash import HB, P31, token_id
+
+    got = doc_bpe_pairs("/root/testdata/sf0.001", k=15).to_pandas()
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                         columns=["text"]).to_pandas()
+    cnt = Counter()
+    best_str = {}
+    for t in docs["text"]:
+        ws = t.split()
+        for a, b in zip(ws, ws[1:]):
+            ph = (token_id(a) * int(HB) + token_id(b)) % int(P31)
+            cnt[ph] += 1
+            s = a + " " + b
+            if ph not in best_str or s < best_str[ph]:
+                best_str[ph] = s
+    exp = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    assert list(got["pair_hash"]) == [ph for ph, _ in exp]
+    assert list(got["n_occurrences"]) == [c for _, c in exp]
+    assert list(got["pair"]) == [best_str[ph] for ph, _ in exp]
+    assert list(got["rank"]) == list(range(1, len(exp) + 1))
+
+
+def test_doc_dup_ngrams_against_python(ray_session):
+    """Duplicated-window fractions equal a single-process recompute
+    with the same tokenhash windows."""
+    from collections import Counter
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from uniparser_ray.pipelines.documents import doc_dup_ngrams
+    from uniparser_ray.stages.tokenhash import (batch_token_ids,
+                                                window_hashes)
+
+    got = doc_dup_ngrams("/root/testdata/sf0.001", width=8).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    flat, offs = batch_token_ids(docs["text"].tolist())
+    wh, counts = window_hashes(flat, offs, 8)
+    glob = Counter(wh.tolist())
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    for i, doc_id in enumerate(docs["doc_id"]):
+        mine = wh[starts[i]:starts[i + 1]].tolist()
+        nd = sum(1 for h in mine if glob[h] >= 2)
+        row = got.iloc[i]
+        assert row["doc_id"] == doc_id
+        assert row["n_windows"] == len(mine)
+        assert row["n_dup_windows"] == nd
+        expected_bp = (10000 * nd) // len(mine) if mine else 0
+        assert row["dup_bp"] == expected_bp

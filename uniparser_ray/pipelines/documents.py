@@ -500,3 +500,220 @@ def doc_source_mix(sf_dir: str):
     return pa.Table.from_pandas(
         per.sort_values("source").reset_index(drop=True),
         preserve_index=False)
+
+
+def doc_seq_pack(sf_dir: str, seq_len: int = 512, num_ranges: int = 32):
+    """Pretraining sequence packing: documents concatenated in doc_id
+    order (separator-free for the oracle's sake) and sliced into fixed
+    ``seq_len``-token training sequences; every document learns its
+    placement — first sequence id, offset inside it, last sequence id,
+    sequences spanned — the metadata a sequence-builder needs to emit
+    packed token blocks shard-parallel.
+
+    Same two-pass ordered-prefix-sum primitive as ``doc_shard_assign``
+    (range-partition doc_id -> per-range token totals -> driver folds
+    num_ranges offsets -> in-range exclusive cumsum), over TOKEN
+    counts: no global sort, nothing driver-side but num_ranges ints,
+    integer arithmetic end-to-end (bit-exact vs the window-SUM SQL
+    oracle)."""
+    import pyarrow.compute as pc  # noqa: F401  (parity with shard_assign)
+
+    ds = _read(sf_dir, ["doc_id", "text"])
+
+    def tok_count(t: pa.Table) -> pa.Table:
+        n = [len(x.split()) for x in t["text"].to_pylist()]
+        return pa.Table.from_arrays(
+            [t["doc_id"], pa.array(n, pa.int64())],
+            names=["doc_id", "n_tokens"])
+
+    counted = ds.map_batches(tok_count, batch_format="pyarrow")
+
+    stats = counted.aggregate(*_min_max_aggs("doc_id"))
+    lo, hi = stats["min(doc_id)"], stats["max(doc_id)"]
+    bounds = np.linspace(lo, hi + 1, num_ranges + 1)[1:-1]
+
+    def with_range(t: pa.Table) -> pa.Table:
+        r = np.searchsorted(bounds, t["doc_id"].to_numpy(), side="right")
+        return t.append_column("_range", pa.array(r, pa.int64()))
+
+    ranged = counted.map_batches(with_range, batch_format="pyarrow")
+
+    from ..stages.combine import grouped_aggregate
+    sums = grouped_aggregate(ranged, ["_range"],
+                             {"total": ("n_tokens", "sum")},
+                             driver_limit_rows=200_000).to_pandas()
+    sums = sums.sort_values("_range")
+    totals = np.zeros(num_ranges, np.int64)
+    totals[sums["_range"].to_numpy()] = sums["total"].to_numpy()
+    offsets = np.concatenate([[0], np.cumsum(totals)[:-1]])
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort").copy()
+        r = int(g["_range"].iloc[0])
+        n = g["n_tokens"].to_numpy(np.int64)
+        cb = (int(offsets[r])
+              + np.concatenate([[0], np.cumsum(n)[:-1]]))
+        first = cb // seq_len
+        last = np.where(n > 0, (cb + np.maximum(n, 1) - 1) // seq_len,
+                        first)
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(np.int64),
+            "n_tokens": n,
+            "seq_first": first,
+            "off_first": cb % seq_len,
+            "seq_last": last,
+            "n_seqs": np.where(n > 0, last - first + 1, 0),
+        }).astype({"seq_first": "int64", "off_first": "int64",
+                   "seq_last": "int64", "n_seqs": "int64"})
+
+    return ranged.groupby("_range") \
+        .map_groups(assign, batch_format="pandas")
+
+
+def doc_bpe_pairs(sf_dir: str, k: int = 20):
+    """One BPE-training merge-selection step over whitespace
+    pre-tokens: count every adjacent token pair in the corpus, return
+    the top-k pairs by count (the pair a BPE trainer would merge
+    next).  Tokens enter as 31-bit tokenhash ids, a pair keys as the
+    two-term Horner fold — the aggregate moves ONLY integer
+    (pair_hash, count) partials; the winning pairs' human-readable
+    strings are resolved by a second tiny pass that re-scans for just
+    the k winning hashes (broadcast set, numpy isin), so no strings
+    ride the wide shuffle.
+
+    Top-k merge shape: per-block local top-k (k rows per block) then a
+    driver merge of the bounded k x blocks partials — the brute_topk
+    pattern, not a global sort."""
+    from ..stages.combine import grouped_aggregate
+    from ..stages.tokenhash import HB, P31, batch_token_ids
+
+    ds = _read(sf_dir, ["text"])
+
+    def _pair_hashes(texts):
+        flat, offs = batch_token_ids(texts)
+        if len(flat) < 2:
+            return np.zeros(0, np.uint64)
+        valid = np.ones(len(flat) - 1, bool)
+        # positions straddling a document boundary are not pairs
+        valid[offs[1:-1] - 1] = False
+        return ((flat[:-1] * HB + flat[1:]) % P31)[valid]
+
+    def pair_counts(t: pa.Table) -> pa.Table:
+        ph = _pair_hashes(t["text"].to_pylist())
+        u, c = np.unique(ph, return_counts=True)
+        return pa.Table.from_arrays(
+            [pa.array(u.astype(np.int64)), pa.array(c.astype(np.int64))],
+            names=["pair_hash", "cnt"])
+
+    agg = grouped_aggregate(
+        ds.map_batches(pair_counts, batch_format="pyarrow"),
+        ["pair_hash"], {"n_occurrences": ("cnt", "sum")})
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["n_occurrences", "pair_hash"],
+                            ascending=[False, True], kind="mergesort")
+        return df.head(k)
+
+    top = agg.map_batches(local_topk, batch_format="pandas").to_pandas()
+    top = top.sort_values(["n_occurrences", "pair_hash"],
+                          ascending=[False, True],
+                          kind="mergesort").head(k).reset_index(drop=True)
+    win = set(top["pair_hash"].astype("int64").tolist())
+
+    import ray
+    win_ref = ray.put(np.array(sorted(win), np.int64))
+
+    def resolve(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        wins = ray.get(win_ref)
+        flat, offs = batch_token_ids(texts)
+        out_h, out_s = [], []
+        if len(flat) >= 2:
+            valid = np.ones(len(flat) - 1, bool)
+            valid[offs[1:-1] - 1] = False
+            ph = ((flat[:-1] * HB + flat[1:]) % P31).astype(np.int64)
+            hit = valid & np.isin(ph, wins)
+            if hit.any():
+                toks = [w for x in texts for w in x.split()]
+                idx = np.flatnonzero(hit)
+                out_h = ph[idx].tolist()
+                out_s = [toks[i] + " " + toks[i + 1] for i in idx]
+        return pa.Table.from_arrays(
+            [pa.array(out_h, pa.int64()), pa.array(out_s, pa.string())],
+            names=["pair_hash", "pair"])
+
+    res = ds.map_batches(resolve, batch_format="pyarrow").to_pandas()
+    # collision-deterministic resolution: min string per hash
+    res = res.groupby("pair_hash", as_index=False)["pair"].min()
+    top = top.merge(res, on="pair_hash", how="left")
+    top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    top["n_occurrences"] = top["n_occurrences"].astype("int64")
+    return pa.Table.from_pandas(
+        top[["rank", "pair", "pair_hash", "n_occurrences"]],
+        preserve_index=False)
+
+
+def doc_dup_ngrams(sf_dir: str, width: int = 8):
+    """Cross-document duplicated-n-gram fraction (the substring-level
+    dedup signal of Lee et al.'s "Deduplicating Training Data Makes
+    Language Models Better", arXiv:2107.06499 — public recipe): a
+    token window is *duplicated* when its width-``width`` rolling hash
+    occurs >= 2 times corpus-wide; each document reports its window
+    count, duplicated-window count, and the duplicated fraction in
+    basis points (exact integer floor division).
+
+    Scale shape: batches collapse to distinct (doc_id, window_hash,
+    cnt) rows before the shuffle (only hashes move); the per-hash
+    combine marks global duplicates; a second grouped sum folds back
+    to one row per document.  Zero-window documents ride a sentinel
+    row so the output covers every doc_id without a join against the
+    full table."""
+    from ..stages.combine import grouped_aggregate, hash_bucket_combine
+    from ..stages.tokenhash import batch_token_ids, window_hashes
+
+    ds = _read(sf_dir, ["doc_id", "text"])
+
+    def rows(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        doc_ids = t["doc_id"].to_numpy()
+        flat, offs = batch_token_ids(texts)
+        wh, counts = window_hashes(flat, offs, width)
+        rep = np.repeat(doc_ids, counts)
+        df = pd.DataFrame({"doc_id": rep,
+                           "wh": wh.astype(np.int64)})
+        g = df.groupby(["doc_id", "wh"], sort=False).size() \
+            .reset_index(name="cnt")
+        empty = doc_ids[counts == 0]
+        if len(empty):
+            g = pd.concat([g, pd.DataFrame({
+                "doc_id": empty,
+                "wh": np.int64(-1),
+                "cnt": np.int64(0)})], ignore_index=True)
+        return pa.Table.from_pandas(
+            g.astype({"doc_id": "int64", "wh": "int64", "cnt": "int64"}),
+            preserve_index=False)
+
+    per_hash = ds.map_batches(rows, batch_format="pyarrow")
+
+    def mark(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        tot = g.groupby("wh")["cnt"].transform("sum")
+        g["dup"] = np.where((g["wh"] >= 0) & (tot >= 2), g["cnt"], 0) \
+            .astype(np.int64)
+        return g[["doc_id", "cnt", "dup"]]
+
+    marked = hash_bucket_combine(per_hash, ["wh"], mark)
+    out = grouped_aggregate(marked, ["doc_id"],
+                            {"n_windows": ("cnt", "sum"),
+                             "n_dup_windows": ("dup", "sum")})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        nw = df["n_windows"].astype("int64")
+        nd = df["n_dup_windows"].astype("int64")
+        df["n_windows"] = nw
+        df["n_dup_windows"] = nd
+        df["dup_bp"] = np.where(nw > 0, (10000 * nd) // nw.clip(lower=1),
+                                0).astype(np.int64)
+        return df[["doc_id", "n_windows", "n_dup_windows", "dup_bp"]]
+
+    return out.map_batches(finish, batch_format="pandas")
