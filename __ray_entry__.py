@@ -257,6 +257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_stratified_sample": stats.events_stratified_sample,
         "events_watermark_late": stats.events_watermark_late,
         "events_hll_users": stats.events_hll_users,
+        "events_heavy_hitters": stats.events_heavy_hitters,
         "order_price_quantiles": stats.order_price_quantiles,
         "events_value_quantiles": stats.events_value_quantiles,
         # stream-shaped operators
@@ -1109,6 +1110,19 @@ def oracle_sql(sf_tag: str = None) -> dict[str, str]:
             WINDOW w AS (ORDER BY arr, event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING
                               AND 1 PRECEDING)
+        """,
+        "events_heavy_hitters": """
+            -- the Ray side goes through Misra-Gries candidates + an
+            -- exact recount (or the adaptive exact fallback); both
+            -- paths are EXACT by construction, so the twin is the
+            -- plain aggregate
+            SELECT CAST(ROW_NUMBER() OVER (
+                       ORDER BY COUNT(*) DESC, user_id)
+                     AS BIGINT) AS rank,
+                   user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY user_id
+            ORDER BY COUNT(*) DESC, user_id LIMIT 10
         """,
         "events_hll_users": """
             -- the APPROXIMATE sketch itself is value-checked: the md5

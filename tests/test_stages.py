@@ -664,3 +664,45 @@ def test_doc_dup_ngrams_against_python(ray_session):
         assert row["n_dup_windows"] == nd
         expected_bp = (10000 * nd) // len(mine) if mine else 0
         assert row["dup_bp"] == expected_bp
+
+
+def test_heavy_hitters_sketch_and_fallback(ray_session):
+    """Misra-Gries candidates + exact recount returns the exact top-k
+    on skewed data (sketch path) AND on flat data (adaptive exact
+    fallback); both equal a pandas ground truth."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from uniparser_ray.pipelines.stats import heavy_hitters_topk
+
+    def truth(vals, k):
+        s = pd.Series(vals).value_counts()
+        df = s.reset_index()
+        df.columns = ["uid", "cnt"]
+        return df.sort_values(["cnt", "uid"], ascending=[False, True],
+                              kind="mergesort").head(k) \
+            .reset_index(drop=True)
+
+    rng = np.random.RandomState(7)
+    # skewed: zipf-ish over 5000 keys, 200k rows -> deep head
+    skew = (rng.zipf(1.3, size=200_000) % 5000).astype(np.int64)
+    ds = ray.data.from_pandas(pd.DataFrame({"uid": skew})) \
+        .repartition(16)
+    got, info = heavy_hitters_topk(ds, "uid", k=10, capacity=64)
+    exp = truth(skew, 10)
+    assert info["method"] == "sketch", info
+    assert list(got["uid"]) == list(exp["uid"])
+    assert list(got["n_events"]) == list(exp["cnt"])
+    assert list(got["rank"]) == list(range(1, 11))
+
+    # flat: uniform over 3000 keys -> no sketch could prune; exact
+    # fallback must still give the exact answer
+    flat = rng.randint(0, 3000, size=60_000).astype(np.int64)
+    ds2 = ray.data.from_pandas(pd.DataFrame({"uid": flat})) \
+        .repartition(16)
+    got2, info2 = heavy_hitters_topk(ds2, "uid", k=10, capacity=16)
+    exp2 = truth(flat, 10)
+    assert info2["method"] == "exact_fallback", info2
+    assert list(got2["uid"]) == list(exp2["uid"])
+    assert list(got2["n_events"]) == list(exp2["cnt"])

@@ -138,6 +138,129 @@ def events_stratified_sample(sf_dir: str, target: int = 500):
     return ds.map_batches(keep, batch_format="pandas")
 
 
+_HH_SENTINEL = -1   # error-bound row key (real keys must be >= 0)
+
+
+def _topk_counts(ds, key: str, cnt: str, k: int) -> pd.DataFrame:
+    """Distributed top-k by (count desc, key asc): per-block local
+    top-k, then a driver merge of the bounded k x blocks partials."""
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values([cnt, key], ascending=[False, True],
+                              kind="mergesort").head(k)
+
+    pdf = ds.map_batches(local, batch_format="pandas").to_pandas()
+    return pdf.sort_values([cnt, key], ascending=[False, True],
+                           kind="mergesort").head(k).reset_index(drop=True)
+
+
+def heavy_hitters_topk(ds, key: str, k: int = 10, capacity: int = 64,
+                       max_candidates: int = 1_000_000):
+    """EXACT top-k heavy hitters with bounded-memory partials: a
+    Misra-Gries summary per batch (``capacity`` integer pairs — the
+    only thing the wide combine moves), then an exact recount of just
+    the surviving candidates.
+
+    Guarantee logic: summed kept counts are per-key LOWER bounds;
+    E = sum of per-batch drop thresholds bounds every key's undercount
+    (``stages.sketches.mg_compress``).  With tau = the k-th largest
+    lower bound, any key whose lower + E < tau — including keys the
+    sketch never kept (true <= E) — provably cannot reach the top k,
+    so recounting the candidate set exactly yields the EXACT top-k.
+    When the data is too flat for the sketch to prune (E >= tau, or
+    more than ``max_candidates`` survive) it falls back to the plain
+    exact aggregate — adaptively paying the full shuffle only when no
+    sketch could have avoided it.  Both paths return identical,
+    SQL-checkable results.
+
+    Returns (DataFrame[rank, key, n_events], info dict with method /
+    E / tau / n_candidates for tests and bench)."""
+    import pyarrow as pa
+    import ray
+
+    from ..stages.combine import grouped_aggregate
+    from ..stages.sketches import mg_compress
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[key].to_numpy()
+        if len(v) and v.min() < 0:
+            raise ValueError("heavy_hitters_topk requires keys >= 0")
+        u, c = np.unique(v, return_counts=True)
+        u, c, err = mg_compress(u, c, capacity)
+        ks = np.concatenate([u.astype(np.int64), [_HH_SENTINEL]])
+        cs = np.concatenate([c.astype(np.int64), [err]])
+        return pa.table({key: pa.array(ks), "cnt": pa.array(cs)})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    lowers = grouped_aggregate(partials, [key],
+                               {"cnt": ("cnt", "sum")}).materialize()
+
+    sent = lowers.map_batches(
+        lambda df: df[df[key] == _HH_SENTINEL], batch_format="pandas") \
+        .to_pandas()
+    E = int(sent["cnt"].iloc[0]) if len(sent) else 0
+
+    real = lowers.map_batches(
+        lambda df: df[df[key] != _HH_SENTINEL], batch_format="pandas")
+    top_lower = _topk_counts(real, key, "cnt", k)
+    tau = int(top_lower["cnt"].iloc[-1]) if len(top_lower) >= k else 0
+
+    def exact_all():
+        def cnts(t: pa.Table) -> pa.Table:
+            u, c = np.unique(t[key].to_numpy(), return_counts=True)
+            return pa.table({key: pa.array(u.astype(np.int64)),
+                             "cnt": pa.array(c.astype(np.int64))})
+
+        agg = grouped_aggregate(ds.map_batches(cnts,
+                                               batch_format="pyarrow"),
+                                [key], {"cnt": ("cnt", "sum")})
+        return _topk_counts(agg, key, "cnt", k)
+
+    if E >= tau or tau == 0:
+        out, method, n_cand = exact_all(), "exact_fallback", -1
+    else:
+        cand = real.map_batches(
+            lambda df, _t=tau, _e=E: df[df["cnt"] + _e >= _t],
+            batch_format="pandas").materialize()
+        n_cand = cand.count()
+        if n_cand > max_candidates:
+            out, method = exact_all(), "exact_fallback"
+        else:
+            keys_arr = np.sort(cand.to_pandas()[key]
+                               .to_numpy(np.int64))
+            keys_ref = ray.put(keys_arr)
+
+            def recount(t: pa.Table) -> pa.Table:
+                ks = ray.get(keys_ref)
+                v = t[key].to_numpy()
+                v = v[np.isin(v, ks)]
+                u, c = np.unique(v, return_counts=True)
+                return pa.table({key: pa.array(u.astype(np.int64)),
+                                 "cnt": pa.array(c.astype(np.int64))})
+
+            agg = grouped_aggregate(
+                ds.map_batches(recount, batch_format="pyarrow"),
+                [key], {"cnt": ("cnt", "sum")})
+            out = _topk_counts(agg, key, "cnt", k)
+            method = "sketch"
+
+    out = out.rename(columns={"cnt": "n_events"})
+    out.insert(0, "rank", np.arange(1, len(out) + 1, dtype=np.int64))
+    out["n_events"] = out["n_events"].astype("int64")
+    info = {"method": method, "E": E, "tau": tau,
+            "n_candidates": n_cand}
+    return out, info
+
+
+def events_heavy_hitters(sf_dir: str, k: int = 10, capacity: int = 64):
+    """Top-k users by event count via the Misra-Gries candidates +
+    exact-recount plan (exact by construction on every path)."""
+    import pyarrow as pa
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    out, _info = heavy_hitters_topk(ds, "user_id", k=k, capacity=capacity)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 WATERMARK_LATENESS_US = 14 * 86_400 * 10**6   # 14 days (~half the span)
 _P31 = 2147483647
 

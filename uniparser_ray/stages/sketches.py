@@ -82,6 +82,31 @@ def hll_estimate(registers: np.ndarray, m: int = HLL_M) -> float:
 
 
 # ---------------------------------------------------------------------------
+# Misra-Gries heavy-hitter partials (Misra & Gries 1982 / the summary
+# form of Metwally et al.'s SpaceSaving — public literature)
+
+
+def mg_compress(keys: np.ndarray, counts: np.ndarray,
+                capacity: int) -> tuple[np.ndarray, np.ndarray, int]:
+    """Compress exact per-batch (key, count) pairs to at most
+    ``capacity`` entries plus a scalar error bound.
+
+    Keeps the ``capacity`` largest counts; every dropped key's batch
+    count is <= ``err`` (the (capacity+1)-th largest), so summing kept
+    counts across batches gives a LOWER bound per key and
+    sum-of-errs an upper-bound slack E: true(key) <= lower(key) + E
+    for every key, including keys dropped in every batch (true <= E).
+    Ties break deterministically by key ascending (np.unique emits
+    sorted keys; the mergesort is stable)."""
+    if len(keys) <= capacity:
+        return keys, counts, 0
+    order = np.argsort(-counts, kind="mergesort")
+    err = int(counts[order[capacity]])
+    keep = np.sort(order[:capacity])
+    return keys[keep], counts[keep], err
+
+
+# ---------------------------------------------------------------------------
 # exact distributed quantiles (optionally grouped)
 
 _ALL = "__all__"   # sentinel group for the ungrouped form
