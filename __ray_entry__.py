@@ -285,6 +285,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_seq_pack": documents.doc_seq_pack,
         "doc_bpe_pairs": documents.doc_bpe_pairs,
         "doc_dup_ngrams": documents.doc_dup_ngrams,
+        "doc_para_dedup": documents.doc_para_dedup,
+        "doc_unigram_stats": documents.doc_unigram_stats,
         "doc_quality": documents.doc_quality,
         "doc_langid": documents.doc_langid,
         "doc_fingerprint": documents.doc_fingerprint,
@@ -1295,6 +1297,43 @@ def oracle_sql(sf_tag: str = None) -> dict[str, str]:
                    CAST(n_occurrences AS BIGINT) AS n_occurrences
             FROM agg
             ORDER BY n_occurrences DESC, pair_hash LIMIT 20
+        """,
+        "doc_para_dedup": f"""
+            WITH paras AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(p), 1, 15))::BIGINT % {_P} AS ph
+              FROM (SELECT doc_id,
+                           unnest(string_split(text, chr(10))) AS p
+                    FROM documents)),
+            tot AS (SELECT ph, COUNT(*) AS c FROM paras GROUP BY 1),
+            per AS (
+              SELECT doc_id, COUNT(*) AS np_,
+                     SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS nd
+              FROM paras JOIN tot USING (ph) GROUP BY 1)
+            SELECT doc_id,
+                   CAST(np_ AS BIGINT) AS n_paras,
+                   CAST(nd AS BIGINT) AS n_dup_paras,
+                   CAST((10000 * nd) // np_ AS BIGINT) AS dup_bp
+            FROM per
+        """,
+        "doc_unigram_stats": f"""
+            WITH {_TOK_CTES},
+            pos AS (SELECT doc_id, unnest(h) AS tid FROM ids),
+            tot AS (SELECT tid, COUNT(*) AS c FROM pos GROUP BY 1),
+            per AS (
+              SELECT doc_id, COUNT(*) AS n_tokens,
+                     SUM(c) AS sum_tok_freq,
+                     MIN(c) AS min_tok_freq,
+                     SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_hapax
+              FROM pos JOIN tot USING (tid) GROUP BY 1)
+            SELECT d.doc_id,
+                   CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(p.sum_tok_freq, 0) AS BIGINT)
+                     AS sum_tok_freq,
+                   CAST(COALESCE(p.min_tok_freq, 0) AS BIGINT)
+                     AS min_tok_freq,
+                   CAST(COALESCE(p.n_hapax, 0) AS BIGINT) AS n_hapax
+            FROM documents d LEFT JOIN per p USING (doc_id)
         """,
         "doc_dup_ngrams": f"""
             WITH {_TOK_CTES},

@@ -706,3 +706,58 @@ def test_heavy_hitters_sketch_and_fallback(ray_session):
     assert info2["method"] == "exact_fallback", info2
     assert list(got2["uid"]) == list(exp2["uid"])
     assert list(got2["n_events"]) == list(exp2["cnt"])
+
+
+def test_doc_para_dedup_against_python(ray_session):
+    """Paragraph dup fractions equal a single-process recompute."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from uniparser_ray.pipelines.documents import doc_para_dedup
+    from uniparser_ray.stages.tokenhash import token_id
+
+    got = doc_para_dedup("/root/testdata/sf0.001").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    per_doc = [[token_id(p) for p in t.split("\n")]
+               for t in docs["text"]]
+    glob = Counter(h for ps in per_doc for h in ps)
+    for i, doc_id in enumerate(docs["doc_id"]):
+        mine = per_doc[i]
+        nd = sum(1 for h in mine if glob[h] >= 2)
+        row = got.iloc[i]
+        assert row["doc_id"] == doc_id
+        assert row["n_paras"] == len(mine) and len(mine) >= 1
+        assert row["n_dup_paras"] == nd
+        assert row["dup_bp"] == (10000 * nd) // len(mine)
+
+
+def test_doc_unigram_stats_against_python(ray_session):
+    """Unigram LM sufficient statistics equal a single-process
+    recompute over the same token-id stream."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from uniparser_ray.pipelines.documents import doc_unigram_stats
+    from uniparser_ray.stages.tokenhash import batch_token_ids
+
+    got = doc_unigram_stats("/root/testdata/sf0.001").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    flat, offs = batch_token_ids(docs["text"].tolist())
+    glob = Counter(flat.tolist())
+    for i, doc_id in enumerate(docs["doc_id"]):
+        mine = flat[offs[i]:offs[i + 1]].tolist()
+        row = got.iloc[i]
+        assert row["doc_id"] == doc_id
+        assert row["n_tokens"] == len(mine)
+        assert row["sum_tok_freq"] == sum(glob[h] for h in mine)
+        assert row["min_tok_freq"] == (min(glob[h] for h in mine)
+                                       if mine else 0)
+        assert row["n_hapax"] == sum(1 for h in mine if glob[h] == 1)

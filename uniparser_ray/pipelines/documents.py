@@ -694,26 +694,144 @@ def doc_dup_ngrams(sf_dir: str, width: int = 8):
             preserve_index=False)
 
     per_hash = ds.map_batches(rows, batch_format="pyarrow")
+    return _dup_fraction(per_hash, "wh",
+                         ["n_windows", "n_dup_windows", "dup_bp"])
+
+
+def _dup_fraction(per_key_rows, key_col: str, out_cols):
+    """Shared tail of the corpus-duplication family: rows of
+    (doc_id, <key_col>, cnt) — distinct per (doc, key), cnt = in-doc
+    occurrences, key -1 = zero-unit sentinel — become one row per doc
+    with (units, duplicated units, fraction in basis points).  A unit
+    is duplicated when its key occurs >= 2 times corpus-wide.  Only
+    hashes shuffle; the per-key combine sees every row of a key."""
+    from ..stages.combine import grouped_aggregate, hash_bucket_combine
+
+    n_col, d_col, bp_col = out_cols
 
     def mark(g: pd.DataFrame) -> pd.DataFrame:
         g = g.copy()
-        tot = g.groupby("wh")["cnt"].transform("sum")
-        g["dup"] = np.where((g["wh"] >= 0) & (tot >= 2), g["cnt"], 0) \
+        tot = g.groupby(key_col)["cnt"].transform("sum")
+        g["dup"] = np.where((g[key_col] >= 0) & (tot >= 2), g["cnt"], 0) \
             .astype(np.int64)
         return g[["doc_id", "cnt", "dup"]]
 
-    marked = hash_bucket_combine(per_hash, ["wh"], mark)
+    marked = hash_bucket_combine(per_key_rows, [key_col], mark)
     out = grouped_aggregate(marked, ["doc_id"],
-                            {"n_windows": ("cnt", "sum"),
-                             "n_dup_windows": ("dup", "sum")})
+                            {n_col: ("cnt", "sum"),
+                             d_col: ("dup", "sum")})
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
-        nw = df["n_windows"].astype("int64")
-        nd = df["n_dup_windows"].astype("int64")
-        df["n_windows"] = nw
-        df["n_dup_windows"] = nd
-        df["dup_bp"] = np.where(nw > 0, (10000 * nd) // nw.clip(lower=1),
-                                0).astype(np.int64)
-        return df[["doc_id", "n_windows", "n_dup_windows", "dup_bp"]]
+        nw = df[n_col].astype("int64")
+        nd = df[d_col].astype("int64")
+        df[n_col] = nw
+        df[d_col] = nd
+        df[bp_col] = np.where(nw > 0, (10000 * nd) // nw.clip(lower=1),
+                              0).astype(np.int64)
+        return df[["doc_id", n_col, d_col, bp_col]]
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+def doc_para_dedup(sf_dir: str):
+    """Paragraph-level exact-duplicate fraction (the paragraph pass of
+    a CCNet/RefinedWeb-style cleaning stack — public recipe): text
+    splits on newline, every paragraph hashes to the md5-derived
+    31-bit id, and a paragraph is duplicated when its hash occurs >= 2
+    times corpus-wide.  Empty paragraphs count (split keeps them), so
+    every document has >= 1 unit and no sentinel is needed; only
+    integer hashes cross the shuffle."""
+    from ..stages.tokenhash import token_id
+
+    ds = _read(sf_dir, ["doc_id", "text"])
+
+    def rows(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        doc_ids = t["doc_id"].to_numpy()
+        paras = [x.split("\n") for x in texts]
+        lens = np.fromiter((len(p) for p in paras), np.int64,
+                           count=len(paras))
+        flat = [p for ps in paras for p in ps]
+        uniq, inv = np.unique(np.asarray(flat, dtype=object),
+                              return_inverse=True)
+        ids = np.fromiter((token_id(p) for p in uniq), np.int64,
+                          count=len(uniq))
+        df = pd.DataFrame({"doc_id": np.repeat(doc_ids, lens),
+                           "ph": ids[inv]})
+        g = df.groupby(["doc_id", "ph"], sort=False).size() \
+            .reset_index(name="cnt")
+        return pa.Table.from_pandas(
+            g.astype({"doc_id": "int64", "ph": "int64", "cnt": "int64"}),
+            preserve_index=False)
+
+    per_para = ds.map_batches(rows, batch_format="pyarrow")
+    return _dup_fraction(per_para, "ph",
+                         ["n_paras", "n_dup_paras", "dup_bp"])
+
+
+def doc_unigram_stats(sf_dir: str):
+    """Corpus-unigram sufficient statistics per document — the
+    integer-exact core of a CCNet-style LM quality filter (Wenzek et
+    al., arXiv:1911.00359 — public recipe): with corpus-wide token
+    occurrence counts c(t), each doc reports its token count, the sum
+    and min of c(t) over its token POSITIONS, and its hapax count
+    (positions whose token occurs exactly once corpus-wide).  A
+    perplexity ranker is a monotone function of these sums; keeping
+    them integral makes the twin bit-exact.
+
+    One shuffle: distinct (doc_id, token_id, cnt) rows co-locate by
+    token, where the global count is the in-bucket sum — the counts
+    table never exists separately and strings never move."""
+    from ..stages.combine import grouped_aggregate, hash_bucket_combine
+    from ..stages.tokenhash import batch_token_ids
+
+    ds = _read(sf_dir, ["doc_id", "text"])
+
+    def rows(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        doc_ids = t["doc_id"].to_numpy()
+        flat, offs = batch_token_ids(texts)
+        lens = np.diff(offs)
+        df = pd.DataFrame({"doc_id": np.repeat(doc_ids, lens),
+                           "tid": flat.astype(np.int64)})
+        g = df.groupby(["doc_id", "tid"], sort=False).size() \
+            .reset_index(name="cnt")
+        empty = doc_ids[lens == 0]
+        if len(empty):
+            g = pd.concat([g, pd.DataFrame({
+                "doc_id": empty, "tid": np.int64(-1),
+                "cnt": np.int64(0)})], ignore_index=True)
+        return pa.Table.from_pandas(
+            g.astype({"doc_id": "int64", "tid": "int64", "cnt": "int64"}),
+            preserve_index=False)
+
+    per_tok = ds.map_batches(rows, batch_format="pyarrow")
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        tot = g.groupby("tid")["cnt"].transform("sum").astype(np.int64)
+        real = g["tid"] >= 0
+        g["sum_freq"] = np.where(real, g["cnt"] * tot, 0).astype(np.int64)
+        # min over positions = min over the doc's distinct tokens
+        g["min_freq"] = np.where(real, tot, np.iinfo(np.int64).max) \
+            .astype(np.int64)
+        g["hapax"] = np.where(real & (tot == 1), g["cnt"], 0) \
+            .astype(np.int64)
+        return g[["doc_id", "cnt", "sum_freq", "min_freq", "hapax"]]
+
+    marked = hash_bucket_combine(per_tok, ["tid"], attach)
+    out = grouped_aggregate(marked, ["doc_id"],
+                            {"n_tokens": ("cnt", "sum"),
+                             "sum_tok_freq": ("sum_freq", "sum"),
+                             "min_tok_freq": ("min_freq", "min"),
+                             "n_hapax": ("hapax", "sum")})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        for c in ("n_tokens", "sum_tok_freq", "min_tok_freq", "n_hapax"):
+            df[c] = df[c].astype("int64")
+        # zero-token docs carry the sentinel's +inf min -> 0
+        df.loc[df["n_tokens"] == 0, "min_tok_freq"] = 0
+        return df[["doc_id", "n_tokens", "sum_tok_freq",
+                   "min_tok_freq", "n_hapax"]]
 
     return out.map_batches(finish, batch_format="pandas")
