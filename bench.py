@@ -181,6 +181,31 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
            lambda: consume(images_p.audio_vad_segments(sf_dir)))
     timed3("doc_source_mix",
            lambda: consume(docs_p.doc_source_mix(sf_dir)))
+
+    # round-4 curation operators, timed OUTSIDE `value` (same
+    # comparability rule): sequence packing (ordered prefix sum), BPE
+    # pair counting, cross-doc n-gram / paragraph dup fractions,
+    # unigram LM stats (all single-shuffle hash families), and the
+    # Misra-Gries exact heavy hitters
+    ops_r4: dict = {}
+
+    def timed4(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        ops_r4[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    timed4("doc_seq_pack", lambda: consume(docs_p.doc_seq_pack(sf_dir)))
+    timed4("doc_bpe_pairs",
+           lambda: docs_p.doc_bpe_pairs(sf_dir).num_rows)
+    timed4("doc_dup_ngrams",
+           lambda: consume(docs_p.doc_dup_ngrams(sf_dir)))
+    timed4("doc_para_dedup",
+           lambda: consume(docs_p.doc_para_dedup(sf_dir)))
+    timed4("doc_unigram_stats",
+           lambda: consume(docs_p.doc_unigram_stats(sf_dir)))
+    timed4("events_heavy_hitters",
+           lambda: stats_p.events_heavy_hitters(sf_dir).num_rows)
     return {
         "metric": "crawl+operator suite wall time",
         "value": total,
@@ -194,6 +219,7 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         "crawl_images": totals["images"],
         "politeness_pages_per_sec": pol["pages_per_sec"],
         "ops_r3": ops_r3,
+        "ops_r4": ops_r4,
     }
 
 

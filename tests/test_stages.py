@@ -761,3 +761,28 @@ def test_doc_unigram_stats_against_python(ray_session):
         assert row["min_tok_freq"] == (min(glob[h] for h in mine)
                                        if mine else 0)
         assert row["n_hapax"] == sum(1 for h in mine if glob[h] == 1)
+
+
+def test_exact_quantiles_fast_path_equals_refinement(ray_session):
+    """Small-input fast path (whole column <= collect_limit) returns
+    exactly what the multi-pass refinement returns, grouped and not."""
+    import numpy as np
+    import ray.data
+
+    from uniparser_ray.stages.sketches import exact_quantiles
+
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame({"g": rng.choice(["a", "b"], 5000),
+                       "x": rng.uniform(0, 10, 5000).round(3)})
+    ds = ray.data.from_pandas(df).repartition(6)
+    qs = [0.1, 0.5, 0.9]
+    fast = exact_quantiles(ds, "x", qs, collect_limit=100_000)
+    slow = exact_quantiles(ds, "x", qs, num_hist_buckets=16,
+                           collect_limit=50)
+    pd.testing.assert_frame_equal(fast.reset_index(drop=True),
+                                  slow.reset_index(drop=True))
+    fast_g = exact_quantiles(ds, "x", qs, by="g", collect_limit=100_000)
+    slow_g = exact_quantiles(ds, "x", qs, by="g", num_hist_buckets=16,
+                             collect_limit=50)
+    pd.testing.assert_frame_equal(fast_g.reset_index(drop=True),
+                                  slow_g.reset_index(drop=True))

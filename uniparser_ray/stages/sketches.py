@@ -145,6 +145,30 @@ def exact_quantiles(ds, column: str, qs: Sequence[float], by: str = None,
         .groupby("_g", sort=True).agg(n=("n", "sum"), lo=("lo", "min"),
                                       hi=("hi", "max"))
 
+    # small-input fast path: when the WHOLE column fits the existing
+    # collect_limit driver bound (the same bound the final refinement
+    # step already collects under), skip the refinement passes — each
+    # one re-executes the upstream read, which at toy scale costs more
+    # than the data — and select exactly in one collect.
+    if int(st["n"].sum()) <= collect_limit:
+        def grab(df: pd.DataFrame) -> pd.DataFrame:
+            g = df[by] if by else pd.Series(_ALL, index=df.index)
+            return pd.DataFrame({"_g": g.astype(str),
+                                 "v": df[column].astype(np.float64)})
+
+        vals = ds.map_batches(grab, batch_format="pandas").to_pandas()
+        rows = []
+        for g, row in st.iterrows():
+            v = np.sort(vals.loc[vals["_g"] == str(g), "v"].to_numpy())
+            for q in qs:
+                r = max(0, int(np.ceil(len(v) * q)) - 1)
+                rows.append((g, q, float(v[r])))
+        out = pd.DataFrame(rows, columns=["_by", "q", "value"])
+        out["q"] = out["q"].astype(np.float64)
+        if by:
+            return out.rename(columns={"_by": by})
+        return out[["q", "value"]]
+
     # active[(g, i)] = (lo, hi, GLOBAL-within-group 0-based rank)
     active: dict = {}
     resolved: dict = {}
