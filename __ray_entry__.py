@@ -305,6 +305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_lsh": vectors.embedding_neardup_lsh,
         # clustering / semantic dedup
         "embedding_kmeans": vectors.embedding_kmeans,
+        "embedding_pq_topk": vectors.embedding_pq_topk,
         "embedding_semdedup": vectors.embedding_semdedup,
         # similarity search
         "ann_topk": vectors.ann_topk,
@@ -874,6 +875,117 @@ def _kmeans_ctes(k: int = 8, iters: int = 2, dim: int = 64) -> str:
     return ",\n    ".join(parts)
 
 
+def _pq_kmeans_ctes(s: int, lo: int, ksub: int, iters: int,
+                    sd: int) -> str:
+    """Per-SUBSPACE twin of ``_kmeans_ctes``: the same integer Lloyd
+    recursion over the slice embedding[lo+1 .. lo+sd], CTE names
+    suffixed _{s} so all subspaces coexist in one WITH."""
+    from uniparser_ray.stages.kmeans import QUANT_OFFSET, QUANT_SCALE
+
+    gs = f"generate_series(1, {sd})"
+    d2 = (f"CAST(list_sum(list_transform({gs}, "
+          f"i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))) AS BIGINT)")
+    x = f"_{s}"
+    # AS MATERIALIZED: without it DuckDB inlines every CTE reference,
+    # and the Lloyd recursion x nsub subspaces x the 8-way adc join
+    # explodes the plan search combinatorially (the single-space
+    # k-means oracle survives inlining; eight coexisting chains do not)
+    parts = [f"""q{x} AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(generate_series({lo + 1}, {lo + sd}), i ->
+                 CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {QUANT_SCALE}
+                      + 0.5) AS BIGINT) + {QUANT_OFFSET}) AS v
+      FROM embeddings),
+    c0{x} AS MATERIALIZED (
+      SELECT vec_id AS j, v FROM q{x} WHERE vec_id < {ksub})"""]
+    for t in range(iters + 1):
+        parts.append(f"""d{t}{x} AS MATERIALIZED (
+      SELECT q.vec_id, c.j, {d2} AS d2 FROM q{x} q, c{t}{x} c),
+    a{t}{x} AS MATERIALIZED (
+      SELECT vec_id, j AS cluster, d2 FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY d2, j) AS rk FROM d{t}{x})
+      WHERE rk = 1)""")
+        if t == iters:
+            break
+        parts.append(f"""u{t}{x} AS MATERIALIZED (
+      SELECT a.cluster AS j, i, CAST(SUM(q.v[i]) AS BIGINT) AS s,
+             COUNT(*) AS n
+      FROM a{t}{x} a JOIN q{x} q USING (vec_id),
+           unnest({gs}) AS u_(i)
+      GROUP BY 1, 2),
+    c{t + 1}{x} AS MATERIALIZED (
+      SELECT j, list((2 * s + n) // (2 * n) ORDER BY i) AS v
+      FROM u{t}{x} GROUP BY j
+      UNION ALL
+      SELECT j, v FROM c{t}{x} WHERE j NOT IN (SELECT j FROM u{t}{x}))""")
+    return ",\n    ".join(parts)
+
+
+def _pq_sql(nsub: int = 8, ksub: int = 16, iters: int = 2, k: int = 10,
+            dim: int = 64, nq: int = 5, shortlist: int = 50) -> str:
+    """PQ/ADC+re-rank twin: per-subspace Lloyd codebooks (replayed
+    like the k-means oracle), codes = final assigns, per-query LUTs =
+    exact integer L2 from the query's subvector to each codebook
+    entry, ADC = sum of the code-indexed LUT entries, top-``shortlist``
+    per query re-scored by the exact quantized full-vector L2."""
+    from uniparser_ray.stages.kmeans import QUANT_OFFSET, QUANT_SCALE
+
+    sd = dim // nsub
+    gs = f"generate_series(1, {sd})"
+    ctes = ",\n    ".join(_pq_kmeans_ctes(s, s * sd, ksub, iters, sd)
+                          for s in range(nsub))
+    luts = ",\n        ".join(f"""lut_{s} AS (
+          SELECT q.vec_id AS query_id, c.j AS code,
+                 CAST(list_sum(list_transform({gs},
+                     i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i])))
+                   AS BIGINT) AS ld
+          FROM q_{s} q, c{iters}_{s} c WHERE q.vec_id < {nq})"""
+                              for s in range(nsub))
+    a_joins = " ".join(f"JOIN a{iters}_{s} a{s} USING (vec_id)"
+                       for s in range(1, nsub))
+    l_joins = " ".join(
+        f"JOIN lut_{s} l{s} ON l{s}.query_id = l0.query_id "
+        f"AND l{s}.code = a{s}.cluster" for s in range(1, nsub))
+    adc_sum = " + ".join(f"l{s}.ld" for s in range(nsub))
+    return f"""
+        WITH {ctes},
+        {luts},
+        adc AS (
+          SELECT l0.query_id, a0.vec_id,
+                 CAST({adc_sum} AS BIGINT) AS adc_dist
+          FROM a{iters}_0 a0 {a_joins}
+          JOIN lut_0 l0 ON l0.code = a0.cluster
+          {l_joins}),
+        short AS (
+          SELECT query_id, vec_id
+          FROM (SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY query_id
+                    ORDER BY adc_dist, vec_id) AS rk FROM adc)
+          WHERE rk <= {shortlist}),
+        qfull AS MATERIALIZED (
+          SELECT vec_id,
+                 list_transform(generate_series(1, {dim}), i ->
+                     CAST(FLOOR(CAST(embedding[i] AS DOUBLE)
+                          * {QUANT_SCALE} + 0.5) AS BIGINT)
+                     + {QUANT_OFFSET}) AS v
+          FROM embeddings),
+        ex AS (
+          SELECT s.query_id, s.vec_id,
+                 CAST(list_sum(list_transform(generate_series(1, {dim}),
+                     i -> (x.v[i] - y.v[i]) * (x.v[i] - y.v[i])))
+                   AS BIGINT) AS l2_dist
+          FROM short s
+          JOIN qfull x ON x.vec_id = s.vec_id
+          JOIN qfull y ON y.vec_id = s.query_id)
+        SELECT query_id, vec_id, l2_dist, CAST(rk AS BIGINT) AS rank
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY query_id
+                  ORDER BY l2_dist, vec_id) AS rk FROM ex)
+        WHERE rk <= {k}
+    """
+
+
 def _kmeans_sql(k: int = 8, iters: int = 2, dim: int = 64) -> str:
     return f"""
         WITH {_kmeans_ctes(k, iters, dim)}
@@ -1401,6 +1513,7 @@ def oracle_sql(sf_tag: str = None) -> dict[str, str]:
         "doc_decontaminate": _decontaminate_sql(),
         "doc_pii_redact": _pii_redact_sql(),
         "embedding_kmeans": _kmeans_sql(),
+        "embedding_pq_topk": _pq_sql(),
         "embedding_semdedup": _semdedup_sql(),
         "doc_dedup_exact": """
             SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_id,

@@ -206,6 +206,8 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
            lambda: consume(docs_p.doc_unigram_stats(sf_dir)))
     timed4("events_heavy_hitters",
            lambda: stats_p.events_heavy_hitters(sf_dir).num_rows)
+    timed4("embedding_pq_topk",
+           lambda: vecs_p.embedding_pq_topk(sf_dir).num_rows)
     return {
         "metric": "crawl+operator suite wall time",
         "value": total,

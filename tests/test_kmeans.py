@@ -186,3 +186,45 @@ def test_semdedup_shuffle_path_equals_fast_path():
 
     fast, shuffle = run(200_000), run(None)
     assert fast == shuffle and len(fast) > 0
+
+
+def test_pq_topk_rerank_exact_and_recall(ray_session):
+    """PQ ADC shortlist + exact re-rank: every returned l2_dist is the
+    true quantized L2 (exact by construction), the per-query ranking
+    is consistent, and shortlist recall@10 vs the exact answer clears
+    the pinned floor (mean >= 0.5, per-query >= 0.3 on this
+    deliberately unclusterable synthetic table; measured 0.7 mean —
+    pure ADC without re-rank measures 0.38)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from uniparser_ray.pipelines.vectors import embedding_pq_topk
+    from uniparser_ray.stages.kmeans import (QUANT_OFFSET, QUANT_SCALE,
+                                             quantize)
+
+    got = embedding_pq_topk("/root/testdata/sf0.001").to_pandas()
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet",
+                      columns=["vec_id", "embedding"]).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    V = quantize(np.array(t["embedding"].tolist(), np.float64),
+                 QUANT_SCALE, QUANT_OFFSET)
+    ids = t["vec_id"].to_numpy()
+    pos = {int(v): i for i, v in enumerate(ids)}
+
+    recalls = []
+    for q in range(5):
+        sub = got[got["query_id"] == q]
+        assert list(sub["rank"]) == list(range(1, 11))
+        qv = V[pos[q]]
+        # returned distances are EXACT
+        for _, r in sub.iterrows():
+            d = int(((V[pos[int(r["vec_id"])]] - qv) ** 2).sum())
+            assert d == int(r["l2_dist"])
+        # ranking consistent with the distances
+        dists = sub["l2_dist"].to_numpy()
+        assert (np.diff(dists) >= 0).all()
+        d_all = ((V - qv) ** 2).sum(axis=1)
+        exact = set(ids[np.lexsort((ids, d_all))[:10]].tolist())
+        approx = set(sub["vec_id"].tolist())
+        recalls.append(len(exact & approx) / 10)
+    assert min(recalls) >= 0.3 and np.mean(recalls) >= 0.5, recalls

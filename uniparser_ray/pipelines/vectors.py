@@ -7,9 +7,10 @@ import pandas as pd
 import pyarrow as pa
 
 
-def _read(sf_dir: str, columns=None):
+def _read(sf_dir: str, columns=None, **kwargs):
     from ..sources.parquet import read_parquet_clean
-    return read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=columns)
+    return read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                              columns=columns, **kwargs)
 
 
 def _queries(sf_dir: str, n: int = 5):
@@ -193,6 +194,164 @@ def _kmeans_centroids(sf_dir: str, k: int, iters: int):
                                batch_format="pyarrow").take_all()
         cents = combine_partials(parts, k, dim, cents)
     return cents
+
+
+def _pq_centroids(sf_dir: str, nsub: int, ksub: int, iters: int):
+    """Per-subspace integer-Lloyd codebooks, all subspaces trained in
+    the same shuffle-free partial-sum passes as ``_kmeans_centroids``
+    (nsub x ksub rows per batch cross the wire).  Init: subvectors of
+    vec_ids 0..ksub-1 — the same deterministic rule the SQL twin
+    replays."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..stages.kmeans import (QUANT_OFFSET, QUANT_SCALE,
+                                 make_pq_partial_fn, quantize,
+                                 update_centroids)
+
+    init_tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"],
+                             filters=[("vec_id", "<", ksub)])
+    init = init_tbl.to_pandas().sort_values("vec_id")
+    if len(init) != ksub:
+        raise ValueError(f"PQ init needs vec_ids 0..{ksub-1}")
+    q0 = quantize(np.array(init["embedding"].tolist(), np.float64),
+                  QUANT_SCALE, QUANT_OFFSET)
+    dim = q0.shape[1]
+    if dim % nsub:
+        raise ValueError(f"dim {dim} not divisible by nsub {nsub}")
+    sd = dim // nsub
+    cents = np.stack([q0[:, s * sd:(s + 1) * sd] for s in range(nsub)])
+
+    ds = _read(sf_dir, ["vec_id", "embedding"])
+    for _ in range(iters):
+        ref = ray.put(cents)
+        parts = ds.map_batches(make_pq_partial_fn(ref),
+                               batch_format="pyarrow").take_all()
+        nxt = cents.copy()
+        for s in range(nsub):
+            sums = np.zeros((ksub, sd), np.int64)
+            counts = np.zeros(ksub, np.int64)
+            for row in parts:
+                if int(row["sub"]) != s:
+                    continue
+                j = int(row["cluster"])
+                sums[j] += np.asarray(row["vec_sum"], np.int64)
+                counts[j] += int(row["n"])
+            nxt[s] = update_centroids(sums, counts, cents[s])
+        cents = nxt
+    return cents
+
+
+def embedding_pq_topk(sf_dir: str, k: int = 10, nsub: int = 8,
+                      ksub: int = 16, iters: int = 2,
+                      shortlist: int = 50):
+    """Product-quantization ANN with exact re-rank (Jégou et al.
+    2011's ADC + the standard re-rank stage): vectors compress to
+    ``nsub`` integer codes (one per subspace codebook); the SCAN runs
+    entirely in the compressed domain — per-query ADC lookup tables
+    broadcast once, each block of codes scores with table lookups +
+    row sums, per-block top-``shortlist`` rows reach the merge — and
+    only the ``shortlist`` survivors per query are re-scored exactly
+    against the raw vectors (a pruned second read of nq x shortlist
+    rows, not a rescan).
+
+    The 100 TB shape: the one full touch of the raw vectors is the
+    encode sweep (8 ints vs 64 floats per vector); search reads codes.
+    Integer arithmetic end-to-end — codebooks, codes, ADC and the
+    exact re-rank distances are all value-checked by the SQL twin
+    (which replays the per-subspace Lloyd recursion like the k-means
+    oracle).  Shortlist recall vs the exact answer is pinned by
+    pytest."""
+    import ray
+
+    from ..stages.kmeans import (QUANT_OFFSET, QUANT_SCALE,
+                                 make_pq_encode_fn, pq_luts, quantize)
+
+    cents = _pq_centroids(sf_dir, nsub, ksub, iters)
+    ref = ray.put(cents)
+    codes = _read(sf_dir, ["vec_id", "embedding"]).map_batches(
+        make_pq_encode_fn(ref), batch_format="pyarrow")
+
+    qids, qm = _queries(sf_dir)
+    qq = quantize(qm, QUANT_SCALE, QUANT_OFFSET)
+    luts = pq_luts(qq, cents)
+    lut_ref = ray.put((np.asarray(qids, np.int64), luts))
+    m = shortlist
+
+    def score(t: pa.Table) -> pa.Table:
+        ids_q, lut = ray.get(lut_ref)
+        vid = t["vec_id"].to_numpy()
+        out_q, out_v, out_d = [], [], []
+        if len(vid):
+            c = np.array(t["codes"].to_pylist(), dtype=np.int64)
+            nsub_ = c.shape[1]
+            for qi, qid in enumerate(ids_q):
+                adc = np.zeros(len(vid), np.int64)
+                for s in range(nsub_):
+                    adc += lut[qi, s][c[:, s]]
+                # local top-m: (adc asc, vec_id asc)
+                top = np.lexsort((vid, adc))[:m]
+                out_q.append(np.full(len(top), qid, np.int64))
+                out_v.append(vid[top].astype(np.int64))
+                out_d.append(adc[top])
+        cat = (lambda xs, t_: np.concatenate(xs) if xs
+               else np.empty(0, t_))
+        return pa.Table.from_arrays(
+            [pa.array(cat(out_q, np.int64)),
+             pa.array(cat(out_v, np.int64)),
+             pa.array(cat(out_d, np.int64))],
+            names=["query_id", "vec_id", "adc_dist"])
+
+    # global ADC shortlist merge: bounded at nq x m x blocks partial
+    # rows, nq x m survivors
+    short = codes.map_batches(score, batch_format="pyarrow").to_pandas()
+    short = short.sort_values(["query_id", "adc_dist", "vec_id"],
+                              kind="mergesort") \
+        .groupby("query_id", sort=False).head(m)
+    want = {int(q): set(g["vec_id"].astype("int64"))
+            for q, g in short.groupby("query_id", sort=False)}
+    want_ref = ray.put(want)
+    qmat_ref = ray.put((np.asarray(qids, np.int64), qq))
+
+    def rerank(t: pa.Table) -> pa.Table:
+        from ..stages.kmeans import batch_quantized
+        w = ray.get(want_ref)
+        ids_q, qq_ = ray.get(qmat_ref)
+        vid, v = batch_quantized(t, dim=qq_.shape[1])
+        out_q, out_v, out_d = [], [], []
+        for qi, qid in enumerate(ids_q):
+            mask = np.isin(vid, np.fromiter(w[int(qid)], np.int64,
+                                            count=len(w[int(qid)])))
+            if not mask.any():
+                continue
+            d = ((v[mask] - qq_[qi]) ** 2).sum(axis=1)
+            out_q.append(np.full(int(mask.sum()), qid, np.int64))
+            out_v.append(vid[mask].astype(np.int64))
+            out_d.append(d.astype(np.int64))
+        cat = (lambda xs, t_: np.concatenate(xs) if xs
+               else np.empty(0, t_))
+        return pa.Table.from_arrays(
+            [pa.array(cat(out_q, np.int64)),
+             pa.array(cat(out_v, np.int64)),
+             pa.array(cat(out_d, np.int64))],
+            names=["query_id", "vec_id", "l2_dist"])
+
+    # PRUNED second read: the shortlist ids push down into the parquet
+    # scan — at scale this reads nq x m rows, never a rescan
+    import pyarrow.compute as pc
+    all_ids = sorted({int(v) for s_ in want.values() for v in s_})
+    exact = _read(sf_dir, ["vec_id", "embedding"],
+                  filter=pc.field("vec_id").isin(all_ids)).map_batches(
+        rerank, batch_format="pyarrow").to_pandas()
+    out = exact.sort_values(["query_id", "l2_dist", "vec_id"],
+                            kind="mergesort") \
+        .groupby("query_id", sort=False).head(k).reset_index(drop=True)
+    out["rank"] = (out.groupby("query_id", sort=False).cumcount()
+                   + 1).astype(np.int64)
+    return pa.Table.from_pandas(
+        out[["query_id", "vec_id", "l2_dist", "rank"]],
+        preserve_index=False)
 
 
 def embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 2):

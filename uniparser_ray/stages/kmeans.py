@@ -141,6 +141,86 @@ def combine_partials(parts, k: int, dim: int,
     return update_centroids(sums, counts, prev)
 
 
+# ---------------------------------------------------------------------------
+# product quantization (Jégou et al. 2011, public literature): the
+# dim-d vector splits into nsub contiguous subvectors, each quantized
+# by its OWN integer-Lloyd codebook; a vector compresses to nsub small
+# codes and search runs in the compressed domain (ADC: per-query
+# distance lookup tables over the codebooks, summed across subspaces).
+# All arithmetic stays in the same int64 quantized domain as k-means,
+# so codes, LUTs and ADC distances are bit-identical in the SQL twin.
+
+
+def make_pq_partial_fn(cents_ref) -> Callable[[pa.Table], pa.Table]:
+    """One Lloyd iteration for ALL subspaces in one pass: rows of
+    (sub, cluster, coordinate sums, member count) — nsub x ksub rows
+    per batch cross the wire, never a vector."""
+    import ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cents_ref)          # (nsub, ksub, subdim)
+        nsub, ksub, sd = cents.shape
+        _, q = batch_quantized(batch, dim=nsub * sd)
+        subs, cls, sums_l, ns = [], [], [], []
+        for s in range(nsub):
+            qs = q[:, s * sd:(s + 1) * sd]
+            cl, _ = _assign(qs, cents[s])
+            sums = np.zeros((ksub, sd), np.int64)
+            np.add.at(sums, cl, qs)
+            subs.append(np.full(ksub, s, np.int64))
+            cls.append(np.arange(ksub, dtype=np.int64))
+            sums_l.append(sums)
+            ns.append(np.bincount(cl, minlength=ksub).astype(np.int64))
+        return pa.Table.from_arrays(
+            [pa.array(np.concatenate(subs), pa.int64()),
+             pa.array(np.concatenate(cls), pa.int64()),
+             pa.array(np.concatenate(sums_l).tolist(),
+                      pa.list_(pa.int64())),
+             pa.array(np.concatenate(ns), pa.int64())],
+            names=["sub", "cluster", "vec_sum", "n"])
+
+    return partial
+
+
+def make_pq_encode_fn(cents_ref) -> Callable[[pa.Table], pa.Table]:
+    """Compression pass: (vec_id, codes list<int64> of length nsub) —
+    the raw vector is DROPPED here; everything downstream runs on
+    codes (8 ints/vector instead of 64 floats)."""
+    import ray
+
+    def encode(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cents_ref)
+        nsub, ksub, sd = cents.shape
+        ids, q = batch_quantized(batch, dim=nsub * sd)
+        if not len(ids):
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()),
+                 pa.array([], pa.list_(pa.int64()))],
+                names=["vec_id", "codes"])
+        codes = np.stack(
+            [_assign(q[:, s * sd:(s + 1) * sd], cents[s])[0]
+             for s in range(nsub)], axis=1)
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()),
+             pa.array(codes.tolist(), pa.list_(pa.int64()))],
+            names=["vec_id", "codes"])
+
+    return encode
+
+
+def pq_luts(q_quant: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """(nq, nsub, ksub) int64 ADC lookup tables: exact squared L2 from
+    each query's subvector to every codebook entry."""
+    nsub, ksub, sd = cents.shape
+    nq = len(q_quant)
+    luts = np.zeros((nq, nsub, ksub), np.int64)
+    for s in range(nsub):
+        qs = q_quant[:, s * sd:(s + 1) * sd]
+        d = qs[:, None, :] - cents[s][None, :, :]
+        luts[:, s, :] = np.einsum("qkd,qkd->qk", d, d)
+    return luts
+
+
 def semdedup_group(df, threshold_bp2: int = 1225) -> "pa.Table":
     """In-cluster near-dup pairs under the QUANTIZED-cosine test:
     dot > 0 and 10000*dot^2 >= threshold_bp2 * |a|^2 * |b|^2
