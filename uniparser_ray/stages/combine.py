@@ -25,6 +25,7 @@ from typing import Callable, Dict, Sequence
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 
 def _canon_elem(x) -> str:
@@ -199,28 +200,55 @@ def hash_bucket_join(left, right, left_on: str, right_on: str,
             return k.map(_canon_elem)
         return "s:" + k.astype(str)
 
-    def pad(side: int, key: str):
-        def fn(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.copy()
-            df["_jkey"] = _canonical_key(df[key])
-            df["_side"] = np.int8(side)
-            for c in allcols:
-                if c not in df.columns:
-                    # OBJECT dtype padding: a None-padded int64 column
-                    # must not promote to float64 in the union/concat —
-                    # 64-bit values (e.g. this repo's hashes) above
-                    # 2**53 would silently lose precision before the
-                    # dtype restore
-                    df[c] = pd.Series([None] * len(df), dtype=object,
-                                      index=df.index)
-            return df[allcols + ["_jkey", "_side"]]
-        return fn
-
     small = False
+    type_hints: dict = {}
     if driver_limit_rows:
         left = left.materialize()
         right = right.materialize()
         small = left.count() + right.count() <= driver_limit_rows
+        # Materialized inputs make schema() free: collect each side's
+        # Arrow types so pad() can emit TYPED nulls for the other
+        # side's columns.  Without this, left blocks carry null-typed
+        # right columns and vice versa — two distinct schemas flowing
+        # into the groupby shuffle, which defeats Ray's block-schema
+        # dedup and fires a "different schema" warning per block pair.
+        for ds_side in (left, right):
+            sch = ds_side.schema(fetch_if_missing=False)
+            if sch is None:
+                continue
+            # Schema.types converts pandas dtypes to Arrow types where
+            # possible; non-convertible entries (object dtype) come
+            # back as python classes — no hint for those (they fall
+            # back to bare null padding, which Arrow unifies)
+            for name, typ in zip(sch.names, sch.types):
+                if isinstance(typ, pa.DataType) and not pa.types.is_null(typ):
+                    type_hints.setdefault(name, typ)
+
+    def pad(side: int, key: str):
+        # pandas IN (an object-dtype key batch keeps per-element
+        # python kinds for _canonical_key — Arrow would coerce a mixed
+        # [1.5, 1] object column to double before we could tag it),
+        # Arrow OUT (one explicit schema for the union)
+        def fn(df: pd.DataFrame) -> pa.Table:
+            n = len(df)
+            jkey = _canonical_key(df[key])
+            cols = {}
+            for c in allcols:
+                if c in df.columns:
+                    cols[c] = pa.Array.from_pandas(
+                        df[c], type=type_hints.get(c))
+                else:
+                    # typed nulls when the other side's schema is
+                    # known; bare null type otherwise (Arrow unifies
+                    # null+T -> T at group assembly, at the cost of
+                    # mixed block schemas on the streaming path)
+                    cols[c] = pa.nulls(n, type=type_hints.get(c))
+            cols["_jkey"] = pa.array(jkey, type=pa.string())
+            cols["_side"] = pa.array(np.full(n, side, dtype=np.int8))
+            # pa.table() builds a fresh metadata-free schema, so the
+            # pandas metadata blob never enters the shuffle
+            return pa.table(cols)
+        return fn
 
     u = left.map_batches(pad(0, left_on), batch_format="pandas").union(
         right.map_batches(pad(1, right_on), batch_format="pandas"))
