@@ -268,6 +268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["session_start", "session_end"]),
         "events_asof": lambda sf: _asof_no_nulls(
             relational.events_asof(sf).to_pandas()),
+        "events_window_join": relational.events_window_join,
         "events_hopping": lambda sf: _ts_us(
             relational.events_hopping(sf).to_pandas(), ["window_start"]),
         "events_cumulative": relational.events_cumulative,
@@ -1153,6 +1154,20 @@ def oracle_sql(sf_tag: str = None) -> dict[str, str]:
                    COALESCE(epoch_us(l.ts) - epoch_us(r.ts), -1) AS gap_us
             FROM left_s l ASOF LEFT JOIN right_d r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "events_window_join": """
+            WITH lefts AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase'
+            ), rights AS (
+              SELECT user_id, ts FROM events WHERE event_type = 'view'
+            )
+            SELECT l.event_id, l.user_id, l.ts,
+                   (SELECT COUNT(*) FROM rights r
+                     WHERE r.user_id = l.user_id
+                       AND r.ts >  l.ts - INTERVAL 24 HOURS
+                       AND r.ts <= l.ts) AS n_in_window
+            FROM lefts l
         """,
         "q5_local_supplier_volume": """
             SELECT n_name,

@@ -517,6 +517,50 @@ def test_doc_tfidf_topk_against_pandas(ray_session):
     assert np.allclose(got["tfidf"], exp["tfidf"])
 
 
+def test_events_window_join_boundaries(ray_session, tmp_path):
+    """Interval-join window semantics (ts - W, ts]: a view exactly AT
+    the purchase ts counts (inclusive upper), a view exactly at
+    ts - W does NOT (exclusive lower), views of other users never
+    leak across user runs, and purchases with no views count 0."""
+    from uniparser_ray.pipelines.relational import events_window_join
+
+    t0 = pd.Timestamp("2024-01-01 12:00:00")
+    h = pd.Timedelta(hours=1)
+    W = 24  # hours, the operator default
+    rows = [
+        # user 1: views at -24h (excluded: lower bound exclusive),
+        # -23h, 0h (included: upper bound inclusive), +1h (excluded:
+        # after) around a purchase at t0
+        (1, 1, t0 - W * h, "view"),
+        (2, 1, t0 - 23 * h, "view"),
+        (3, 1, t0, "view"),
+        (4, 1, t0, "purchase"),
+        (5, 1, t0 + 1 * h, "view"),
+        # user 2: purchase with no views at all
+        (6, 2, t0, "purchase"),
+        # user 3: views only, inside user-1's window span — must not
+        # leak into user 1's count
+        (7, 3, t0 - 1 * h, "view"),
+        # other event types are filtered at the read
+        (8, 1, t0 - 1 * h, "click"),
+        # user 1: second purchase exactly 24h later — its window is
+        # (t0, t0+24h], so the view AT t0 is excluded (lower bound
+        # exclusive again, now from the other side) and only the +1h
+        # view counts
+        (9, 1, t0 + W * h, "purchase"),
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "ts",
+                                     "event_type"])
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    df.to_parquet(tmp_path / "events.parquet", index=False)
+
+    got = events_window_join(str(tmp_path)).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    assert got["event_id"].tolist() == [4, 6, 9]
+    assert got["n_in_window"].tolist() == [2, 0, 1]
+    assert got["user_id"].tolist() == [1, 2, 1]
+
+
 def test_events_stratified_sample_balances_and_reproduces(ray_session):
     """Per-stratum counts land near target (hash-residue binomial);
     identical output across repeated runs (coordination-free

@@ -344,6 +344,75 @@ def events_asof(sf_dir: str, left_type: str = "purchase",
     return hash_bucket_combine(ds, ["user_id"], asof, num_buckets=64)
 
 
+def events_window_join(sf_dir: str, left_type: str = "purchase",
+                       right_type: str = "view",
+                       window_us: int = 24 * 3600 * 1_000_000):
+    """Stream-stream interval join, aggregated form: each ``left_type``
+    event counts the same user's ``right_type`` events in the
+    half-open window ``(ts - W, ts]`` — the Flink-style windowed join
+    Ray Data has no primitive for (reference has no streaming ops;
+    this extends the events family like events_asof does).
+
+    Composition: filter both sides at the read -> ONE hash shuffle on
+    user_id -> per bucket a single vectorized pass.  The lower bound
+    never pays a second search: each left event contributes a PROBE
+    row at ``ts - W``, the union of (rights, probes, lefts) sorts once
+    by (user, ts, kind) with rights first at equal ts, and the running
+    count of rights read at the probe vs. the left position gives the
+    in-window count as a difference.  Partitioning assumption: one
+    user's filtered history fits a bucket (same as events_asof); at
+    100 TB the identical pass runs per (user, time-range) partition
+    with one carried running count per user."""
+    from ..stages.combine import hash_bucket_combine
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.filter(pc.is_in(
+            t["event_type"],
+            value_set=pa.array([left_type, right_type])))
+
+    ds = ds.map_batches(keep, batch_format="pyarrow")
+
+    def window_count(bucket: pd.DataFrame) -> pd.DataFrame:
+        is_l = bucket["event_type"].eq(left_type).to_numpy()
+        ts_us = bucket["ts"].astype("datetime64[us]").to_numpy().view("i8")
+        uid = bucket["user_id"].astype("int64").to_numpy()
+        eid = bucket["event_id"].astype("int64").to_numpy()
+        r_u, r_t = uid[~is_l], ts_us[~is_l]
+        l_u, l_t, l_id = uid[is_l], ts_us[is_l], eid[is_l]
+        nl = len(l_u)
+        # kind 0 = right, 1 = probe(ts-W), 2 = left; rights sort FIRST
+        # at equal ts so both bounds are inclusive-of-rights-at-ts,
+        # making the difference count the half-open (ts-W, ts]
+        u = np.concatenate([r_u, l_u, l_u])
+        t = np.concatenate([r_t, l_t - np.int64(window_us), l_t])
+        kind = np.concatenate([np.zeros(len(r_u), np.int8),
+                               np.ones(nl, np.int8),
+                               np.full(nl, 2, np.int8)])
+        order = np.lexsort((kind, t, u))
+        cum = np.cumsum(kind[order] == 0)
+        # no per-user reset needed: a left event's probe and left rows
+        # sit inside the SAME user's sorted run, so rights of earlier
+        # users contribute equally to both bounds and cancel in the
+        # difference
+        pos = np.empty(len(order), np.int64)
+        pos[order] = np.arange(len(order))
+        c_lo = cum[pos[len(r_u):len(r_u) + nl]]
+        c_hi = cum[pos[len(r_u) + nl:]]
+        return pd.DataFrame({
+            "event_id": l_id,
+            "user_id": l_u,
+            "ts": l_t.view("datetime64[us]"),
+            "n_in_window": (c_hi - c_lo).astype("int64"),
+        })
+
+    return hash_bucket_combine(ds, ["user_id"], window_count,
+                               num_buckets=64)
+
+
 def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA",
                              date_lo: str = "1996-01-01",
                              date_hi: str = "1998-01-01"):
