@@ -288,6 +288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dup_ngrams": documents.doc_dup_ngrams,
         "doc_para_dedup": documents.doc_para_dedup,
         "doc_unigram_stats": documents.doc_unigram_stats,
+        "doc_rarity_buckets": documents.doc_rarity_buckets,
         "doc_quality": documents.doc_quality,
         "doc_langid": documents.doc_langid,
         "doc_fingerprint": documents.doc_fingerprint,
@@ -1461,6 +1462,36 @@ def oracle_sql(sf_tag: str = None) -> dict[str, str]:
                      AS min_tok_freq,
                    CAST(COALESCE(p.n_hapax, 0) AS BIGINT) AS n_hapax
             FROM documents d LEFT JOIN per p USING (doc_id)
+        """,
+        "doc_rarity_buckets": f"""
+            WITH {_TOK_CTES},
+            pos AS (SELECT doc_id, unnest(h) AS tid FROM ids),
+            tot AS (SELECT tid, COUNT(*) AS c FROM pos GROUP BY 1),
+            ranks AS (SELECT tid,
+                             DENSE_RANK() OVER (ORDER BY c DESC) AS rnk
+                      FROM tot),
+            per AS (SELECT doc_id, COUNT(*) AS n_tokens,
+                           SUM(rnk) AS rarity
+                    FROM pos JOIN ranks USING (tid) GROUP BY 1),
+            alldocs AS (
+              SELECT d.doc_id,
+                     CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+                     CAST(COALESCE(p.rarity, 0) AS BIGINT) AS rarity
+              FROM documents d LEFT JOIN per p USING (doc_id)),
+            normed AS (
+              SELECT doc_id, n_tokens, rarity,
+                     CAST(CASE WHEN n_tokens > 0
+                          THEN (1000 * rarity) // n_tokens
+                          ELSE 0 END AS BIGINT) AS norm_rarity
+              FROM alldocs),
+            th AS (SELECT quantile_disc(norm_rarity, 1.0/3.0) AS q33,
+                          quantile_disc(norm_rarity, 2.0/3.0) AS q66
+                   FROM normed)
+            SELECT doc_id, n_tokens, rarity, norm_rarity,
+                   CAST(CASE WHEN norm_rarity <= q33 THEN 0
+                             WHEN norm_rarity <= q66 THEN 1
+                             ELSE 2 END AS BIGINT) AS bucket
+            FROM normed, th
         """,
         "doc_dup_ngrams": f"""
             WITH {_TOK_CTES},

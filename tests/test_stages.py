@@ -517,6 +517,37 @@ def test_doc_tfidf_topk_against_pandas(ray_session):
     assert np.allclose(got["tfidf"], exp["tfidf"])
 
 
+def test_doc_rarity_buckets_semantics(ray_session, tmp_path):
+    """Zipf-rank rarity: rank 1 = most common token, dense over
+    DISTINCT counts; per-doc score sums position ranks; terciles use
+    quantile_disc semantics; empty docs score 0 and land in head."""
+    from uniparser_ray.pipelines.documents import doc_rarity_buckets
+
+    # corpus counts: 'the' x6 (rank 1), 'cat'/'dog' x2 each (rank 2,
+    # dense: both share count 2), 'zyzzyva' x1 (rank 3)
+    docs = [
+        (1, "the the the cat"),        # rarity 1+1+1+2=5, n=4
+        (2, "the the dog dog"),        # rarity 1+1+2+2=6, n=4
+        (3, "the cat zyzzyva"),        # rarity 1+2+3=6,   n=3
+        (4, ""),                       # rarity 0, n=0 -> norm 0
+    ]
+    df = pd.DataFrame(docs, columns=["doc_id", "text"])
+    df["lang"] = "en"
+    df["source"] = "t"
+    df["n_chars"] = df["text"].str.len()
+    df.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    got = doc_rarity_buckets(str(tmp_path)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got["n_tokens"].tolist() == [4, 4, 3, 0]
+    assert got["rarity"].tolist() == [5, 6, 6, 0]
+    # norm = (1000 * rarity) // n
+    assert got["norm_rarity"].tolist() == [1250, 1500, 2000, 0]
+    # sorted norms [0, 1250, 1500, 2000]; q33 = ceil(4/3)-1 = idx 1 ->
+    # 1250, q66 = ceil(8/3)-1 = idx 2 -> 1500
+    assert got["bucket"].tolist() == [0, 1, 2, 0]
+
+
 def test_events_window_join_boundaries(ray_session, tmp_path):
     """Interval-join window semantics (ts - W, ts]: a view exactly AT
     the purchase ts counts (inclusive upper), a view exactly at

@@ -769,6 +769,30 @@ def doc_para_dedup(sf_dir: str):
                          ["n_paras", "n_dup_paras", "dup_bp"])
 
 
+def _doc_token_count_rows(t: pa.Table) -> pa.Table:
+    """Distinct (doc_id, token_id, cnt) rows per batch — the shared
+    front of the corpus-unigram family.  Zero-token docs emit the
+    (tid=-1, cnt=0) sentinel so every document survives the groupby."""
+    from ..stages.tokenhash import batch_token_ids
+
+    texts = t["text"].to_pylist()
+    doc_ids = t["doc_id"].to_numpy()
+    flat, offs = batch_token_ids(texts)
+    lens = np.diff(offs)
+    df = pd.DataFrame({"doc_id": np.repeat(doc_ids, lens),
+                       "tid": flat.astype(np.int64)})
+    g = df.groupby(["doc_id", "tid"], sort=False).size() \
+        .reset_index(name="cnt")
+    empty = doc_ids[lens == 0]
+    if len(empty):
+        g = pd.concat([g, pd.DataFrame({
+            "doc_id": empty, "tid": np.int64(-1),
+            "cnt": np.int64(0)})], ignore_index=True)
+    return pa.Table.from_pandas(
+        g.astype({"doc_id": "int64", "tid": "int64", "cnt": "int64"}),
+        preserve_index=False)
+
+
 def doc_unigram_stats(sf_dir: str):
     """Corpus-unigram sufficient statistics per document — the
     integer-exact core of a CCNet-style LM quality filter (Wenzek et
@@ -783,29 +807,9 @@ def doc_unigram_stats(sf_dir: str):
     token, where the global count is the in-bucket sum — the counts
     table never exists separately and strings never move."""
     from ..stages.combine import grouped_aggregate, hash_bucket_combine
-    from ..stages.tokenhash import batch_token_ids
 
     ds = _read(sf_dir, ["doc_id", "text"])
-
-    def rows(t: pa.Table) -> pa.Table:
-        texts = t["text"].to_pylist()
-        doc_ids = t["doc_id"].to_numpy()
-        flat, offs = batch_token_ids(texts)
-        lens = np.diff(offs)
-        df = pd.DataFrame({"doc_id": np.repeat(doc_ids, lens),
-                           "tid": flat.astype(np.int64)})
-        g = df.groupby(["doc_id", "tid"], sort=False).size() \
-            .reset_index(name="cnt")
-        empty = doc_ids[lens == 0]
-        if len(empty):
-            g = pd.concat([g, pd.DataFrame({
-                "doc_id": empty, "tid": np.int64(-1),
-                "cnt": np.int64(0)})], ignore_index=True)
-        return pa.Table.from_pandas(
-            g.astype({"doc_id": "int64", "tid": "int64", "cnt": "int64"}),
-            preserve_index=False)
-
-    per_tok = ds.map_batches(rows, batch_format="pyarrow")
+    per_tok = ds.map_batches(_doc_token_count_rows, batch_format="pyarrow")
 
     def attach(g: pd.DataFrame) -> pd.DataFrame:
         g = g.copy()
@@ -835,3 +839,93 @@ def doc_unigram_stats(sf_dir: str):
                    "min_tok_freq", "n_hapax"]]
 
     return out.map_batches(finish, batch_format="pandas")
+
+
+def doc_rarity_buckets(sf_dir: str):
+    """CCNet-shaped corpus-level quality bucketing (Wenzek et al.,
+    arXiv:1911.00359 — public recipe), integer-exact: each token gets
+    a Zipf rarity rank (dense rank of its corpus count, descending —
+    rank 1 = the most common token), each document scores the SUM of
+    its positions' ranks normalized per token, and documents split
+    into head/middle/tail terciles by exact global quantiles of that
+    score — the keep/down-weight decision of an LM-quality filter
+    without the float LM (so the DuckDB twin is bit-exact).
+
+    Scale shape (three bounded exchanges, no global sort of docs):
+      1. one tokenize pass -> distinct (doc, tid, cnt) rows,
+         materialized so the two consumers don't re-tokenize;
+      2. vocab counts via partial pre-agg (one row per tid per batch
+         crosses the wire) -> the DISTINCT count values collect to the
+         driver and broadcast — ranks depend only on the count value,
+         and distinct counts are FAR fewer than vocab (heavy-tailed
+         corpus: O(10^4) distinct totals even at 10^10 tokens);
+      3. the doc-token rows shuffle ONCE by tid (the unigram-family
+         pattern): in-bucket totals + the broadcast distinct-count
+         array give each position's rank by searchsorted, and a
+         per-doc aggregate sums them;
+      4. tercile thresholds from the exact-quantile refinement
+         machinery (histogram passes, no sort), then one final
+         vectorized bucket-assignment pass.
+    """
+    import ray
+
+    from ..stages.combine import grouped_aggregate, hash_bucket_combine
+    from ..stages.sketches import exact_quantiles
+    from .relational import partial_groupby
+
+    ds = _read(sf_dir, ["doc_id", "text"])
+    per_tok = ds.map_batches(_doc_token_count_rows,
+                             batch_format="pyarrow").materialize()
+
+    # distinct corpus-count values (tiny), sorted ascending
+    vocab = partial_groupby(per_tok, ["tid"], {"tot": ("cnt", "sum")})
+
+    def distinct_tots(df: pd.DataFrame) -> pd.DataFrame:
+        real = df[df["tid"] >= 0]
+        return pd.DataFrame({"tot": np.unique(
+            real["tot"].to_numpy(dtype=np.int64))})
+
+    tots = np.unique(vocab.map_batches(
+        distinct_tots, batch_format="pandas").to_pandas()["tot"]
+        .to_numpy(dtype=np.int64))
+    tots_ref = ray.put(tots)
+
+    def attach_rank(g: pd.DataFrame) -> pd.DataFrame:
+        T = ray.get(tots_ref)
+        g = g.copy()
+        tot = g.groupby("tid")["cnt"].transform("sum").astype(np.int64)
+        real = (g["tid"] >= 0).to_numpy()
+        # dense rank by count DESC: 1 + #distinct counts strictly above
+        rank = len(T) - np.searchsorted(T, tot.to_numpy(), side="right") + 1
+        g["rar"] = np.where(real, g["cnt"].to_numpy() * rank, 0) \
+            .astype(np.int64)
+        return g[["doc_id", "cnt", "rar"]]
+
+    marked = hash_bucket_combine(per_tok, ["tid"], attach_rank)
+    per_doc = grouped_aggregate(marked, ["doc_id"],
+                                {"n_tokens": ("cnt", "sum"),
+                                 "rarity": ("rar", "sum")})
+
+    def normalize(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n_tokens"].astype("int64")
+        r = df["rarity"].astype("int64")
+        df["n_tokens"] = n
+        df["rarity"] = r
+        df["norm_rarity"] = np.where(
+            n > 0, (1000 * r) // n.clip(lower=1), 0).astype("int64")
+        return df[["doc_id", "n_tokens", "rarity", "norm_rarity"]]
+
+    scored = per_doc.map_batches(normalize,
+                                 batch_format="pandas").materialize()
+
+    th = exact_quantiles(scored, "norm_rarity", [1 / 3, 2 / 3])
+    q33, q66 = (float(th.loc[th["q"].round(6) == round(q, 6),
+                             "value"].iloc[0]) for q in (1 / 3, 2 / 3))
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        nr = df["norm_rarity"].to_numpy()
+        df["bucket"] = np.where(nr <= q33, 0,
+                                np.where(nr <= q66, 1, 2)).astype("int64")
+        return df
+
+    return scored.map_batches(bucketize, batch_format="pandas")
