@@ -26,6 +26,7 @@ _STOPWORDS_SQL = ("'the','a','an','and','or','of','to','in','is','are',"
 # build time would be cleaner, but these are embedded in f-strings
 # evaluated at module import)
 DECONTAM_MOD_SQL = 41
+INCR_DELTA_MOD_SQL = 5  # pipelines.documents.INCR_DELTA_MOD
 PII_EMAIL_SQL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_PHONE_SQL = r"\+\d{1,2}-\d{3}-\d{1,6}"
 
@@ -289,6 +290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_para_dedup": documents.doc_para_dedup,
         "doc_unigram_stats": documents.doc_unigram_stats,
         "doc_rarity_buckets": documents.doc_rarity_buckets,
+        "doc_incremental_novelty": documents.doc_incremental_novelty,
         "doc_quality": documents.doc_quality,
         "doc_langid": documents.doc_langid,
         "doc_fingerprint": documents.doc_fingerprint,
@@ -1492,6 +1494,30 @@ def oracle_sql(sf_tag: str = None) -> dict[str, str]:
                              WHEN norm_rarity <= q66 THEN 1
                              ELSE 2 END AS BIGINT) AS bucket
             FROM normed, th
+        """,
+        "doc_incremental_novelty": f"""
+            WITH {_TOK_CTES},
+            {_roll_ctes()},
+            marked AS (SELECT doc_id, wh,
+                              doc_id % {INCR_DELTA_MOD_SQL} = 0
+                                AS is_delta
+                       FROM roll),
+            base AS (SELECT DISTINCT wh FROM marked WHERE NOT is_delta),
+            per AS (
+              SELECT doc_id, COUNT(*) AS nw,
+                     SUM(CASE WHEN wh IN (SELECT wh FROM base)
+                         THEN 1 ELSE 0 END) AS known
+              FROM marked WHERE is_delta GROUP BY 1)
+            SELECT d.doc_id,
+                   CAST(COALESCE(p.nw, 0) AS BIGINT) AS n_windows,
+                   CAST(COALESCE(p.known, 0) AS BIGINT)
+                     AS n_known_windows,
+                   CAST(CASE WHEN COALESCE(p.nw, 0) = 0 THEN 0
+                        ELSE (10000 * (p.nw - p.known)) // p.nw END
+                     AS BIGINT) AS novelty_bp
+            FROM (SELECT doc_id FROM documents
+                  WHERE doc_id % {INCR_DELTA_MOD_SQL} = 0) d
+            LEFT JOIN per p USING (doc_id)
         """,
         "doc_dup_ngrams": f"""
             WITH {_TOK_CTES},

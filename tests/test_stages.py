@@ -548,6 +548,49 @@ def test_doc_rarity_buckets_semantics(ray_session, tmp_path):
     assert got["bucket"].tolist() == [0, 1, 2, 0]
 
 
+def test_doc_incremental_novelty_semantics(ray_session, tmp_path):
+    """Delta docs (doc_id % 5 == 0) score windows against the base
+    split only: a delta window repeated WITHIN the delta but absent
+    from the base stays novel; zero-token delta docs emit novelty 0;
+    base docs never appear in the output."""
+    from uniparser_ray.pipelines.documents import doc_incremental_novelty
+
+    base_sent = "alpha beta gamma delta epsilon zeta eta theta"  # 1 window
+    docs = [
+        # base (ids not % 5)
+        (1, base_sent + " iota"),                  # windows incl. the 8-gram
+        (2, "totally different base content here with many words"),
+        # delta (ids % 5 == 0)
+        (5, base_sent),                            # 1 window, known
+        (10, base_sent + " " + base_sent),         # 9 windows, some known
+        (15, "unseen fresh words " + "x y z w v u t s"),  # all novel
+        (20, ""),                                  # zero windows
+    ]
+    df = pd.DataFrame(docs, columns=["doc_id", "text"])
+    df["lang"] = "en"
+    df["source"] = "t"
+    df["n_chars"] = df["text"].str.len()
+    df.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    got = doc_incremental_novelty(str(tmp_path)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got["doc_id"].tolist() == [5, 10, 15, 20]
+    assert got.loc[0, "n_windows"] == 1
+    assert got.loc[0, "n_known_windows"] == 1      # exact base window
+    assert got.loc[0, "novelty_bp"] == 0
+    # doc 10: 16 tokens -> 9 windows; only the two pure base_sent
+    # windows (positions 0 and 8) exist in base; the 7 straddling
+    # windows are delta-only and MUST stay novel even though doc 10
+    # repeats them nowhere and doc 5 shares window 0
+    assert got.loc[1, "n_windows"] == 9
+    assert got.loc[1, "n_known_windows"] == 2
+    assert got.loc[1, "novelty_bp"] == (10000 * 7) // 9
+    assert got.loc[2, "n_known_windows"] == 0
+    assert got.loc[2, "novelty_bp"] == 10000
+    assert got.loc[3, "n_windows"] == 0
+    assert got.loc[3, "novelty_bp"] == 0
+
+
 def test_events_window_join_boundaries(ray_session, tmp_path):
     """Interval-join window semantics (ts - W, ts]: a view exactly AT
     the purchase ts counts (inclusive upper), a view exactly at

@@ -929,3 +929,82 @@ def doc_rarity_buckets(sf_dir: str):
         return df
 
     return scored.map_batches(bucketize, batch_format="pandas")
+
+
+INCR_DELTA_MOD = 5  # doc_id % 5 == 0 -> the "new snapshot" (delta) side
+
+
+def doc_incremental_novelty(sf_dir: str, width: int = 8):
+    """Incremental-ingest novelty: the continuous-crawl form of Lee et
+    al. substring dedup (arXiv:2107.06499 — public recipe).  The
+    corpus splits into an already-curated BASE (doc_id % 5 != 0) and a
+    new DELTA snapshot (doc_id % 5 == 0); each delta document reports
+    how many of its width-8 rolling token windows already exist
+    anywhere in the base, and its novelty fraction in basis points —
+    the keep/re-crawl signal an incremental pipeline acts on.
+
+    Scale shape: identical to doc_dup_ngrams — batches collapse to
+    distinct (doc_id, window_hash, cnt) rows before the ONE shuffle
+    (only integer hashes move, text never does), the per-hash combine
+    checks base-side presence in-bucket, and a grouped sum folds back
+    to one row per delta doc.  In production the base side is the
+    PERSISTED window-hash index written by the previous run (a pruned
+    read of hash columns), so the incremental run tokenizes only the
+    delta; here both sides derive from the same table split."""
+    from ..stages.combine import grouped_aggregate, hash_bucket_combine
+    from ..stages.tokenhash import batch_token_ids, window_hashes
+
+    ds = _read(sf_dir, ["doc_id", "text"])
+
+    def rows(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        doc_ids = t["doc_id"].to_numpy()
+        flat, offs = batch_token_ids(texts)
+        wh, counts = window_hashes(flat, offs, width)
+        df = pd.DataFrame({"doc_id": np.repeat(doc_ids, counts),
+                           "wh": wh.astype(np.int64)})
+        g = df.groupby(["doc_id", "wh"], sort=False).size() \
+            .reset_index(name="cnt")
+        # zero-window DELTA docs need the sentinel so they appear in
+        # the output; base zero-window docs contribute nothing anyway
+        empty = doc_ids[(counts == 0)
+                        & (doc_ids % INCR_DELTA_MOD == 0)]
+        if len(empty):
+            g = pd.concat([g, pd.DataFrame({
+                "doc_id": empty, "wh": np.int64(-1),
+                "cnt": np.int64(0)})], ignore_index=True)
+        return pa.Table.from_pandas(
+            g.astype({"doc_id": "int64", "wh": "int64", "cnt": "int64"}),
+            preserve_index=False)
+
+    per_hash = ds.map_batches(rows, batch_format="pyarrow")
+
+    def mark(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        is_delta = (g["doc_id"] % INCR_DELTA_MOD == 0).to_numpy()
+        in_base = g.assign(_b=~is_delta).groupby("wh")["_b"] \
+            .transform("max").to_numpy()
+        d = g[is_delta]
+        known = np.where((d["wh"].to_numpy() >= 0) & in_base[is_delta],
+                         d["cnt"].to_numpy(), 0).astype(np.int64)
+        return pd.DataFrame({"doc_id": d["doc_id"].to_numpy(),
+                             "cnt": d["cnt"].to_numpy(),
+                             "known": known})
+
+    marked = hash_bucket_combine(per_hash, ["wh"], mark)
+    out = grouped_aggregate(marked, ["doc_id"],
+                            {"n_windows": ("cnt", "sum"),
+                             "n_known_windows": ("known", "sum")})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        nw = df["n_windows"].astype("int64")
+        nk = df["n_known_windows"].astype("int64")
+        df["n_windows"] = nw
+        df["n_known_windows"] = nk
+        df["novelty_bp"] = np.where(
+            nw > 0, (10000 * (nw - nk)) // nw.clip(lower=1), 0) \
+            .astype("int64")
+        return df[["doc_id", "n_windows", "n_known_windows",
+                   "novelty_bp"]]
+
+    return out.map_batches(finish, batch_format="pandas")
