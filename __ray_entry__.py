@@ -326,6 +326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_bucket_shards": images_q.images_bucket_shards,
         "caption_token_stats": images_q.caption_token_stats,
         "images_caption_align": images_q.images_caption_align,
+        "images_hard_negatives": images_q.images_hard_negatives,
         "audio_features": images_q.audio_features_q,
         "video_frames": images_q.video_frames_q,
         "video_shot_boundaries": images_q.video_shot_boundaries,
@@ -636,6 +637,34 @@ def _multimodal_oracle_thunks(tag: str) -> dict:
                         <= {_ALIGN_MAX_HAMMING()} AS BIGINT) AS aligned
             FROM m LEFT JOIN simh s ON s.doc_id = m.image_id
         """,
+        "images_hard_negatives": lambda: f"""
+            WITH {meta()},
+            documents AS (SELECT image_id AS doc_id, caption AS text
+                          FROM m),
+            {_TOK_CTES},
+            {_sh_cte()},
+            {_params_cte("sp", 64, _simhash_seed())},
+            {_simhash_ctes()},
+            caps AS (SELECT m.image_id AS cap_id,
+                            COALESCE(s.simhash, 0) AS sim
+                     FROM m LEFT JOIN simh s ON s.doc_id = m.image_id),
+            anchors AS (
+              SELECT image_id AS anchor_id, phash FROM m
+              WHERE ('0x' || substr(md5(image_id), 1, 15))::BIGINT
+                      % 2147483647 % {_HARDNEG_MOD()} = 0),
+            scored AS (
+              SELECT a.anchor_id, c.cap_id AS neg_image_id,
+                     bit_count(xor(a.phash, c.sim)) AS hamming
+              FROM anchors a JOIN caps c ON c.cap_id <> a.anchor_id)
+            SELECT anchor_id, neg_image_id,
+                   CAST(hamming AS BIGINT) AS hamming,
+                   CAST(rn AS BIGINT) AS rank
+            FROM (SELECT *, ROW_NUMBER() OVER (
+                      PARTITION BY anchor_id
+                      ORDER BY hamming, neg_image_id) AS rn
+                  FROM scored)
+            WHERE rn <= {_HARDNEG_K()}
+        """,
         "images_neardup_phash": lambda: f"""
             WITH {meta()}
             SELECT a.image_id AS image_a, b.image_id AS image_b,
@@ -831,6 +860,16 @@ def _WATERMARK_LATENESS_US() -> int:
 def _simhash_seed() -> int:
     from uniparser_ray.stages.tokenhash import SIMHASH_SEED
     return SIMHASH_SEED
+
+
+def _HARDNEG_MOD() -> int:
+    from uniparser_ray.pipelines.images_q import HARDNEG_ANCHOR_MOD
+    return HARDNEG_ANCHOR_MOD
+
+
+def _HARDNEG_K() -> int:
+    from uniparser_ray.pipelines.images_q import HARDNEG_K
+    return HARDNEG_K
 
 
 def _ALIGN_MAX_HAMMING() -> int:

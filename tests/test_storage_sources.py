@@ -221,3 +221,46 @@ def test_caption_align_stage_semantics(ray_session):
     full = images_caption_align("/root/testdata/sf0.001").to_pandas()
     assert set(full["aligned"].unique()) == {0, 1}
     assert len(full) == 300
+
+
+def test_images_hard_negatives_mining(ray_session):
+    """Hard-negative mining invariants on the synthetic crawl table:
+    every anchor is an md5-residue sample member, its own caption
+    never appears among its negatives, ranks are 1..k ordered by
+    (hamming asc, neg_image_id asc), and each anchor's rank-1 hamming
+    equals the true minimum over all OTHER captions (brute-force
+    numpy check)."""
+    import numpy as np
+
+    from uniparser_ray.pipelines.images_q import (HARDNEG_ANCHOR_MOD,
+                                                  HARDNEG_K,
+                                                  images_hard_negatives,
+                                                  images_lance_for)
+    from uniparser_ray.stages.dedup import popcount64
+    from uniparser_ray.stages.sketches import hash31
+    from uniparser_ray.stages.tokenhash import shingle_hashes, simhash_values
+
+    got = images_hard_negatives("/root/testdata/sf0.001").to_pandas()
+    assert (got["anchor_id"] != got["neg_image_id"]).all()
+    assert ((hash31(got["anchor_id"].to_numpy(object))
+             % HARDNEG_ANCHOR_MOD) == 0).all()
+    per = got.sort_values(["anchor_id", "rank"]).groupby("anchor_id")
+    for _, g in per:
+        assert g["rank"].tolist() == list(range(1, len(g) + 1))
+        assert len(g) <= HARDNEG_K
+        h = g["hamming"].to_numpy()
+        assert (np.diff(h) >= 0).all()
+
+    # brute-force rank-1 check
+    meta = images_lance_for("/root/testdata/sf0.001") \
+        .read_dataset(columns=["image_id", "caption", "phash"]).to_pandas()
+    sh, counts = shingle_hashes(meta["caption"].tolist(), 3)
+    sim = simhash_values(sh, counts)
+    ph = meta["phash"].to_numpy(np.int64).view(np.uint64)
+    ids = meta["image_id"].to_numpy(object)
+    top1 = got[got["rank"] == 1].set_index("anchor_id")["hamming"]
+    for aid, want in top1.items():
+        a = np.where(ids == aid)[0][0]
+        ham = popcount64(np.uint64(ph[a]) ^ sim)
+        ham[a] = 65
+        assert want == ham.min()

@@ -793,3 +793,98 @@ def crawl_image_lineage(sf_dir: str):
     return rd.from_items(rows).map_batches(read_ids,
                                            batch_format="pyarrow",
                                            batch_size=4)
+
+
+HARDNEG_ANCHOR_MOD = 8   # hash31(image_id) % 8 == 0 -> anchor sample
+HARDNEG_K = 5
+
+
+class HardNegStage:
+    """Contrastive hard-negative scorer: hamming(anchor phash, caption
+    simhash) against the broadcast anchor set, local top-k per anchor
+    per batch.  A production run swaps the scorer for batched CLIP
+    text/image embeddings (loaded once per actor here in __init__);
+    the deterministic stand-in keeps the mining plumbing — broadcast
+    anchors, streamed corpus, bounded per-anchor fan-in — real and
+    value-checked."""
+
+    def __init__(self, anchors_ref, k: int = HARDNEG_K):
+        import ray
+        self.anchor_ids, ph = ray.get(anchors_ref)
+        self.ph = ph.view(np.uint64)
+        self.anchor_arr = np.asarray(self.anchor_ids, dtype=object)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..stages.dedup import popcount64
+        from ..stages.tokenhash import shingle_hashes, simhash_values
+        caps = batch["caption"].to_pylist()
+        cap_ids = np.asarray(batch["image_id"].to_pylist(), dtype=object)
+        sh, counts = shingle_hashes(caps, k=3)
+        sim = simhash_values(sh, counts)
+        x = self.ph[:, None] ^ sim[None, :]
+        # popcount64 flattens to (-1, 8) bytes internally: reshape back
+        ham = popcount64(x.ravel()).reshape(x.shape).astype(np.int64)
+        # the anchor's own caption is not a negative
+        ham[self.anchor_arr[:, None] == cap_ids[None, :]] = 65
+        cap_u = cap_ids.astype(str)
+        out_a, out_n, out_h = [], [], []
+        k = min(self.k, ham.shape[1])
+        for ai, aid in enumerate(self.anchor_ids):
+            row = ham[ai]
+            idx = np.lexsort((cap_u, row))[:k]
+            idx = idx[row[idx] <= 64]
+            out_a.extend([aid] * len(idx))
+            out_n.extend(cap_ids[idx].tolist())
+            out_h.extend(row[idx].tolist())
+        return pa.Table.from_arrays([
+            pa.array(out_a, pa.string()), pa.array(out_n, pa.string()),
+            pa.array(out_h, pa.int64())],
+            names=["anchor_id", "neg_image_id", "hamming"])
+
+
+def images_hard_negatives(sf_dir: str, k: int = HARDNEG_K):
+    """Hard-negative mining for contrastive (CLIP-style) training over
+    the crawl's image+caption table: a deterministic md5-residue
+    sample of anchor images broadcasts (image_id, phash) once via
+    ``ray.put``; ONE streamed pass over the caption side scores every
+    (anchor, caption) pair and keeps a local top-k per anchor, so the
+    global per-anchor merge fans in k rows per anchor per block —
+    bounded like the ANN merges, co-located by anchor through the
+    bucketed combine.  Bytes never leave storage; at 10^10 images the
+    anchor mod scales to keep the broadcast at probe-set size."""
+    import ray
+
+    from ..stages.combine import hash_bucket_combine
+    from ..stages.sketches import hash31
+    from ..stages.taskcache import cached_stage
+
+    table = images_lance_for(sf_dir)
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["image_id"].to_pylist(), dtype=object)
+        m = (hash31(ids) % HARDNEG_ANCHOR_MOD) == 0
+        return t.filter(pa.array(m))
+
+    anch = table.read_dataset(columns=["image_id", "phash"]) \
+        .map_batches(pick, batch_format="pyarrow").to_pandas() \
+        .sort_values("image_id")
+    anchors_ref = ray.put((anch["image_id"].tolist(),
+                           anch["phash"].to_numpy(np.int64)))
+
+    local = table.read_dataset(columns=["image_id", "caption"]) \
+        .map_batches(cached_stage(HardNegStage, anchors_ref=anchors_ref,
+                                  k=k),
+                     batch_format="pyarrow", batch_size=1024)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["anchor_id", "hamming", "neg_image_id"],
+                            kind="mergesort")
+        df = df.groupby("anchor_id", sort=False).head(k).copy()
+        df["rank"] = (df.groupby("anchor_id", sort=False).cumcount()
+                      + 1).astype(np.int64)
+        df["hamming"] = df["hamming"].astype("int64")
+        return df[["anchor_id", "neg_image_id", "hamming", "rank"]]
+
+    return hash_bucket_combine(local, ["anchor_id"], merge,
+                               driver_limit_rows=200_000)
