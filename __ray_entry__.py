@@ -270,6 +270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof": lambda sf: _asof_no_nulls(
             relational.events_asof(sf).to_pandas()),
         "events_window_join": relational.events_window_join,
+        "events_funnel": relational.events_funnel,
         "events_hopping": lambda sf: _ts_us(
             relational.events_hopping(sf).to_pandas(), ["window_start"]),
         "events_cumulative": relational.events_cumulative,
@@ -1196,6 +1197,33 @@ def oracle_sql(sf_tag: str = None) -> dict[str, str]:
                    COALESCE(epoch_us(l.ts) - epoch_us(r.ts), -1) AS gap_us
             FROM left_s l ASOF LEFT JOIN right_d r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "events_funnel": """
+            WITH s1 AS (
+              SELECT user_id, MIN(ts) AS t1 FROM events
+              WHERE event_type = 'signup' GROUP BY 1
+            ), s2 AS (
+              SELECT e.user_id, MIN(e.ts) AS t2
+              FROM events e JOIN s1 USING (user_id)
+              WHERE e.event_type = 'view' AND e.ts >= s1.t1 GROUP BY 1
+            ), s3 AS (
+              SELECT e.user_id, MIN(e.ts) AS t3
+              FROM events e JOIN s2 USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+              GROUP BY 1
+            )
+            SELECT u.user_id,
+                   CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                             WHEN t2 IS NOT NULL THEN 2
+                             WHEN t1 IS NOT NULL THEN 1
+                             ELSE 0 END AS BIGINT) AS stage,
+                   COALESCE(epoch_us(t1), -1) AS t_signup_us,
+                   COALESCE(epoch_us(t2), -1) AS t_view_us,
+                   COALESCE(epoch_us(t3), -1) AS t_purchase_us
+            FROM (SELECT DISTINCT user_id FROM events) u
+            LEFT JOIN s1 USING (user_id)
+            LEFT JOIN s2 USING (user_id)
+            LEFT JOIN s3 USING (user_id)
         """,
         "events_window_join": """
             WITH lefts AS (

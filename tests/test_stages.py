@@ -517,6 +517,54 @@ def test_doc_tfidf_topk_against_pandas(ray_session):
     assert np.allclose(got["tfidf"], exp["tfidf"])
 
 
+def test_events_funnel_order_constraint(ray_session, tmp_path):
+    """The funnel counts a stage only at-or-after the PREVIOUS stage's
+    first completion: views before the first signup don't advance the
+    funnel, purchases before the qualifying view don't either, an
+    equal-ts chain does (>= semantics), and users with no signup emit
+    stage 0."""
+    from uniparser_ray.pipelines.relational import events_funnel
+
+    t0 = pd.Timestamp("2024-03-01")
+    m = pd.Timedelta(minutes=1)
+    rows = [
+        # user 1: view BEFORE signup (ignored), then signup, view,
+        # purchase in order -> stage 3
+        (1, 1, t0 + 0 * m, "view"),
+        (2, 1, t0 + 1 * m, "signup"),
+        (3, 1, t0 + 2 * m, "view"),
+        (4, 1, t0 + 3 * m, "purchase"),
+        # user 2: purchase BEFORE its qualifying view -> stage 2 only
+        (5, 2, t0 + 0 * m, "signup"),
+        (6, 2, t0 + 1 * m, "purchase"),
+        (7, 2, t0 + 2 * m, "view"),
+        # user 3: all three at the SAME ts -> >= chain gives stage 3
+        (8, 3, t0, "signup"),
+        (9, 3, t0, "view"),
+        (10, 3, t0, "purchase"),
+        # user 4: activity but never signs up -> stage 0
+        (11, 4, t0, "view"),
+        (12, 4, t0 + 1 * m, "purchase"),
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "ts",
+                                     "event_type"])
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    df["value"] = 1.0
+    df["props"] = "{}"
+    df.to_parquet(tmp_path / "events.parquet", index=False)
+
+    got = events_funnel(str(tmp_path)).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    assert got["user_id"].tolist() == [1, 2, 3, 4]
+    assert got["stage"].tolist() == [3, 2, 3, 0]
+    us = lambda ts: int(pd.Timestamp(ts).value // 1000)
+    assert got.loc[0, "t_view_us"] == us(t0 + 2 * m)   # not the early view
+    assert got.loc[1, "t_purchase_us"] == -1
+    assert got.loc[2, "t_purchase_us"] == us(t0)
+    assert (got.loc[3, ["t_signup_us", "t_view_us", "t_purchase_us"]]
+            == -1).all()
+
+
 def test_doc_rarity_buckets_semantics(ray_session, tmp_path):
     """Zipf-rank rarity: rank 1 = most common token, dense over
     DISTINCT counts; per-doc score sums position ranks; terciles use

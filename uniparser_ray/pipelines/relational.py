@@ -786,3 +786,55 @@ def customers_without_orders(sf_dir: str, min_price: float = 400_000.0):
             .astype({"c_custkey": "int64"})
 
     return hash_bucket_combine(u, ["c_custkey"], anti)
+
+
+def events_funnel(sf_dir: str,
+                  stages=("signup", "view", "purchase")):
+    """Ordered funnel analysis: per user, how deep the
+    signup -> view -> purchase sequence progresses, where each stage
+    counts only at-or-after the previous stage's first completion
+    (t1 = first signup; t2 = first view with ts >= t1; t3 = first
+    purchase with ts >= t2) — the product-analytics operator whose
+    ORDER constraint plain grouped aggregation can't express.
+
+    One hash shuffle on user_id; per bucket each stage is a vectorized
+    filter + groupby-min + merge against the previous stage's time (no
+    per-user Python).  Users who never reach stage 1 still emit a row
+    (stage 0).  Missing times encode as -1 so the output is all-int64
+    and the DuckDB twin compares exactly."""
+    from ..stages.combine import hash_bucket_combine
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def funnel(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.assign(
+            ts_us=bucket["ts"].astype("datetime64[us]")
+            .to_numpy().view("i8"))
+        users = pd.DataFrame(
+            {"user_id": np.unique(b["user_id"].to_numpy())})
+        prev = None  # DataFrame (user_id, t_prev)
+        times = []
+        for i, st in enumerate(stages):
+            rows = b[b["event_type"].eq(st)][["user_id", "ts_us"]]
+            if prev is not None:
+                rows = rows.merge(prev, on="user_id", how="inner")
+                rows = rows[rows["ts_us"] >= rows["t_prev"]]
+            t = rows.groupby("user_id", as_index=False)["ts_us"].min() \
+                .rename(columns={"ts_us": f"t{i}"})
+            times.append(t)
+            prev = t.rename(columns={f"t{i}": "t_prev"})
+        out = users
+        for t in times:
+            out = out.merge(t, on="user_id", how="left")
+        tcols = [f"t{i}" for i in range(len(stages))]
+        stage = np.zeros(len(out), np.int64)
+        for i, c in enumerate(tcols):
+            stage = np.where(out[c].notna(), i + 1, stage)
+        res = {"user_id": out["user_id"].astype("int64").to_numpy(),
+               "stage": stage}
+        for name, c in zip(("t_signup_us", "t_view_us",
+                            "t_purchase_us"), tcols):
+            res[name] = out[c].fillna(-1).astype("int64").to_numpy()
+        return pd.DataFrame(res)
+
+    return hash_bucket_combine(ds, ["user_id"], funnel, num_buckets=64)
