@@ -271,6 +271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             relational.events_asof(sf).to_pandas()),
         "events_window_join": relational.events_window_join,
         "events_funnel": relational.events_funnel,
+        "events_retention": relational.events_retention,
         "events_hopping": lambda sf: _ts_us(
             relational.events_hopping(sf).to_pandas(), ["window_start"]),
         "events_cumulative": relational.events_cumulative,
@@ -1197,6 +1198,22 @@ def oracle_sql(sf_tag: str = None) -> dict[str, str]:
                    COALESCE(epoch_us(l.ts) - epoch_us(r.ts), -1) AS gap_us
             FROM left_s l ASOF LEFT JOIN right_d r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "events_retention": """
+            WITH w AS (
+              SELECT user_id, event_type,
+                     epoch_us(ts) // 604800000000 AS wk
+              FROM events
+            ), coh AS (
+              SELECT user_id, MIN(wk) AS cw FROM w
+              WHERE event_type = 'signup' GROUP BY 1
+            ), act AS (
+              SELECT DISTINCT w.user_id, c.cw, w.wk - c.cw AS off
+              FROM w JOIN coh c USING (user_id) WHERE w.wk >= c.cw
+            )
+            SELECT cw AS cohort_week, off AS week_offset,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM act GROUP BY 1, 2
         """,
         "events_funnel": """
             WITH s1 AS (

@@ -160,6 +160,7 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     # partial-sum passes + a labeling pass, semdedup adds the
     # in-cluster pair pass, caption_align is the CLIP-shaped gate
     from uniparser_ray.pipelines import documents as docs_p
+    from uniparser_ray.pipelines import relational as rel_p
     from uniparser_ray.pipelines import vectors as vecs_p
     timed3("doc_decontaminate",
            lambda: consume(docs_p.doc_decontaminate(sf_dir)))
@@ -208,6 +209,17 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
            lambda: stats_p.events_heavy_hitters(sf_dir).num_rows)
     timed4("embedding_pq_topk",
            lambda: vecs_p.embedding_pq_topk(sf_dir).num_rows)
+    # round-3 continuation batch (same comparability rule)
+    timed4("events_window_join",
+           lambda: consume(rel_p.events_window_join(sf_dir)))
+    timed4("events_funnel",
+           lambda: consume(rel_p.events_funnel(sf_dir)))
+    timed4("doc_rarity_buckets",
+           lambda: consume(docs_p.doc_rarity_buckets(sf_dir)))
+    timed4("doc_incremental_novelty",
+           lambda: consume(docs_p.doc_incremental_novelty(sf_dir)))
+    timed4("images_hard_negatives",
+           lambda: consume(images_p.images_hard_negatives(sf_dir)))
     return {
         "metric": "crawl+operator suite wall time",
         "value": total,

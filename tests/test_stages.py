@@ -565,6 +565,47 @@ def test_events_funnel_order_constraint(ray_session, tmp_path):
             == -1).all()
 
 
+def test_events_retention_cohorts(ray_session, tmp_path):
+    """Retention cells count DISTINCT users per (cohort, offset):
+    pre-signup activity is excluded, multiple events in one window
+    count once, the cohort is the FIRST signup's window, and users
+    who never sign up contribute nothing."""
+    from uniparser_ray.pipelines.relational import (_WEEK_US,
+                                                    events_retention)
+
+    wk = pd.Timedelta(days=7)
+    # anchor t0 to an exact 7-day epoch boundary so offsets are crisp
+    t0 = pd.Timestamp(5000 * _WEEK_US * 1000)
+    rows = [
+        # user 1: signs up week 0, active weeks 0 (twice) and 2
+        (1, 1, t0, "signup"),
+        (2, 1, t0 + pd.Timedelta(days=1), "view"),
+        (3, 1, t0 + 2 * wk, "purchase"),
+        # user 2: pre-signup view (week -1, excluded), signup week 0,
+        # second signup week 1 (ignored), active week 1
+        (4, 2, t0 - pd.Timedelta(days=2), "view"),
+        (5, 2, t0 + pd.Timedelta(days=2), "signup"),
+        (6, 2, t0 + wk, "signup"),
+        (7, 2, t0 + wk + pd.Timedelta(days=1), "click"),
+        # user 3: never signs up
+        (8, 3, t0, "view"),
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "ts",
+                                     "event_type"])
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    df["value"] = 1.0
+    df["props"] = "{}"
+    df.to_parquet(tmp_path / "events.parquet", index=False)
+
+    got = events_retention(str(tmp_path)).to_pandas() \
+        .sort_values(["cohort_week", "week_offset"]).reset_index(drop=True)
+    w0 = 5000
+    # offsets: week 0 -> users 1+2 (u1's two events count once each
+    # user), week 1 -> user 2 (signup+click dedupe), week 2 -> user 1
+    assert got[["cohort_week", "week_offset", "n_users"]].values.tolist() \
+        == [[w0, 0, 2], [w0, 1, 1], [w0, 2, 1]]
+
+
 def test_doc_rarity_buckets_semantics(ray_session, tmp_path):
     """Zipf-rank rarity: rank 1 = most common token, dense over
     DISTINCT counts; per-doc score sums position ranks; terciles use

@@ -838,3 +838,52 @@ def events_funnel(sf_dir: str,
         return pd.DataFrame(res)
 
     return hash_bucket_combine(ds, ["user_id"], funnel, num_buckets=64)
+
+
+_WEEK_US = 7 * 86400 * 1_000_000
+
+
+def events_retention(sf_dir: str):
+    """Cohort retention matrix: users cohorted by the 7-day window of
+    their first signup; each (cohort, week-offset) cell counts the
+    distinct users active (any event) that many windows later — the
+    growth-analytics operator behind every retention curve.  Windows
+    are fixed 7-day buckets of epoch microseconds (no calendar
+    semantics), so both sides compute bit-identical integers.
+
+    One hash shuffle on user_id: per bucket the cohort is a
+    groupby-min, activity weeks dedupe per user vectorized, and each
+    user contributes one row per distinct offset; a grouped partial
+    sum then folds user rows into cells (cells are tiny —
+    O(weeks²) — so the combine uses the low-cardinality fast path)."""
+    from ..stages.combine import hash_bucket_combine
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def per_user(bucket: pd.DataFrame) -> pd.DataFrame:
+        wk = (bucket["ts"].astype("datetime64[us]").to_numpy()
+              .view("i8") // _WEEK_US)
+        b = bucket.assign(wk=wk)
+        coh = b[b["event_type"].eq("signup")] \
+            .groupby("user_id")["wk"].min()
+        b = b.assign(cw=b["user_id"].map(coh))
+        b = b[b["cw"].notna() & (b["wk"] >= b["cw"])]
+        cells = b.assign(off=(b["wk"] - b["cw"]).astype("int64"),
+                         cw=b["cw"].astype("int64")) \
+            .drop_duplicates(["user_id", "cw", "off"])
+        return pd.DataFrame({
+            "cohort_week": cells["cw"].to_numpy(),
+            "week_offset": cells["off"].to_numpy(),
+            "one": np.ones(len(cells), np.int64)})
+
+    rows = hash_bucket_combine(ds, ["user_id"], per_user, num_buckets=64)
+    out = partial_groupby(rows, ["cohort_week", "week_offset"],
+                          {"n_users": ("one", "sum")},
+                          driver_limit_rows=_LOWCARD_COMBINE_LIMIT)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        for c in ("cohort_week", "week_offset", "n_users"):
+            df[c] = df[c].astype("int64")
+        return df[["cohort_week", "week_offset", "n_users"]]
+
+    return out.map_batches(finish, batch_format="pandas")
