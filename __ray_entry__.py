@@ -293,6 +293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_unigram_stats": documents.doc_unigram_stats,
         "doc_rarity_buckets": documents.doc_rarity_buckets,
         "doc_incremental_novelty": documents.doc_incremental_novelty,
+        "doc_gopher_rules": documents.doc_gopher_rules,
         "doc_quality": documents.doc_quality,
         "doc_langid": documents.doc_langid,
         "doc_fingerprint": documents.doc_fingerprint,
@@ -828,6 +829,56 @@ def _repetition_sql() -> str:
                         OR 5 * (COALESCE(n, 0) - COALESCE(nd, 0))
                             > 4 * COALESCE(n, 0) AS BIGINT) AS repetitive
             FROM documents d LEFT JOIN agg USING (doc_id)
+    """
+
+
+def _gopher_sql() -> str:
+    """Composed Gopher keep/drop filter: the five rule thresholds as a
+    violation bitmask, every comparison an integer cross-multiplication
+    (mean-word-length in [3,10] ⟺ 3n ≤ Σ|w| ≤ 10n; alpha ≥ 0.6 ⟺
+    5·alpha ≥ 3·chars) so the twin is bit-exact; bit 4 reuses the
+    repetition CTE's tokenhash distinct structure."""
+    return rf"""
+            WITH {_TOK_CTES},
+            tok AS (SELECT doc_id, unnest(h) AS tid FROM ids),
+            cnt AS (SELECT doc_id, tid, COUNT(*) AS c
+                    FROM tok GROUP BY 1, 2),
+            rep AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+                           CAST(COUNT(*) AS BIGINT) AS nd,
+                           CAST(MAX(c) AS BIGINT) AS topc
+                    FROM cnt GROUP BY 1),
+            base AS (
+              SELECT doc_id,
+                     CAST(length(regexp_extract_all(text, '\w+'))
+                          AS BIGINT) AS n_words,
+                     CAST(COALESCE(list_aggregate(list_transform(
+                              regexp_extract_all(text, '\w+'),
+                              w -> length(w)), 'sum'), 0)
+                          AS BIGINT) AS sum_word_len,
+                     CAST(length(regexp_extract_all(text, '[A-Za-z]'))
+                          AS BIGINT) AS n_alpha,
+                     CAST(length(text) AS BIGINT) AS n_chars,
+                     CAST(length(list_filter(
+                              regexp_extract_all(text, '\w+'),
+                              w -> lower(w) IN ({_STOPWORDS_SQL})))
+                          AS BIGINT) AS n_stop
+              FROM documents),
+            scored AS (
+              SELECT b.doc_id, n_words, sum_word_len, n_alpha, n_chars,
+                     n_stop,
+                     CAST(CASE WHEN n_words < 5 THEN 1 ELSE 0 END
+                        + CASE WHEN 3 * n_words > sum_word_len
+                               OR sum_word_len > 10 * n_words
+                               THEN 2 ELSE 0 END
+                        + CASE WHEN 5 * n_alpha < 3 * n_chars
+                               THEN 4 ELSE 0 END
+                        + CASE WHEN n_stop < 2 THEN 8 ELSE 0 END
+                        + CASE WHEN 5 * COALESCE(topc, 0) > COALESCE(n, 0)
+                               OR 5 * (COALESCE(n, 0) - COALESCE(nd, 0))
+                                   > 4 * COALESCE(n, 0)
+                               THEN 16 ELSE 0 END AS BIGINT) AS violations
+              FROM base b LEFT JOIN rep USING (doc_id))
+            SELECT *, CAST(violations = 0 AS BIGINT) AS keep FROM scored
     """
 
 
@@ -1654,6 +1705,7 @@ def oracle_sql(sf_tag: str = None) -> dict[str, str]:
         "doc_fingerprint":
             "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
         "doc_repetition": _repetition_sql(),
+        "doc_gopher_rules": _gopher_sql(),
         # training-mix weighting: exact integer keep rates
         "doc_source_mix": f"""
             WITH per AS (

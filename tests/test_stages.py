@@ -993,3 +993,35 @@ def test_exact_quantiles_fast_path_equals_refinement(ray_session):
                              collect_limit=50)
     pd.testing.assert_frame_equal(fast_g.reset_index(drop=True),
                                   slow_g.reset_index(drop=True))
+
+
+def test_doc_gopher_rules_bitmask(ray_session, tmp_path):
+    """Each Gopher rule trips its own bit: 1=<5 words, 2=mean word
+    length outside [3,10], 4=alpha<0.6, 8=<2 stopwords, 16=repetitive;
+    keep only when no bit set. Short docs also trip bit 16 (one token
+    of three is >20% top-frac) — pinned, not accidental."""
+    from uniparser_ray.pipelines.documents import doc_gopher_rules
+
+    docs = [
+        (1, "the quick brown fox jumps over a lazy sleeping hound"),
+        (2, "tiny doc here"),                       # bits 0,3 + 16
+        (3, "spam spam spam spam spam is in the pot today friend"),
+        (4, "1234 5678 9999 0000 4242 the in"),     # bit 2
+        (5, "extraordinarily incomprehensible characterization"
+            " internationalization anthropological the in"),  # bit 1
+        (6, ""),                                    # bits 0,3
+    ]
+    df = pd.DataFrame(docs, columns=["doc_id", "text"])
+    df["lang"] = "en"
+    df["source"] = "t"
+    df["n_chars"] = df["text"].str.len()
+    df.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    got = doc_gopher_rules(str(tmp_path)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got["violations"].tolist() == [0, 25, 16, 4, 2, 9]
+    assert got["keep"].tolist() == [1, 0, 0, 0, 0, 0]
+    # pinned raw stats for the keep doc
+    row = got.iloc[0]
+    assert (row["n_words"], row["sum_word_len"]) == (10, 43)
+    assert (row["n_alpha"], row["n_chars"], row["n_stop"]) == (43, 52, 2)

@@ -1008,3 +1008,12 @@ def doc_incremental_novelty(sf_dir: str, width: int = 8):
                    "novelty_bp"]]
 
     return out.map_batches(finish, batch_format="pandas")
+
+
+def doc_gopher_rules(sf_dir: str):
+    """The composed Gopher keep/drop filter — one shuffle-free
+    vectorized pass producing the violation bitmask and keep flag a
+    curation pipeline filters on (stages/text.gopher_rules_batch)."""
+    from ..stages.text import gopher_rules_batch
+    return _read(sf_dir, ["doc_id", "text"]).map_batches(
+        gopher_rules_batch, batch_format="pyarrow")

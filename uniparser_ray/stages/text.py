@@ -222,3 +222,40 @@ def pii_redact_batch(batch: pa.Table) -> pa.Table:
         [batch["doc_id"], n_emails.cast(pa.int64()),
          n_phones.cast(pa.int64()), pa.array(md5s, pa.string())],
         names=["doc_id", "n_emails", "n_phones", "clean_md5"])
+
+
+def gopher_rules_batch(batch: pa.Table) -> pa.Table:
+    """Composed Gopher quality filter (Rae et al. 2021 §A1.1, public):
+    the keep/drop conjunction an LM-data pipeline actually applies,
+    with every threshold evaluated by INTEGER cross-multiplication so
+    the DuckDB twin is bit-exact.  ``violations`` is a bitmask —
+    bit 0: < 5 words; bit 1: mean word length outside [3, 10];
+    bit 2: alpha ratio < 0.6; bit 3: < 2 stopwords; bit 4: repetitive
+    (the doc_repetition flag).  keep = (violations == 0)."""
+    rep = repetition_batch(batch)
+    texts = pd.Series(batch["text"].to_pylist())
+    words = texts.str.findall(_WORD_RE)
+    n_words = words.map(len).to_numpy(np.int64)
+    sum_wl = words.map(lambda ws: sum(map(len, ws))).to_numpy(np.int64)
+    n_alpha = texts.str.count(r"[A-Za-z]").to_numpy(np.int64)
+    n_chars = texts.str.len().to_numpy(np.int64)
+    n_stop = words.map(
+        lambda ws: sum(w.lower() in STOPWORDS for w in ws)) \
+        .to_numpy(np.int64)
+    n_tok = rep["n_tokens"].to_numpy()
+    n_dup = n_tok - rep["n_distinct"].to_numpy()
+    top_tf = rep["top_tf"].to_numpy()
+    v = ((n_words < 5) * 1
+         + ((3 * n_words > sum_wl) | (sum_wl > 10 * n_words)) * 2
+         + (5 * n_alpha < 3 * n_chars) * 4
+         + (n_stop < 2) * 8
+         + ((5 * top_tf > n_tok) | (5 * n_dup > 4 * n_tok)) * 16) \
+        .astype(np.int64)
+    return pa.Table.from_arrays(
+        [batch["doc_id"],
+         pa.array(n_words, pa.int64()), pa.array(sum_wl, pa.int64()),
+         pa.array(n_alpha, pa.int64()), pa.array(n_chars, pa.int64()),
+         pa.array(n_stop, pa.int64()), pa.array(v, pa.int64()),
+         pa.array((v == 0).astype(np.int64), pa.int64())],
+        names=["doc_id", "n_words", "sum_word_len", "n_alpha",
+               "n_chars", "n_stop", "violations", "keep"])
