@@ -272,6 +272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_join": relational.events_window_join,
         "events_funnel": relational.events_funnel,
         "events_retention": relational.events_retention,
+        "events_markov": relational.events_markov,
         "events_hopping": lambda sf: _ts_us(
             relational.events_hopping(sf).to_pandas(), ["window_start"]),
         "events_cumulative": relational.events_cumulative,
@@ -1249,6 +1250,17 @@ def oracle_sql(sf_tag: str = None) -> dict[str, str]:
                    COALESCE(epoch_us(l.ts) - epoch_us(r.ts), -1) AS gap_us
             FROM left_s l ASOF LEFT JOIN right_d r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "events_markov": """
+            WITH seq AS (
+              SELECT user_id, event_type AS from_type,
+                     LEAD(event_type) OVER (
+                         PARTITION BY user_id
+                         ORDER BY ts, event_id) AS to_type
+              FROM events)
+            SELECT from_type, to_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_transitions
+            FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
         """,
         "events_retention": """
             WITH w AS (

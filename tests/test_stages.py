@@ -1025,3 +1025,33 @@ def test_doc_gopher_rules_bitmask(ray_session, tmp_path):
     row = got.iloc[0]
     assert (row["n_words"], row["sum_word_len"]) == (10, 43)
     assert (row["n_alpha"], row["n_chars"], row["n_stop"]) == (43, 52, 2)
+
+
+def test_events_markov_transitions(ray_session, tmp_path):
+    """Bigram transitions: within-user only (no cross-user pair at
+    bucket boundaries), ordered by (ts, event_id) — equal timestamps
+    break by event_id — and single-event users contribute nothing."""
+    from uniparser_ray.pipelines.relational import events_markov
+
+    rows = [
+        # user 1: a -> b -> a   (b,a share ts: event_id orders them)
+        (1, 1, 100, "a"), (2, 1, 200, "b"), (3, 1, 200, "a"),
+        # user 2: b -> b
+        (4, 2, 50, "b"), (5, 2, 60, "b"),
+        # user 3: single event, no transition
+        (6, 3, 10, "a"),
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "tsu",
+                                     "event_type"])
+    df["ts"] = pd.to_datetime(df.pop("tsu"), unit="us")
+    df["value"] = 0.0
+    df["props"] = "{}"
+    df.to_parquet(tmp_path / "events.parquet", index=False)
+
+    got = events_markov(str(tmp_path)).to_pandas() \
+        .sort_values(["from_type", "to_type"]).reset_index(drop=True)
+    expect = pd.DataFrame({
+        "from_type": ["a", "b", "b"],
+        "to_type": ["b", "a", "b"],
+        "n_transitions": np.array([1, 1, 1], dtype="int64")})
+    pd.testing.assert_frame_equal(got, expect)

@@ -6,6 +6,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..blocks import table_from_pandas
+
 
 def _read(sf_dir: str, columns=None):
     from ..sources.parquet import read_parquet_clean
@@ -357,7 +359,7 @@ def doc_dedup_clusters(sf_dir: str, threshold: float = 0.6):
     out = out.rename(columns={"id": "doc_id"})
     out = out.astype({"doc_id": "int64", "cluster": "int64"})
     out["keep"] = out["doc_id"] == out["cluster"]
-    return pa.Table.from_pandas(
+    return table_from_pandas(
         out.sort_values("doc_id").reset_index(drop=True),
         preserve_index=False)
 
@@ -497,7 +499,7 @@ def doc_source_mix(sf_dir: str):
     mn = int(per["n_tokens"].min())
     per["keep_bp"] = (10000 * mn) // per["n_tokens"].clip(lower=1)
     per["keep_bp"] = per["keep_bp"].astype("int64")
-    return pa.Table.from_pandas(
+    return table_from_pandas(
         per.sort_values("source").reset_index(drop=True),
         preserve_index=False)
 
@@ -648,7 +650,7 @@ def doc_bpe_pairs(sf_dir: str, k: int = 20):
     top = top.merge(res, on="pair_hash", how="left")
     top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
     top["n_occurrences"] = top["n_occurrences"].astype("int64")
-    return pa.Table.from_pandas(
+    return table_from_pandas(
         top[["rank", "pair", "pair_hash", "n_occurrences"]],
         preserve_index=False)
 
@@ -689,7 +691,7 @@ def doc_dup_ngrams(sf_dir: str, width: int = 8):
                 "doc_id": empty,
                 "wh": np.int64(-1),
                 "cnt": np.int64(0)})], ignore_index=True)
-        return pa.Table.from_pandas(
+        return table_from_pandas(
             g.astype({"doc_id": "int64", "wh": "int64", "cnt": "int64"}),
             preserve_index=False)
 
@@ -760,7 +762,7 @@ def doc_para_dedup(sf_dir: str):
                            "ph": ids[inv]})
         g = df.groupby(["doc_id", "ph"], sort=False).size() \
             .reset_index(name="cnt")
-        return pa.Table.from_pandas(
+        return table_from_pandas(
             g.astype({"doc_id": "int64", "ph": "int64", "cnt": "int64"}),
             preserve_index=False)
 
@@ -788,7 +790,7 @@ def _doc_token_count_rows(t: pa.Table) -> pa.Table:
         g = pd.concat([g, pd.DataFrame({
             "doc_id": empty, "tid": np.int64(-1),
             "cnt": np.int64(0)})], ignore_index=True)
-    return pa.Table.from_pandas(
+    return table_from_pandas(
         g.astype({"doc_id": "int64", "tid": "int64", "cnt": "int64"}),
         preserve_index=False)
 
@@ -973,7 +975,7 @@ def doc_incremental_novelty(sf_dir: str, width: int = 8):
             g = pd.concat([g, pd.DataFrame({
                 "doc_id": empty, "wh": np.int64(-1),
                 "cnt": np.int64(0)})], ignore_index=True)
-        return pa.Table.from_pandas(
+        return table_from_pandas(
             g.astype({"doc_id": "int64", "wh": "int64", "cnt": "int64"}),
             preserve_index=False)
 

@@ -37,6 +37,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..blocks import table_from_pandas
+
 from ..rulevm.urlutil import url_hash64
 from ..stages import graph_bsp
 
@@ -228,7 +230,7 @@ def web_host_degrees(sf_dir: str) -> pa.Table:
         df["src_host"] = df["src"].str.slice(7, 21)
         df["dst_host"] = df["dst"].str.slice(7, 21)
         g = df.groupby(["src_host", "dst_host"]).size().reset_index(name="n")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return table_from_pandas(g, preserve_index=False)
 
     parts = extract_edges(sf_dir).map_batches(
         _host_pair_counts, batch_format="pyarrow").to_pandas()
@@ -256,7 +258,7 @@ def web_host_degrees(sf_dir: str) -> pa.Table:
     for c in ("edges_out", "cross_out", "edges_in"):
         df[c] = df[c].fillna(0).astype("int64")
     df["pages_ok"] = df["pages_ok"].astype("int64")
-    return pa.Table.from_pandas(df.sort_values("host")
+    return table_from_pandas(df.sort_values("host")
                                 .reset_index(drop=True),
                                 preserve_index=False)
 
@@ -305,7 +307,7 @@ def expected_pagerank(tag: str) -> pa.Table:
         rank = graph_bsp.PR_BASE + graph_bsp.PR_DAMP_NUM * mass // 100
     df = pd.DataFrame({"url": urls, "pr_score": rank}).sort_values(
         ["pr_score", "url"], ascending=[False, True]).head(PR_TOP_K)
-    return pa.Table.from_pandas(df.reset_index(drop=True),
+    return table_from_pandas(df.reset_index(drop=True),
                                 preserve_index=False)
 
 
@@ -335,7 +337,7 @@ def expected_components(tag: str) -> pa.Table:
             for g in groups.values()]
     df = pd.DataFrame(rows).sort_values(
         ["n_pages", "component"], ascending=[False, True])
-    return pa.Table.from_pandas(df.reset_index(drop=True),
+    return table_from_pandas(df.reset_index(drop=True),
                                 preserve_index=False)
 
 

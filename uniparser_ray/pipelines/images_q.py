@@ -28,6 +28,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..blocks import table_from_pandas
+
 from ..sources.codecs import average_hash64, decode_image, encode_ppm
 from ..sources.images import (caption_for, generate_images_lance, image_spec,
                               render_pixels)
@@ -258,7 +260,7 @@ def crawl_images(sf_dir: str):
 
     hashed = ds.map_batches(md5_batch, batch_format="pyarrow",
                             batch_size=256).to_pandas()
-    return pa.Table.from_pandas(hashed.sort_values("image_id"),
+    return table_from_pandas(hashed.sort_values("image_id"),
                                 preserve_index=False)
 
 
@@ -424,7 +426,7 @@ def images_dedup_clusters(sf_dir: str, max_hamming: int = 8):
         ray.kill(s, no_restart=True)
     out = out.rename(columns={"id": "image_id"})
     out["keep"] = out["image_id"] == out["cluster"]
-    return pa.Table.from_pandas(
+    return table_from_pandas(
         out.sort_values("image_id").reset_index(drop=True),
         preserve_index=False)
 

@@ -23,6 +23,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..blocks import table_from_pandas
+
 
 def _read(sf_dir: str, table: str, columns=None):
     from ..sources.parquet import read_parquet_clean
@@ -115,7 +117,7 @@ def top_customers(sf_dir: str, k: int = 10):
     df = df.rename(columns={"o_custkey": "c_custkey"})
     df["total_spent"] = df["total_spent"].round(2)
     df["order_count"] = df["order_count"].astype("int64")
-    return pa.Table.from_pandas(
+    return table_from_pandas(
         df[["c_custkey", "c_name", "total_spent", "order_count"]],
         preserve_index=False)
 
@@ -163,7 +165,7 @@ def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
     top = agg.sort(["revenue", "l_orderkey"],
                    descending=[True, False]).limit(k).to_pandas()
     top["revenue"] = top["revenue"].round(2)
-    return pa.Table.from_pandas(top[["l_orderkey", "revenue", "o_orderdate"]],
+    return table_from_pandas(top[["l_orderkey", "revenue", "o_orderdate"]],
                                 preserve_index=False)
 
 
@@ -885,5 +887,47 @@ def events_retention(sf_dir: str):
         for c in ("cohort_week", "week_offset", "n_users"):
             df[c] = df[c].astype("int64")
         return df[["cohort_week", "week_offset", "n_users"]]
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+def events_markov(sf_dir: str):
+    """Per-user event-type transition (bigram) counts — the Markov
+    transition matrix behind session behavior models.  Each user's
+    stream is ordered by (ts, event_id); every consecutive pair
+    contributes one (from_type, to_type) transition.
+
+    One hash shuffle on user_id; per bucket one lexsort orders every
+    user's stream at once, a shifted equality marks within-user
+    adjacency (no per-user Python), and the tiny types x types matrix
+    folds through the low-cardinality partial-sum fast path."""
+    from ..stages.combine import hash_bucket_combine
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type"])
+
+    def per_user(bucket: pd.DataFrame) -> pd.DataFrame:
+        ts = bucket["ts"].astype("datetime64[us]").to_numpy().view("i8")
+        u = bucket["user_id"].to_numpy()
+        eid = bucket["event_id"].to_numpy()
+        et = bucket["event_type"].to_numpy()
+        order = np.lexsort((eid, ts, u))
+        u, et = u[order], et[order]
+        same = u[1:] == u[:-1]
+        df = pd.DataFrame({"from_type": et[:-1][same],
+                           "to_type": et[1:][same]})
+        g = df.groupby(["from_type", "to_type"], sort=False) \
+            .size().reset_index(name="n")
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    rows = hash_bucket_combine(ds, ["user_id"], per_user, num_buckets=64)
+    out = partial_groupby(rows, ["from_type", "to_type"],
+                          {"n_transitions": ("n", "sum")},
+                          driver_limit_rows=_LOWCARD_COMBINE_LIMIT)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_transitions"] = df["n_transitions"].astype("int64")
+        return df[["from_type", "to_type", "n_transitions"]]
 
     return out.map_batches(finish, batch_format="pandas")

@@ -254,11 +254,11 @@ def heavy_hitters_topk(ds, key: str, k: int = 10, capacity: int = 64,
 def events_heavy_hitters(sf_dir: str, k: int = 10, capacity: int = 64):
     """Top-k users by event count via the Misra-Gries candidates +
     exact-recount plan (exact by construction on every path)."""
-    import pyarrow as pa
+    from ..blocks import table_from_pandas
 
     ds = _read(sf_dir, "events", ["user_id"])
     out, _info = heavy_hitters_topk(ds, "user_id", k=k, capacity=capacity)
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return table_from_pandas(out, preserve_index=False)
 
 
 WATERMARK_LATENESS_US = 14 * 86_400 * 10**6   # 14 days (~half the span)

@@ -6,6 +6,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..blocks import table_from_pandas
+
 
 def _read(sf_dir: str, columns=None, **kwargs):
     from ..sources.parquet import read_parquet_clean
@@ -130,7 +132,7 @@ def embedding_neardup_lsh(sf_dir: str, threshold: float = 0.35):
     if not len(df):
         return schema.empty_table()
     df = df.sort_values(["vec_a", "vec_b"])
-    return pa.Table.from_pandas(df, preserve_index=False)
+    return table_from_pandas(df, preserve_index=False)
 
 
 def label_centroids(sf_dir: str):
@@ -163,7 +165,7 @@ def label_centroids(sf_dir: str):
                          np.linalg.norm(total / n)), 6)})
     df = pd.DataFrame(rows).sort_values("label")
     df["label"] = df["label"].astype("int32")
-    return pa.Table.from_pandas(df, preserve_index=False)
+    return table_from_pandas(df, preserve_index=False)
 
 
 def _kmeans_centroids(sf_dir: str, k: int, iters: int):
@@ -349,7 +351,7 @@ def embedding_pq_topk(sf_dir: str, k: int = 10, nsub: int = 8,
         .groupby("query_id", sort=False).head(k).reset_index(drop=True)
     out["rank"] = (out.groupby("query_id", sort=False).cumcount()
                    + 1).astype(np.int64)
-    return pa.Table.from_pandas(
+    return table_from_pandas(
         out[["query_id", "vec_id", "l2_dist", "rank"]],
         preserve_index=False)
 

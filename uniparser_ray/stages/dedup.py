@@ -38,6 +38,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..blocks import table_from_pandas
+
 
 def _md5_int(s: str) -> str:
     return hashlib.md5(s.encode("utf-8")).hexdigest()
@@ -271,7 +273,7 @@ def minhash_neardup_pairs(ds, threshold: float = 0.7, num_perm: int = 64,
         out = _jaccard_finish(threshold)(pairs)
         if not len(out):
             return empty
-        return pa.Table.from_pandas(out.sort_values(["doc_a", "doc_b"]),
+        return table_from_pandas(out.sort_values(["doc_a", "doc_b"]),
                                     preserve_index=False)
 
     # ---- fully distributed verify (no driver candidate set) ----

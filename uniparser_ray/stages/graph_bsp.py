@@ -35,6 +35,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..blocks import table_from_pandas
+
 import ray
 
 PR_SCALE = 10**12          # fixed-point 1.0 for PageRank ranks
@@ -396,7 +398,7 @@ def pagerank(shards, iterations: int = 8, top_k: int = 50) -> pa.Table:
     tops = ray.get([s.pr_top.remote(top_k) for s in shards])
     df = pd.concat(tops).sort_values(
         ["pr_score", "url"], ascending=[False, True]).head(top_k)
-    return pa.Table.from_pandas(df.reset_index(drop=True),
+    return table_from_pandas(df.reset_index(drop=True),
                                 preserve_index=False)
 
 
@@ -447,7 +449,7 @@ def connected_components(shards, max_rounds: int = 200) -> pa.Table:
         n_pages=("n", "sum"), component=("min_url", "min")).reset_index()
     out = g[["component", "n_pages"]].sort_values(
         ["n_pages", "component"], ascending=[False, True])
-    return pa.Table.from_pandas(out.reset_index(drop=True),
+    return table_from_pandas(out.reset_index(drop=True),
                                 preserve_index=False)
 
 
