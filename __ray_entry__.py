@@ -292,6 +292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dup_ngrams": documents.doc_dup_ngrams,
         "doc_para_dedup": documents.doc_para_dedup,
         "doc_unigram_stats": documents.doc_unigram_stats,
+        "doc_tfidf_topk": documents.doc_tfidf_topk,
         "doc_rarity_buckets": documents.doc_rarity_buckets,
         "doc_incremental_novelty": documents.doc_incremental_novelty,
         "doc_gopher_rules": documents.doc_gopher_rules,
@@ -1611,6 +1612,27 @@ def oracle_sql(sf_tag: str = None) -> dict[str, str]:
                      AS min_tok_freq,
                    CAST(COALESCE(p.n_hapax, 0) AS BIGINT) AS n_hapax
             FROM documents d LEFT JOIN per p USING (doc_id)
+        """,
+        "doc_tfidf_topk": f"""
+            WITH {_TOK_CTES},
+            pos AS (SELECT doc_id, unnest(h) AS tid FROM ids),
+            tf AS (SELECT doc_id, tid, COUNT(*) AS cnt
+                   FROM pos GROUP BY 1, 2),
+            dfr AS (SELECT tid, COUNT(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT COUNT(*) AS nd FROM documents),
+            s AS (SELECT tf.doc_id, tf.tid, tf.cnt, dfr.df,
+                         tf.cnt * ((1000000 * nd) // dfr.df) AS score
+                  FROM tf JOIN dfr USING (tid) CROSS JOIN n),
+            r AS (SELECT s.*,
+                         ROW_NUMBER() OVER (
+                             PARTITION BY doc_id
+                             ORDER BY score DESC, tid) AS rnk
+                  FROM s)
+            SELECT doc_id, CAST(rnk AS BIGINT) AS term_rank, tid,
+                   CAST(cnt AS BIGINT) AS cnt,
+                   CAST(df AS BIGINT) AS df,
+                   CAST(score AS BIGINT) AS score
+            FROM r WHERE rnk <= 6
         """,
         "doc_rarity_buckets": f"""
             WITH {_TOK_CTES},

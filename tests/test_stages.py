@@ -1055,3 +1055,38 @@ def test_events_markov_transitions(ray_session, tmp_path):
         "to_type": ["b", "a", "b"],
         "n_transitions": np.array([1, 1, 1], dtype="int64")})
     pd.testing.assert_frame_equal(got, expect)
+
+
+def test_doc_tfidf_topk_semantics(ray_session, tmp_path):
+    """Integer TF-IDF: idf = (1e6*N)//df, score = cnt*idf; ranks
+    break ties by tid asc; zero-token docs emit no rows."""
+    from uniparser_ray.pipelines.documents import doc_tfidf_topk
+    from uniparser_ray.stages.tokenhash import batch_token_ids
+
+    docs = [
+        (1, "apple banana apple"),   # apple cnt=2 df=1, banana cnt=1 df=2
+        (2, "banana cherry"),        # cherry cnt=1 df=1, banana cnt=1 df=2
+        (3, ""),                     # no terms
+    ]
+    df = pd.DataFrame(docs, columns=["doc_id", "text"])
+    df["lang"] = "en"
+    df["source"] = "t"
+    df["n_chars"] = df["text"].str.len()
+    df.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    flat, _ = batch_token_ids(["apple banana cherry"])
+    tid = {"apple": int(flat[0]), "banana": int(flat[1]),
+           "cherry": int(flat[2])}
+
+    got = doc_tfidf_topk(str(tmp_path)).to_pandas() \
+        .sort_values(["doc_id", "term_rank"]).reset_index(drop=True)
+    # N=3: idf(df=1)=3_000_000, idf(df=2)=1_500_000
+    expect = pd.DataFrame(
+        [(1, 1, tid["apple"], 2, 1, 6_000_000),
+         (1, 2, tid["banana"], 1, 2, 1_500_000),
+         (2, 1, tid["cherry"], 1, 1, 3_000_000),
+         (2, 2, tid["banana"], 1, 2, 1_500_000)],
+        columns=["doc_id", "term_rank", "tid", "cnt", "df", "score"])
+    for c in expect.columns:
+        expect[c] = expect[c].astype("int64")
+    pd.testing.assert_frame_equal(got, expect)

@@ -1019,3 +1019,63 @@ def doc_gopher_rules(sf_dir: str):
     from ..stages.text import gopher_rules_batch
     return _read(sf_dir, ["doc_id", "text"]).map_batches(
         gopher_rules_batch, batch_format="pyarrow")
+
+
+TFIDF_IDF_SCALE = 1_000_000   # micro-idf units: idf = (SCALE*N) // df
+
+
+def doc_tfidf_topk(sf_dir: str, k: int = 6):
+    """Top-k TF-IDF terms per document, integer-exact: with N docs in
+    the corpus and df(t) = number of docs containing token t, each
+    (doc, token) scores cnt * ((SCALE * N) // df) — floor division
+    keeps the score integral so the DuckDB twin is bit-exact; ties
+    break by token id ascending.  Zero-token docs emit no terms
+    (there is nothing to rank).
+
+    Scale shape (the unigram-family pattern + the grouped-top-k
+    combiner): one tokenize pass emits distinct (doc, tid, cnt) rows;
+    ONE shuffle by tid computes df as the in-bucket row count per tid
+    (rows are distinct per doc, so rows == containing docs) and prunes
+    to each doc's k best WITHIN the bucket — at most k rows per doc
+    per bucket cross the second, doc-keyed exchange, which re-ranks
+    exactly.  N is a metadata-only count; no vocabulary table ever
+    materializes and token strings never move."""
+    from ..stages.combine import hash_bucket_combine
+
+    n_docs = int(_read(sf_dir, ["doc_id"]).count())
+    per_tok = _read(sf_dir, ["doc_id", "text"]).map_batches(
+        _doc_token_count_rows, batch_format="pyarrow")
+
+    cols = ["doc_id", "tid", "cnt", "df", "score"]
+
+    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["tid"] >= 0].copy()
+        if not len(g):
+            return pd.DataFrame({c: np.array([], dtype=np.int64)
+                                 for c in cols})
+        dfc = g.groupby("tid")["cnt"].transform("size") \
+            .to_numpy(dtype=np.int64)
+        idf = (TFIDF_IDF_SCALE * n_docs) // dfc
+        g["df"] = dfc
+        g["score"] = (g["cnt"].to_numpy(dtype=np.int64) * idf) \
+            .astype(np.int64)
+        g = g.sort_values(["doc_id", "score", "tid"],
+                          ascending=[True, False, True],
+                          kind="mergesort") \
+            .groupby("doc_id", sort=False).head(k)
+        return g[cols]
+
+    pruned = hash_bucket_combine(per_tok, ["tid"], score_bucket)
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "score", "tid"],
+                            ascending=[True, False, True],
+                            kind="mergesort") \
+            .groupby("doc_id", sort=False).head(k)
+        df = df.copy()
+        df["term_rank"] = (df.groupby("doc_id", sort=False).cumcount()
+                           + 1).astype("int64")
+        return df[["doc_id", "term_rank", "tid", "cnt", "df", "score"]]
+
+    return hash_bucket_combine(pruned, ["doc_id"], final_topk,
+                               num_buckets=64)
