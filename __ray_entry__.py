@@ -292,7 +292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dup_ngrams": documents.doc_dup_ngrams,
         "doc_para_dedup": documents.doc_para_dedup,
         "doc_unigram_stats": documents.doc_unigram_stats,
-        "doc_tfidf_topk": documents.doc_tfidf_topk,
+        "doc_tfidf_exact": documents.doc_tfidf_exact,
         "doc_rarity_buckets": documents.doc_rarity_buckets,
         "doc_incremental_novelty": documents.doc_incremental_novelty,
         "doc_gopher_rules": documents.doc_gopher_rules,
@@ -1613,7 +1613,7 @@ def oracle_sql(sf_tag: str = None) -> dict[str, str]:
                    CAST(COALESCE(p.n_hapax, 0) AS BIGINT) AS n_hapax
             FROM documents d LEFT JOIN per p USING (doc_id)
         """,
-        "doc_tfidf_topk": f"""
+        "doc_tfidf_exact": f"""
             WITH {_TOK_CTES},
             pos AS (SELECT doc_id, unnest(h) AS tid FROM ids),
             tf AS (SELECT doc_id, tid, COUNT(*) AS cnt

@@ -1057,10 +1057,10 @@ def test_events_markov_transitions(ray_session, tmp_path):
     pd.testing.assert_frame_equal(got, expect)
 
 
-def test_doc_tfidf_topk_semantics(ray_session, tmp_path):
+def test_doc_tfidf_exact_semantics(ray_session, tmp_path):
     """Integer TF-IDF: idf = (1e6*N)//df, score = cnt*idf; ranks
     break ties by tid asc; zero-token docs emit no rows."""
-    from uniparser_ray.pipelines.documents import doc_tfidf_topk
+    from uniparser_ray.pipelines.documents import doc_tfidf_exact
     from uniparser_ray.stages.tokenhash import batch_token_ids
 
     docs = [
@@ -1078,7 +1078,7 @@ def test_doc_tfidf_topk_semantics(ray_session, tmp_path):
     tid = {"apple": int(flat[0]), "banana": int(flat[1]),
            "cherry": int(flat[2])}
 
-    got = doc_tfidf_topk(str(tmp_path)).to_pandas() \
+    got = doc_tfidf_exact(str(tmp_path)).to_pandas() \
         .sort_values(["doc_id", "term_rank"]).reset_index(drop=True)
     # N=3: idf(df=1)=3_000_000, idf(df=2)=1_500_000
     expect = pd.DataFrame(

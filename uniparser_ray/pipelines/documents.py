@@ -1024,7 +1024,7 @@ def doc_gopher_rules(sf_dir: str):
 TFIDF_IDF_SCALE = 1_000_000   # micro-idf units: idf = (SCALE*N) // df
 
 
-def doc_tfidf_topk(sf_dir: str, k: int = 6):
+def doc_tfidf_exact(sf_dir: str, k: int = 6):
     """Top-k TF-IDF terms per document, integer-exact: with N docs in
     the corpus and df(t) = number of docs containing token t, each
     (doc, token) scores cnt * ((SCALE * N) // df) — floor division
