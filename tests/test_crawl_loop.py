@@ -311,3 +311,42 @@ def test_crawl_robots_delay_budget_matches_oracle(ray_session, tmp_path):
         sum(1 for u in r if u.startswith("http://host-0003.test/"))
         for r in ray_rounds]
     assert max(per_round_hits) == 3, per_round_hits
+
+
+def test_crawl_fused_image_path_identical(ray_session, tmp_path):
+    """fuse_image_fetch=True (fragments written from inside the fetch
+    tasks) and =False (standalone ImageFetchStage execution) must
+    produce the SAME image table: ids, bytes, captions, phash, and
+    per-round lineage."""
+    results = {}
+    for fused in (True, False):
+        out = tmp_path / f"crawl_fused_{fused}"
+        web = SynthWeb(**WEB_CFG)
+        cfg = CrawlConfig(web_config=WEB_CFG, out_dir=str(out),
+                          seeds=web.seed_urls(), max_rounds=30,
+                          per_host_budget=3, fetch_concurrency=2,
+                          seen_shard_bits=2, fuse_image_fetch=fused)
+        totals = run_crawl(cfg, web.rule_pack())
+        store = LanceLayoutTable(str(out / "images_lance"))
+        tbl = store.to_table(
+            columns=["image_id", "bytes", "caption", "phash"])
+        df = tbl.to_pandas().sort_values("image_id") \
+            .reset_index(drop=True)
+        df["md5"] = df.pop("bytes").map(
+            lambda b: __import__("hashlib").md5(b).hexdigest())
+        # lineage: committed round per image id (from the manifest)
+        lin = {}
+        for frag in store.manifest()["fragments"]:
+            rnd = int(frag["file"].split("round=")[1].split("/")[0])
+            t = pq.read_table(store.data_dir / frag["file"],
+                              columns=["image_id"])
+            for iid in t["image_id"].to_pylist():
+                lin[iid] = rnd
+        results[fused] = (df, lin, totals["images"])
+
+    df_t, lin_t, n_t = results[True]
+    df_f, lin_f, n_f = results[False]
+    assert n_t == n_f and n_t > 0
+    assert lin_t == lin_f
+    import pandas.testing as pdt
+    pdt.assert_frame_equal(df_t, df_f)

@@ -71,6 +71,13 @@ class CrawlConfig:
     fetch_concurrency: int = 4
     fetch_batch_size: int = 128
     image_batch_size: int = 128       # keep small when payloads are MBs
+    # fold the image side-channel INTO the fetch tasks (each task
+    # explodes/dedups/fetches its own pages' images and writes Lance
+    # fragments directly), eliminating the round's second Ray execution
+    # and overlapping image work with page fetching.  Row-for-row
+    # identical to the standalone ImageFetchStage execution (pinned by
+    # test); False restores the two-execution layout.
+    fuse_image_fetch: bool = True
     seen_shard_bits: int = 3
     seen_mode: str = "tandem"
     # per-shard capacity for the bloom/cuckoo seen filters; size to
@@ -201,32 +208,9 @@ def _explode_links(batch: pa.Table) -> pa.Table:
     ], schema=FRONTIER_SCHEMA)
 
 
-def _explode_images(batch: pa.Table) -> pa.Table:
-    """Page rows -> image-candidate rows.  Flatten/take/regex are Arrow
-    kernels; only the seen-filter hash (md5-backed, must match the
-    oracle's url_hash64) stays per-element."""
-    import pyarrow.compute as pc
-    srcs_col = batch["img_srcs"]
-    flat_src = pc.list_flatten(srcs_col).cast(pa.large_string())
-    flat_cap = pc.list_flatten(batch["img_captions"]).cast(pa.large_string())
-    idx = pc.list_parent_indices(srcs_col)
-    parents = pc.take(batch["url"], idx).cast(pa.large_string())
-    # origin (scheme://host) of the parent for relative srcs
-    origins = pc.struct_field(
-        pc.extract_regex(parents, r"^(?P<o>[^/]+//[^/]*)"), "o")
-    joined = pc.binary_join_element_wise(
-        pc.fill_null(origins.cast(pa.large_string()), ""), flat_src,
-        pa.scalar("", pa.large_string()))
-    img_urls_arr = pc.if_else(pc.starts_with(flat_src, "http"),
-                              flat_src, joined)
-    img_urls = img_urls_arr.to_pylist()
-    t = pa.Table.from_arrays([img_urls_arr, flat_cap, parents],
-                             names=["img_url", "caption", "parent"])
-    # in-batch dedup by image URL (cross-batch dedup via the seen shards)
-    hashes = pa.array([url_hash64("img|" + u) for u in img_urls], pa.uint64())
-    return t.append_column("url_hash", hashes)
-
-
+# _explode_images moved to stages.crawl_stages (shared with the fused
+# in-fetch image path); re-exported here for compatibility.
+from ..stages.crawl_stages import explode_images as _explode_images  # noqa: E402
 class CrawlRun:
     """Driver for one crawl (resumable)."""
 
@@ -497,6 +481,30 @@ class CrawlRun:
                 fetch_kwargs.update(
                     politeness_shards=self.politeness_shards,
                     politeness_num=len(self.politeness_shards))
+            if self.cfg.fuse_image_fetch:
+                # fused image side-channel (stages/crawl_stages.py
+                # FetchParseStage._fetch_images): each fetch task
+                # explodes/dedups/fetches ITS OWN pages' images and
+                # writes Lance fragments directly — the round's second
+                # Ray execution (and its fixed pipeline-start cost)
+                # disappears, and image work overlaps page fetching in
+                # the same pool.  `_round` rides the batch so the
+                # warm-worker stage cache stays keyed by constants.
+                fetch_kwargs.update(
+                    image_data_dir=str(self.images.data_dir),
+                    image_seen_shards=self.img_seen.shards,
+                    image_shard_bits=self.img_seen.shard_bits,
+                    image_batch_size=self.cfg.image_batch_size)
+
+                def tag_round(t: pa.Table, _r=r) -> pa.Table:
+                    return t.append_column(
+                        "_round", pa.array(
+                            np.full(t.num_rows, _r, dtype=np.int32),
+                            pa.int32()))
+
+                granted = granted.map_batches(
+                    tag_round, batch_format="pyarrow",
+                    zero_copy_batch=True)
             pages = granted.map_batches(
                 cached_stage(FetchParseStage, **fetch_kwargs),
                 batch_format="pyarrow",
@@ -528,22 +536,23 @@ class CrawlRun:
             # fragments written task-parallel straight into the table dir
             # (bytes never touch the driver)
             img_dir = self.images.data_dir / f"round={r}"
-            img_rows = (
-                pages
-                .map_batches(_explode_images, batch_format="pyarrow")
-                .map_batches(
-                    cached_stage(ImageFetchStage,
-                                 web_config=self.cfg.web_config,
-                                 # fused cross-round dedup: the seen
-                                 # test-and-set runs inside the fetch
-                                 # workers (shards are atomic, so any
-                                 # concurrency is safe)
-                                 seen_shards=self.img_seen.shards,
-                                 shard_bits=self.img_seen.shard_bits),
-                    batch_format="pyarrow",
-                    batch_size=self.cfg.image_batch_size)
-            )
-            img_rows.write_parquet(str(img_dir))
+            if not self.cfg.fuse_image_fetch:
+                img_rows = (
+                    pages
+                    .map_batches(_explode_images, batch_format="pyarrow")
+                    .map_batches(
+                        cached_stage(ImageFetchStage,
+                                     web_config=self.cfg.web_config,
+                                     # fused cross-round dedup: the seen
+                                     # test-and-set runs inside the fetch
+                                     # workers (shards are atomic, so any
+                                     # concurrency is safe)
+                                     seen_shards=self.img_seen.shards,
+                                     shard_bits=self.img_seen.shard_bits),
+                        batch_format="pyarrow",
+                        batch_size=self.cfg.image_batch_size)
+                )
+                img_rows.write_parquet(str(img_dir))
             frag_names = [f"round={r}/{p.name}"
                           for p in sorted(img_dir.glob("*.parquet"))
                           if pq.read_metadata(p).num_rows > 0]

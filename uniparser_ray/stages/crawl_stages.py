@@ -206,7 +206,9 @@ class FetchParseStage:
 
     def __init__(self, rule_pack_ref=None, web_config: dict = None,
                  rule_pack: dict = None, politeness_shards: List = None,
-                 politeness_num: int = 0, sleep_fn=None):
+                 politeness_num: int = 0, sleep_fn=None,
+                 image_data_dir: str = None, image_seen_shards: List = None,
+                 image_shard_bits: int = 0, image_batch_size: int = 128):
         import ray
         from ..crawl.storage import JSONRuleStorage
         from ..rulevm.transport import SyntheticWebAdapter
@@ -220,6 +222,24 @@ class FetchParseStage:
         self.adapter = SyntheticWebAdapter(self.web)
         self.vm = RuleVM()
         self._rule_cache: Dict[str, object] = {}
+        # fused image side-channel: when an image table dir is given,
+        # each fetch task explodes its own pages' <img> candidates,
+        # test-and-sets the image-seen shards, fetches + decodes the
+        # survivors, and writes a Lance fragment DIRECTLY from the task
+        # (bytes never ride the page stream or touch the driver).  This
+        # folds the round's second Ray execution into the first — the
+        # per-round fixed cost of a whole pipeline start disappears and
+        # the image work overlaps page fetching inside the same pool.
+        # The fragment set is identical to the standalone ImageFetchStage
+        # path (same explode, same seen shards, same decode), only the
+        # execution geometry changes.
+        self.image_data_dir = image_data_dir
+        self.image_batch_size = image_batch_size
+        self._img_stage = (
+            ImageFetchStage(web_config=web_config,
+                            seen_shards=image_seen_shards,
+                            shard_bits=image_shard_bits)
+            if image_data_dir else None)
         # wall-clock politeness (real-web mode): when shards are given,
         # each batch acquires per-host delay schedules before fetching.
         # The round-based virtual-clock grant is the deterministic
@@ -360,6 +380,40 @@ class FetchParseStage:
             out["img_srcs"].append(srcs)
             out["img_captions"].append(caps)
             out["error"].append(err)
+        page_tbl = self._page_table(urls, hashes, hosts, depths, priors,
+                                    parents, retries, out)
+        if self._img_stage is not None and "_round" in batch.column_names:
+            self._fetch_images(page_tbl,
+                               int(batch["_round"][0].as_py()))
+        return page_tbl
+
+    def _fetch_images(self, page_tbl: pa.Table, round_no: int) -> None:
+        """Fused image side-channel (see __init__): explode this page
+        batch's candidates, dedup via the seen shards, fetch + decode,
+        and write one fragment per ``image_batch_size`` chunk straight
+        into the round's partition dir.  Chunking bounds task memory:
+        at most one chunk of decoded payloads is live at a time."""
+        import uuid
+        from pathlib import Path
+
+        import pyarrow.parquet as _pq
+
+        cand = explode_images(page_tbl)
+        if cand.num_rows == 0:
+            return
+        out_dir = Path(self.image_data_dir) / f"round={round_no}"
+        out_dir.mkdir(parents=True, exist_ok=True)
+        step = max(1, int(self.image_batch_size))
+        for off in range(0, cand.num_rows, step):
+            rows = self._img_stage(cand.slice(off, step))
+            if rows.num_rows == 0:
+                continue
+            _pq.write_table(
+                rows, out_dir / f"fused-{uuid.uuid4().hex}.parquet")
+
+    @staticmethod
+    def _page_table(urls, hashes, hosts, depths, priors, parents,
+                    retries, out) -> pa.Table:
         return pa.Table.from_arrays([
             pa.array(urls, pa.large_string()),
             pa.array(hashes, pa.uint64()),
@@ -377,6 +431,31 @@ class FetchParseStage:
             pa.array(out["error"], pa.string()),
         ], schema=_PAGE_SCHEMA)
 
+
+def explode_images(batch: pa.Table) -> pa.Table:
+    """Page rows -> image-candidate rows.  Flatten/take/regex are Arrow
+    kernels; only the seen-filter hash (md5-backed, must match the
+    oracle's url_hash64) stays per-element."""
+    import pyarrow.compute as pc
+    srcs_col = batch["img_srcs"]
+    flat_src = pc.list_flatten(srcs_col).cast(pa.large_string())
+    flat_cap = pc.list_flatten(batch["img_captions"]).cast(pa.large_string())
+    idx = pc.list_parent_indices(srcs_col)
+    parents = pc.take(batch["url"], idx).cast(pa.large_string())
+    # origin (scheme://host) of the parent for relative srcs
+    origins = pc.struct_field(
+        pc.extract_regex(parents, r"^(?P<o>[^/]+//[^/]*)"), "o")
+    joined = pc.binary_join_element_wise(
+        pc.fill_null(origins.cast(pa.large_string()), ""), flat_src,
+        pa.scalar("", pa.large_string()))
+    img_urls_arr = pc.if_else(pc.starts_with(flat_src, "http"),
+                              flat_src, joined)
+    img_urls = img_urls_arr.to_pylist()
+    t = pa.Table.from_arrays([img_urls_arr, flat_cap, parents],
+                             names=["img_url", "caption", "parent"])
+    # in-batch dedup by image URL (cross-batch dedup via the seen shards)
+    hashes = pa.array([url_hash64("img|" + u) for u in img_urls], pa.uint64())
+    return t.append_column("url_hash", hashes)
 
 _IMG_ID_RE = re.compile(r"/img/(\d+)\.(?:ppm|bmp|png)$")
 
