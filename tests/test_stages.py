@@ -637,6 +637,46 @@ def test_doc_rarity_buckets_semantics(ray_session, tmp_path):
     assert got["bucket"].tolist() == [0, 1, 2, 0]
 
 
+def test_ilog2_exact_all_widths():
+    """floor(log2) matches int.bit_length()-1 everywhere, including
+    above 2**53 where float log2/frexp round up."""
+    from uniparser_ray.pipelines.documents import _ilog2
+
+    xs = np.unique(np.concatenate([
+        np.arange(1, 2000, dtype=np.int64),
+        (np.int64(1) << np.arange(1, 63)) - 1,
+        (np.int64(1) << np.arange(1, 63)),
+        np.array([2**54 - 1, 2**53 + 1, 2**62 - 1], dtype=np.int64),
+    ]))
+    want = np.array([int(x).bit_length() - 1 for x in xs], dtype=np.int64)
+    assert (_ilog2(xs) == want).all()
+
+
+def test_doc_perplexity_semantics(ray_session, tmp_path):
+    """Unigram surprisal bits: N=11 positions -> log 3; 'the' x6 ->
+    1 bit, 'cat'/'dog' x2 -> 2 bits, hapax -> 3 bits; empty docs
+    report zeros."""
+    from uniparser_ray.pipelines.documents import doc_perplexity
+
+    docs = [
+        (1, "the the the cat"),   # 3*1 + 2 = 5 bits, n=4
+        (2, "the the dog dog"),   # 1+1+2+2 = 6 bits, n=4
+        (3, "the cat zyzzyva"),   # 1+2+3 = 6 bits,   n=3
+        (4, ""),                  # zeros
+    ]
+    df = pd.DataFrame(docs, columns=["doc_id", "text"])
+    df["lang"] = "en"
+    df["source"] = "t"
+    df["n_chars"] = df["text"].str.len()
+    df.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    got = doc_perplexity(str(tmp_path)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got["n_tokens"].tolist() == [4, 4, 3, 0]
+    assert got["sum_bits"].tolist() == [5, 6, 6, 0]
+    assert got["mean_millibits"].tolist() == [1250, 1500, 2000, 0]
+
+
 def test_doc_incremental_novelty_semantics(ray_session, tmp_path):
     """Delta docs (doc_id % 5 == 0) score windows against the base
     split only: a delta window repeated WITHIN the delta but absent

@@ -843,6 +843,80 @@ def doc_unigram_stats(sf_dir: str):
     return out.map_batches(finish, batch_format="pandas")
 
 
+def _ilog2(x: np.ndarray) -> np.ndarray:
+    """Exact floor(log2(x)) for positive int64 — six vectorized
+    shift/compare steps.  No float round-trip: frexp/log2 drift above
+    2**53 (e.g. 2**54-1 rounds up), bit shifts never do."""
+    x = x.astype(np.int64, copy=True)
+    r = np.zeros(len(x), dtype=np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        m = x >= (np.int64(1) << np.int64(s))
+        r[m] += s
+        x[m] >>= s
+    return r
+
+
+def doc_perplexity(sf_dir: str):
+    """Per-document unigram-LM surprisal in integer bits — the
+    perplexity-style quality signal of a CCNet-shaped filter (Wenzek
+    et al., arXiv:1911.00359 — public recipe) kept bit-exact: with
+    corpus occurrence counts c(t) and total corpus positions N, a
+    position's surprisal is floor(log2 N) - floor(log2 c(t)) bits
+    (exact integer logs via bit length), and each document reports its
+    token count, summed surprisal bits, and the mean in milli-bits.
+    The ranking an LM-quality filter needs survives the floor; the
+    integers make the DuckDB twin bit-identical.
+
+    Scale shape: one tokenize pass (shared `_doc_token_count_rows`
+    front), materialized once for its two consumers; N from a
+    partial-sum pre-pass (one row per block crosses the wire); then
+    the unigram-family single tid hash shuffle, where the in-bucket
+    sum IS the corpus count, and a per-doc aggregate folds positions.
+    No vocabulary table ever materializes and no strings move."""
+    from ..stages.combine import grouped_aggregate, hash_bucket_combine
+
+    ds = _read(sf_dir, ["doc_id", "text"])
+    per_tok = ds.map_batches(_doc_token_count_rows,
+                             batch_format="pyarrow").materialize()
+
+    def part_n(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        s = pc.sum(t["cnt"]).as_py() or 0
+        return pa.table({"n": pa.array([int(s)], pa.int64())})
+
+    n_total = int(per_tok.map_batches(part_n, batch_format="pyarrow")
+                  .to_pandas()["n"].sum())
+    log_n = int(_ilog2(np.array([max(n_total, 1)], dtype=np.int64))[0])
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        tot = g.groupby("tid")["cnt"].transform("sum") \
+            .to_numpy(dtype=np.int64)
+        real = (g["tid"] >= 0).to_numpy()
+        bits = np.zeros(len(g), dtype=np.int64)
+        if real.any():
+            bits[real] = g["cnt"].to_numpy()[real] \
+                * (log_n - _ilog2(tot[real]))
+        g["bits"] = bits
+        return g[["doc_id", "cnt", "bits"]]
+
+    marked = hash_bucket_combine(per_tok, ["tid"], attach)
+    out = grouped_aggregate(marked, ["doc_id"],
+                            {"n_tokens": ("cnt", "sum"),
+                             "sum_bits": ("bits", "sum")})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n_tokens"].astype("int64")
+        s = df["sum_bits"].astype("int64")
+        df["n_tokens"] = n
+        df["sum_bits"] = s
+        df["mean_millibits"] = np.where(
+            n > 0, (1000 * s) // n.clip(lower=1), 0).astype("int64")
+        return df[["doc_id", "n_tokens", "sum_bits", "mean_millibits"]]
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
 def doc_rarity_buckets(sf_dir: str):
     """CCNet-shaped corpus-level quality bucketing (Wenzek et al.,
     arXiv:1911.00359 — public recipe), integer-exact: each token gets
