@@ -337,6 +337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frames": images_q.video_frames_q,
         "video_shot_boundaries": images_q.video_shot_boundaries,
         "crawl_round_metrics": images_q.crawl_round_metrics,
+        "crawl_politeness_audit": images_q.crawl_politeness_audit,
         "crawl_image_lineage": images_q.crawl_image_lineage,
         "audio_vad_segments": images_q.audio_vad_segments,
         # the crawl itself
@@ -560,6 +561,10 @@ def _expected_table(kind: str, tag: str) -> pa.Table:
         from uniparser_ray.pipelines.images_q import \
             expected_crawl_round_metrics
         return expected_crawl_round_metrics(tag)
+    if kind == "politeness":
+        from uniparser_ray.pipelines.images_q import \
+            expected_crawl_politeness_audit
+        return expected_crawl_politeness_audit(tag)
     if kind == "lineage":
         from uniparser_ray.pipelines.images_q import \
             expected_crawl_image_lineage
@@ -772,6 +777,11 @@ def _multimodal_oracle_thunks(tag: str) -> dict:
         "crawl_image_lineage": lambda: f"""
             WITH {_values_cte('e', _expected_table('lineage', tag))}
             SELECT image_id, round FROM e
+        """,
+        "crawl_politeness_audit": lambda: f"""
+            WITH {_values_cte('e', _expected_table('politeness', tag))}
+            SELECT host, n_fetches, n_rounds, max_round_fetches,
+                   budget_ok FROM e
         """,
         "crawl_images": lambda: f"""
             WITH {_values_cte('e', _expected_table('crawl', tag))}

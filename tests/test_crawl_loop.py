@@ -350,3 +350,22 @@ def test_crawl_fused_image_path_identical(ray_session, tmp_path):
     assert lin_t == lin_f
     import pandas.testing as pdt
     pdt.assert_frame_equal(df_t, df_f)
+
+
+def test_crawl_politeness_audit_invariant(ray_session):
+    """The per-host audit read back from the crawl's persisted pages
+    must (a) equal the conformance replay's audit exactly and (b) show
+    every host within the per-round budget — the politeness guarantee
+    as data, not prose."""
+    from uniparser_ray.pipelines.images_q import (
+        _CRAWL_BUDGET, crawl_politeness_audit,
+        expected_crawl_politeness_audit)
+
+    got = crawl_politeness_audit("/root/testdata/sf0.001").to_pandas() \
+        .reset_index(drop=True)
+    want = expected_crawl_politeness_audit("sf0.001").to_pandas()
+    import pandas.testing as pdt
+    pdt.assert_frame_equal(got, want)
+    assert (got["budget_ok"] == 1).all()
+    assert (got["max_round_fetches"] <= _CRAWL_BUDGET).all()
+    assert got["n_fetches"].sum() > 0

@@ -763,6 +763,84 @@ def crawl_round_metrics(sf_dir: str):
                                    pa.int64())})
 
 
+def expected_crawl_politeness_audit(tag: str) -> pa.Table:
+    """Expected per-host politeness audit from the conformance
+    crawler's per-round fetched-URL lists: total fetches, rounds
+    active, the max fetches any single round granted the host, and
+    whether that max stayed within the per-host budget."""
+    from ..rulevm.request import get_host
+
+    result = _oracle_result(tag)
+    per: dict = {}
+    for r in result["rounds"]:
+        for u in r["fetched"]:
+            h = get_host(u, "")
+            per.setdefault(h, {})
+            per[h][r["round"]] = per[h].get(r["round"], 0) + 1
+    hosts = sorted(per)
+    mx = [max(per[h].values()) for h in hosts]
+    return pa.table({
+        "host": pa.array(hosts, pa.string()),
+        "n_fetches": pa.array([sum(per[h].values()) for h in hosts],
+                              pa.int64()),
+        "n_rounds": pa.array([len(per[h]) for h in hosts], pa.int64()),
+        "max_round_fetches": pa.array(mx, pa.int64()),
+        "budget_ok": pa.array([int(m <= _CRAWL_BUDGET) for m in mx],
+                              pa.int64())})
+
+
+def crawl_politeness_audit(sf_dir: str):
+    """Politeness as a value-checked INVARIANT over the crawl's own
+    persisted output (not its in-memory counters): fetch rows read
+    back from the round-partitioned pages parquet (host column only —
+    pruned, one task-parallel read per round file), counted per
+    (host, round) through the partial-sum combine, then folded to one
+    audit row per host — total fetches, rounds active, busiest round,
+    and the budget check.  The conformance replay computes the same
+    audit independently, so the north rule's politeness guarantee is
+    pinned by a value compare, not asserted in prose.  The final fold
+    runs on the (hosts x rounds) aggregate-of-aggregates — bounded by
+    budget x rounds per host, never by page count."""
+    import ray.data as rd
+
+    from .relational import partial_groupby
+
+    tag = _sf_tag(sf_dir)
+    out, _totals = _ensure_crawl(tag)
+    pages_dir = Path(out) / "pages"
+    rows = [{"path": str(f), "round": int(f.parent.name.split("=")[1])}
+            for f in sorted(pages_dir.glob("round=*/*.parquet"))]
+
+    def read_hosts(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+        hosts, rnds = [], []
+        for row in batch.to_pylist():
+            t = pq.read_table(row["path"], columns=["host"])
+            hosts += t["host"].to_pylist()
+            rnds += [row["round"]] * t.num_rows
+        return pa.table({"host": pa.array(hosts, pa.string()),
+                         "round": pa.array(rnds, pa.int64())})
+
+    per_round = partial_groupby(
+        rd.from_items(rows).map_batches(read_hosts,
+                                        batch_format="pyarrow",
+                                        batch_size=4),
+        ["host", "round"], {"n": ("round", "count")},
+        driver_limit_rows=200_000)
+    cells = per_round.to_pandas()
+    g = cells.groupby("host")["n"]
+    audit = pd.DataFrame({"n_fetches": g.sum(), "n_rounds": g.size(),
+                          "max_round_fetches": g.max()}).reset_index()
+    audit["budget_ok"] = (audit["max_round_fetches"] <= _CRAWL_BUDGET) \
+        .astype("int64")
+    for c in ("n_fetches", "n_rounds", "max_round_fetches"):
+        audit[c] = audit[c].astype("int64")
+    return table_from_pandas(
+        audit.sort_values("host")[["host", "n_fetches", "n_rounds",
+                                   "max_round_fetches", "budget_ok"]],
+        preserve_index=False)
+
+
 def crawl_image_lineage(sf_dir: str):
     """Per-row LINEAGE from the versioned Lance manifest: which crawl
     round produced each image row (fragments are committed under
