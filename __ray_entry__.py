@@ -273,6 +273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": relational.events_funnel,
         "events_retention": relational.events_retention,
         "events_markov": relational.events_markov,
+        "events_window_anomaly": relational.events_window_anomaly,
         "events_hopping": lambda sf: _ts_us(
             relational.events_hopping(sf).to_pandas(), ["window_start"]),
         "events_cumulative": relational.events_cumulative,
@@ -1273,6 +1274,25 @@ def oracle_sql(sf_tag: str = None) -> dict[str, str]:
             SELECT from_type, to_type,
                    CAST(COUNT(*) AS BIGINT) AS n_transitions
             FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+        """,
+        "events_window_anomaly": """
+            WITH w AS (
+              SELECT event_type,
+                     epoch_us(date_trunc('hour', ts)) AS window_us,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2),
+            m AS (
+              SELECT event_type, CAST(COUNT(*) AS BIGINT) AS W,
+                     CAST(SUM(n) AS BIGINT) AS S,
+                     CAST(SUM(n * n) AS BIGINT) AS SS
+              FROM w GROUP BY 1)
+            SELECT event_type, window_us, n AS n_events,
+                   CAST(W * n - S AS BIGINT) AS dev,
+                   CAST(CASE WHEN (W * n - S) > 0
+                             AND (W * n - S) * (W * n - S)
+                                 > 4 * (W * SS - S * S)
+                        THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+            FROM w JOIN m USING (event_type)
         """,
         "events_retention": """
             WITH w AS (

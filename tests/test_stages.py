@@ -1097,6 +1097,42 @@ def test_events_markov_transitions(ray_session, tmp_path):
     pd.testing.assert_frame_equal(got, expect)
 
 
+def test_events_window_anomaly_exact_boundary(ray_session, tmp_path):
+    """Cross-multiplied z-score: a lone outlier among W-1 identical
+    windows sits at exactly sqrt(W-1) sigma, so with W=5 it is EXACTLY
+    2-sigma (d^2 == 4*var_term -> strict > keeps it normal), while at
+    W=6 the same spike crosses the bar; small jitter never flags."""
+    from uniparser_ray.pipelines.relational import events_window_anomaly
+
+    counts = {"a": [1, 1, 1, 1, 1, 9],   # W=6: 9 is sqrt(5)~2.24 sigma
+              "b": [2, 3, 2, 3],          # jitter, max 1 sigma
+              "c": [1, 1, 1, 1, 9]}       # W=5: exactly 2 sigma
+    rows, eid = [], 0
+    for typ, cs in counts.items():
+        for hour, c in enumerate(cs):
+            for _ in range(c):
+                rows.append((eid, 1, pd.Timestamp("2024-01-01")
+                             + pd.Timedelta(hours=hour, seconds=eid % 60),
+                             typ))
+                eid += 1
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "ts",
+                                     "event_type"])
+    df["value"] = 0.0
+    df["props"] = "{}"
+    df.to_parquet(tmp_path / "events.parquet", index=False)
+
+    got = events_window_anomaly(str(tmp_path)).to_pandas() \
+        .sort_values(["event_type", "window_us"]).reset_index(drop=True)
+    flagged = got[got["is_anomaly"] == 1]
+    # only type a's spike crosses strict 2 sigma
+    assert flagged["event_type"].tolist() == ["a"]
+    assert flagged["n_events"].tolist() == [9]
+    # boundary algebra pinned: type c spike has d^2 == 4*var_term
+    c9 = got[(got["event_type"] == "c") & (got["n_events"] == 9)]
+    assert c9["dev"].tolist() == [5 * 9 - 13]
+    assert (c9["is_anomaly"] == 0).all()
+
+
 def test_doc_tfidf_exact_semantics(ray_session, tmp_path):
     """Integer TF-IDF: idf = (1e6*N)//df, score = cnt*idf; ranks
     break ties by tid asc; zero-token docs emit no rows."""

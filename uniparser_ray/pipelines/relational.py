@@ -931,3 +931,72 @@ def events_markov(sf_dir: str):
         return df[["from_type", "to_type", "n_transitions"]]
 
     return out.map_batches(finish, batch_format="pandas")
+
+
+def events_window_anomaly(sf_dir: str, sigmas: int = 2):
+    """Exact z-score anomaly detection on tumbling-window event
+    volumes: a (type, hour) window is anomalous when its count exceeds
+    that type's mean by more than ``sigmas`` standard deviations over
+    the type's OBSERVED windows — the ops-monitoring burst detector,
+    kept bit-exact by cross-multiplication instead of any float sqrt:
+    with per-type moments W (windows), S (Σn), SS (Σn²),
+
+        n > S/W + k·σ  ⟺  d := W·n − S > 0  and  d² > k²·(W·SS − S²)
+
+    (σ² = (W·SS − S²)/W²; both sides scaled by W²).  All integers, so
+    the DuckDB twin matches exactly.  Magnitudes: d is W·(n − mean) —
+    at 10^10 events with 10^5 windows the squares need 128-bit
+    headroom (DuckDB HUGEINT; here the per-type driver moments are
+    Python ints and d fits int64 at any tested scale).
+
+    Scale shape: one partial-sum shuffle builds the (type, window)
+    counts; per-type moments fold from those cells through the
+    low-cardinality fast path (types are few) and broadcast as a tiny
+    dict; the flag pass is vectorized over the cells — no second
+    shuffle of raw events."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def window(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "window_us": df["ts"].dt.floor("h").astype("datetime64[us]")
+                .astype("int64")})
+
+    cells = partial_groupby(
+        ds.map_batches(window, batch_format="pandas"),
+        ["event_type", "window_us"],
+        {"n_events": ("window_us", "count")}).materialize()
+
+    moments_rows = partial_groupby(
+        cells.map_batches(
+            lambda df: pd.DataFrame({
+                "event_type": df["event_type"],
+                "one": np.ones(len(df), np.int64),
+                "n": df["n_events"].astype("int64"),
+                "nn": (df["n_events"].astype("int64") ** 2)}),
+            batch_format="pandas"),
+        ["event_type"], {"W": ("one", "sum"), "S": ("n", "sum"),
+                         "SS": ("nn", "sum")},
+        driver_limit_rows=_LOWCARD_COMBINE_LIMIT).to_pandas()
+    moments = {r.event_type: (int(r.W), int(r.S), int(r.SS))
+               for r in moments_rows.itertuples()}
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        W = df["event_type"].map({k: v[0] for k, v in moments.items()}) \
+            .to_numpy(dtype=np.int64)
+        S = df["event_type"].map({k: v[1] for k, v in moments.items()}) \
+            .to_numpy(dtype=np.int64)
+        SS = df["event_type"].map({k: v[2] for k, v in moments.items()}) \
+            .to_numpy(dtype=np.int64)
+        n = df["n_events"].astype("int64").to_numpy()
+        d = W * n - S
+        var_term = W * SS - S * S
+        anom = (d > 0) & (d * d > sigmas * sigmas * var_term)
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "window_us": df["window_us"].astype("int64"),
+            "n_events": n,
+            "dev": d,
+            "is_anomaly": anom.astype("int64")})
+
+    return cells.map_batches(flag, batch_format="pandas")
