@@ -339,6 +339,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_shot_boundaries": images_q.video_shot_boundaries,
         "crawl_round_metrics": images_q.crawl_round_metrics,
         "crawl_politeness_audit": images_q.crawl_politeness_audit,
+        "crawl_page_lineage": images_q.crawl_page_lineage,
         "crawl_image_lineage": images_q.crawl_image_lineage,
         "audio_vad_segments": images_q.audio_vad_segments,
         # the crawl itself
@@ -566,6 +567,10 @@ def _expected_table(kind: str, tag: str) -> pa.Table:
         from uniparser_ray.pipelines.images_q import \
             expected_crawl_politeness_audit
         return expected_crawl_politeness_audit(tag)
+    if kind == "pagelineage":
+        from uniparser_ray.pipelines.images_q import \
+            expected_crawl_page_lineage
+        return expected_crawl_page_lineage(tag)
     if kind == "lineage":
         from uniparser_ray.pipelines.images_q import \
             expected_crawl_image_lineage
@@ -783,6 +788,10 @@ def _multimodal_oracle_thunks(tag: str) -> dict:
             WITH {_values_cte('e', _expected_table('politeness', tag))}
             SELECT host, n_fetches, n_rounds, max_round_fetches,
                    budget_ok FROM e
+        """,
+        "crawl_page_lineage": lambda: f"""
+            WITH {_values_cte('e', _expected_table('pagelineage', tag))}
+            SELECT url, round, parent, depth, status FROM e
         """,
         "crawl_images": lambda: f"""
             WITH {_values_cte('e', _expected_table('crawl', tag))}

@@ -369,3 +369,22 @@ def test_crawl_politeness_audit_invariant(ray_session):
     assert (got["budget_ok"] == 1).all()
     assert (got["max_round_fetches"] <= _CRAWL_BUDGET).all()
     assert got["n_fetches"].sum() > 0
+
+
+def test_crawl_page_lineage_parent_chain(ray_session):
+    """Lineage read back from checkpoints is internally consistent:
+    seeds have depth 0 / empty parent, every child's depth is its
+    parent's + 1, and a parent is always fetched in a strictly earlier
+    round."""
+    from uniparser_ray.pipelines.images_q import crawl_page_lineage
+
+    df = crawl_page_lineage("/root/testdata/sf0.001").to_pandas()
+    by_url = df.set_index("url")
+    seeds = df[df["parent"] == ""]
+    assert len(seeds) and (seeds["depth"] == 0).all()
+    kids = df[df["parent"] != ""]
+    assert len(kids)
+    assert (kids["depth"].to_numpy()
+            == by_url.loc[kids["parent"], "depth"].to_numpy() + 1).all()
+    assert (kids["round"].to_numpy()
+            > by_url.loc[kids["parent"], "round"].to_numpy()).all()

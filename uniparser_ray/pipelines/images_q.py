@@ -841,6 +841,71 @@ def crawl_politeness_audit(sf_dir: str):
         preserve_index=False)
 
 
+def expected_crawl_page_lineage(tag: str) -> pa.Table:
+    """Expected per-page lineage from the conformance replay: fetch
+    round (crawl ordering), fetching parent, BFS depth (parent-chain
+    length), and fetch status for every URL the crawl touched."""
+    result = _oracle_result(tag)
+    rnd = {}
+    for r in result["rounds"]:
+        for u in r["fetched"]:
+            rnd[u] = r["round"]
+    parents = result["parents"]
+
+    def depth_of(u: str) -> int:
+        d = 0
+        while parents.get(u, ""):
+            u = parents[u]
+            d += 1
+        return d
+
+    urls = sorted(result["pages"])
+    return pa.table({
+        "url": pa.array(urls, pa.string()),
+        "round": pa.array([rnd[u] for u in urls], pa.int64()),
+        "parent": pa.array([parents.get(u, "") for u in urls],
+                           pa.string()),
+        "depth": pa.array([depth_of(u) for u in urls], pa.int64()),
+        "status": pa.array([result["pages"][u][0] for u in urls],
+                           pa.int64())})
+
+
+def crawl_page_lineage(sf_dir: str):
+    """Per-page LINEAGE from the round-partitioned checkpoints: every
+    fetched URL with its round (the crawl ordering), fetching parent
+    (frontier provenance), BFS depth, and status — the north rule's
+    'resume from per-partition checkpoints with lineage' surface as a
+    value-checked query.  One pruned task-parallel read per round file
+    (five scalar columns, never result_json); round rides the
+    partition directory, exactly how a resumed run reconstructs
+    state."""
+    import ray.data as rd
+
+    tag = _sf_tag(sf_dir)
+    out, _totals = _ensure_crawl(tag)
+    pages_dir = Path(out) / "pages"
+    rows = [{"path": str(f), "round": int(f.parent.name.split("=")[1])}
+            for f in sorted(pages_dir.glob("round=*/*.parquet"))]
+
+    def read_lineage(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+        parts = []
+        for row in batch.to_pylist():
+            t = pq.read_table(row["path"],
+                              columns=["url", "parent", "depth", "status"])
+            parts.append(pa.table({
+                "url": t["url"].cast(pa.string()),
+                "round": pa.array([row["round"]] * t.num_rows, pa.int64()),
+                "parent": t["parent"].cast(pa.string()),
+                "depth": t["depth"].cast(pa.int64()),
+                "status": t["status"].cast(pa.int64())}))
+        return pa.concat_tables(parts)
+
+    return rd.from_items(rows).map_batches(read_lineage,
+                                           batch_format="pyarrow",
+                                           batch_size=4)
+
+
 def crawl_image_lineage(sf_dir: str):
     """Per-row LINEAGE from the versioned Lance manifest: which crawl
     round produced each image row (fragments are committed under
