@@ -316,6 +316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_lsh": vectors.embedding_neardup_lsh,
         # clustering / semantic dedup
         "embedding_kmeans": vectors.embedding_kmeans,
+        "embedding_outliers": vectors.embedding_outliers,
         "embedding_pq_topk": vectors.embedding_pq_topk,
         "embedding_semdedup": vectors.embedding_semdedup,
         # similarity search
@@ -1112,6 +1113,19 @@ def _kmeans_sql(k: int = 8, iters: int = 2, dim: int = 64) -> str:
     """
 
 
+def _kmeans_outliers_sql(k: int = 8, iters: int = 2, dim: int = 64,
+                         topk: int = 5) -> str:
+    return f"""
+        WITH {_kmeans_ctes(k, iters, dim)}
+        SELECT cluster, CAST(rk AS BIGINT) AS rank, vec_id,
+               d2 AS dist2
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY cluster
+                  ORDER BY d2 DESC, vec_id) AS rk FROM a{iters})
+        WHERE rk <= {topk}
+    """
+
+
 def _semdedup_sql(k: int = 8, iters: int = 2, dim: int = 64,
                   threshold_bp2: int = 1225) -> str:
     """kmeans CTEs + in-cluster self-join under the quantized-cosine
@@ -1814,6 +1828,7 @@ def oracle_sql(sf_tag: str = None) -> dict[str, str]:
         "doc_decontaminate": _decontaminate_sql(),
         "doc_pii_redact": _pii_redact_sql(),
         "embedding_kmeans": _kmeans_sql(),
+        "embedding_outliers": _kmeans_outliers_sql(),
         "embedding_pq_topk": _pq_sql(),
         "embedding_semdedup": _semdedup_sql(),
         "doc_dedup_exact": """

@@ -228,3 +228,31 @@ def test_pq_topk_rerank_exact_and_recall(ray_session):
         approx = set(sub["vec_id"].tolist())
         recalls.append(len(exact & approx) / 10)
     assert min(recalls) >= 0.3 and np.mean(recalls) >= 0.5, recalls
+
+
+def test_embedding_outliers_matches_brute():
+    """Per-cluster farthest top-k equals a single-process recompute
+    (sort by dist2 desc, vec_id asc within each cluster)."""
+    import pyarrow.parquet as pq
+
+    from uniparser_ray.pipelines.vectors import embedding_outliers
+
+    sf = "/root/testdata/sf0.001"
+    got = embedding_outliers(sf, topk=5).to_pandas() \
+        .sort_values(["cluster", "rank"]).reset_index(drop=True)
+    src = pq.read_table(f"{sf}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    cl, d2 = _python_kmeans(
+        np.array(src["embedding"].tolist(), np.float64), k=8, iters=2)
+    ref = pd.DataFrame({"vec_id": src["vec_id"], "cluster": cl,
+                        "dist2": d2}) \
+        .sort_values(["cluster", "dist2", "vec_id"],
+                     ascending=[True, False, True], kind="mergesort") \
+        .groupby("cluster", sort=False).head(5)
+    ref["rank"] = ref.groupby("cluster", sort=False).cumcount() + 1
+    ref = ref[["cluster", "rank", "vec_id", "dist2"]] \
+        .astype({"rank": "int64", "cluster": "int64", "dist2": "int64",
+                 "vec_id": "int64"}).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, ref)
+    assert got["cluster"].nunique() > 1

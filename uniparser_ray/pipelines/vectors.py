@@ -371,6 +371,53 @@ def embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 2):
         make_assign_fn(ref), batch_format="pyarrow")
 
 
+def embedding_outliers(sf_dir: str, k: int = 8, iters: int = 2,
+                       topk: int = 5):
+    """Per-cluster farthest-from-centroid vectors: each cluster's
+    ``topk`` largest exact-integer dist2 with rank — the inspect/prune
+    list an embedding-quality pass emits (SemDeDup prunes near-dups
+    NEAR the centroid; this surfaces the opposite tail, broken or
+    out-of-distribution vectors).
+
+    Scale shape: the labeling pass is the shared kmeans assign (exact
+    int64 dist2); a per-batch PARTIAL top-k prunes to at most
+    topk x k rows per block before any exchange, then the bucketed
+    combine re-ranks exactly (ties: dist2 desc, vec_id asc).  The
+    exchange is O(blocks x k x topk), never O(vectors)."""
+    import ray
+
+    from ..stages.combine import hash_bucket_combine
+    from ..stages.kmeans import make_assign_fn
+
+    cents = _kmeans_centroids(sf_dir, k, iters)
+    ref = ray.put(cents)
+    labeled = _read(sf_dir, ["vec_id", "embedding"]).map_batches(
+        make_assign_fn(ref), batch_format="pyarrow")
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["cluster", "dist2", "vec_id"],
+                              ascending=[True, False, True],
+                              kind="mergesort") \
+            .groupby("cluster", sort=False).head(topk)
+
+    pruned = labeled.map_batches(partial_topk, batch_format="pandas")
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["cluster", "dist2", "vec_id"],
+                            ascending=[True, False, True],
+                            kind="mergesort") \
+            .groupby("cluster", sort=False).head(topk)
+        df["rank"] = df.groupby("cluster", sort=False).cumcount() + 1
+        return df[["cluster", "rank", "vec_id", "dist2"]] \
+            .astype({"rank": "int64"})
+
+    # partials are bounded by blocks x k x topk — the adaptive combine
+    # merges them in one task at any data size
+    return hash_bucket_combine(pruned, ["cluster"], final_topk,
+                               num_buckets=16,
+                               driver_limit_rows=200_000)
+
+
 def embedding_semdedup(sf_dir: str, k: int = 8, iters: int = 2,
                        threshold_bp2: int = 1225):
     """SemDeDup-style cluster-then-dedup: k-means partitions the
