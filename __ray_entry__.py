@@ -349,6 +349,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_pagerank": graph.web_pagerank,
         "web_components": graph.web_components,
         "web_host_degrees": graph.web_host_degrees,
+        "web_seed_hops": graph.web_seed_hops,
     }
 
 
@@ -594,6 +595,9 @@ def _expected_table(kind: str, tag: str) -> pa.Table:
         return expected_components(tag)
     if kind == "hostdeg":
         return expected_host_degrees(tag)
+    if kind == "seedhops":
+        from uniparser_ray.pipelines.graph import expected_seed_hops
+        return expected_seed_hops(tag)
     raise KeyError(kind)
 
 
@@ -813,6 +817,10 @@ def _multimodal_oracle_thunks(tag: str) -> dict:
         "web_host_degrees": lambda: f"""
             WITH {_values_cte('e', _expected_table('hostdeg', tag))}
             SELECT host, pages_ok, edges_out, cross_out, edges_in FROM e
+        """,
+        "web_seed_hops": lambda: f"""
+            WITH {_values_cte('e', _expected_table('seedhops', tag))}
+            SELECT hops, n_pages FROM e
         """,
     }
 

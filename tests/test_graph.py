@@ -112,3 +112,20 @@ def test_doc_dedup_clusters_int_ids(ray_session):
     assert (out.groupby("cluster")["doc_id"].min().to_numpy()
             == sorted(out["cluster"].unique())).all()
     assert out["keep"].sum() == out["cluster"].nunique()
+
+
+def test_seed_hops_match_expected(ray_session):
+    """Min-plus BSP BFS == single-process queue BFS over the
+    structural edges; seeds at hop 0, histogram covers the whole
+    universe."""
+    from uniparser_ray.pipelines.graph import (_universe_table, _web_for,
+                                               expected_seed_hops,
+                                               web_seed_hops)
+    got = web_seed_hops(SF)
+    exp = expected_seed_hops(TAG)
+    assert got.equals(exp)
+    df = got.to_pandas()
+    web = _web_for(TAG)
+    assert df["n_pages"].sum() == _universe_table(web).num_rows
+    assert df.loc[df["hops"] == 0, "n_pages"].tolist() \
+        == [len(web.seed_urls())]

@@ -211,6 +211,25 @@ def web_components(sf_dir: str) -> pa.Table:
     return graph_bsp.connected_components(shards)
 
 
+def web_seed_hops(sf_dir: str) -> pa.Table:
+    """Frontier-reachability profile: directed BFS hop distance from
+    the crawl seed set over the parsed link graph, as a (hops,
+    n_pages) histogram with unreachable pages at -1 — how deep a
+    frontier must run to exhaust the universe, and how much of it no
+    politeness budget can ever reach.  Same pinned BSP shards as
+    pagerank/components (min-plus supersteps over the directed plan,
+    traffic = distinct destinations per round)."""
+    import hashlib
+
+    shards = _sealed_shards(sf_dir)
+    web = _web_for(_sf_tag(sf_dir))
+    seed_h = np.fromiter(
+        (int.from_bytes(hashlib.blake2b(u.encode(), digest_size=8)
+                        .digest(), "big") for u in web.seed_urls()),
+        dtype=np.uint64)
+    return graph_bsp.seed_hops(shards, seed_h)
+
+
 def web_host_degrees(sf_dir: str) -> pa.Table:
     """Per-host degree stats over the DISTINCT edge set: fetched-ok
     page count, out-edges, in-edges, distinct cross-host out-edges.
@@ -339,6 +358,38 @@ def expected_components(tag: str) -> pa.Table:
         ["n_pages", "component"], ascending=[False, True])
     return table_from_pandas(df.reset_index(drop=True),
                                 preserve_index=False)
+
+
+def expected_seed_hops(tag: str) -> pa.Table:
+    """Queue BFS from the seeds over the structural edges
+    (independent single-process path)."""
+    from collections import defaultdict, deque
+
+    web = _web_for(tag)
+    adj = defaultdict(list)
+    for a, b in structural_edges(web):
+        adj[a].append(b)
+    urls = [web.page_url(h, p) for h in range(web.num_hosts)
+            for p in range(web.pages_of_host[h])]
+    dist = {u: -1 for u in urls}
+    dq = deque()
+    for s in web.seed_urls():
+        if dist.get(s) == -1:
+            dist[s] = 0
+            dq.append(s)
+    while dq:
+        u = dq.popleft()
+        for v in adj[u]:
+            if dist.get(v, 0) == -1:
+                dist[v] = dist[u] + 1
+                dq.append(v)
+    counts: dict = {}
+    for d in dist.values():
+        counts[d] = counts.get(d, 0) + 1
+    hops = sorted(counts)
+    return pa.table({"hops": pa.array(hops, pa.int64()),
+                     "n_pages": pa.array([counts[h] for h in hops],
+                                         pa.int64())})
 
 
 def expected_host_degrees(tag: str) -> pa.Table:

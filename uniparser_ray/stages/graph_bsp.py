@@ -39,6 +39,7 @@ from ..blocks import table_from_pandas
 
 import ray
 
+SP_INF = np.int64(1) << 62  # unreached sentinel for seed-hop BFS
 PR_SCALE = 10**12          # fixed-point 1.0 for PageRank ranks
 PR_DAMP_NUM = 85           # damping 0.85 as integer percent
 PR_BASE = PR_SCALE * (100 - PR_DAMP_NUM) // 100
@@ -288,6 +289,54 @@ class GraphShard:
     def owned_count(self) -> int:
         return len(self.nodes)
 
+    # -- seed-hop distances (directed BFS / min-plus) ----------------------
+    def sp_init(self, seed_hashes: np.ndarray):
+        """Distance state: 0 for owned seeds, +inf sentinel otherwise.
+        Reuses the DIRECTED (pagerank) seal-time message plan — BFS
+        follows parsed links forward, unlike components' undirected
+        adjacency."""
+        self.dist = np.full(len(self.nodes), SP_INF, np.int64)
+        sh = np.asarray(seed_hashes, np.uint64)
+        if len(self.nodes) and len(sh):
+            idx = np.searchsorted(self.nodes, sh)
+            ok = idx < len(self.nodes)
+            own = np.zeros(len(sh), bool)
+            own[ok] = self.nodes[idx[ok]] == sh[ok]
+            self.dist[idx[own]] = 0
+
+    def sp_messages(self):
+        d = self.dist[self.pr_src_idx] + 1  # SP_INF+1 stays > SP_INF-min
+        ordered = d[self.pr_order]
+        if len(self.pr_segs):
+            mins = np.minimum.reduceat(ordered, self.pr_segs)
+        else:
+            mins = np.empty(0, np.int64)
+        first = not getattr(self, "_sp_structure_sent", False)
+        self._sp_structure_sent = True
+        out = []
+        for lo, hi in self.pr_slices:
+            out.append((self.pr_uniq_dst[lo:hi] if first else None,
+                        mins[lo:hi]))
+        return tuple(out) if self.B > 1 else out[0]
+
+    def sp_apply(self, *payloads) -> int:
+        order, segs, uniq_idx = self._recv_plan(payloads, "_sp_plan")
+        new = self.dist.copy()
+        m = self._payload_values(payloads, np.int64)
+        if len(m):
+            mins = np.minimum.reduceat(m[order], segs)
+            new[uniq_idx] = np.minimum(new[uniq_idx],
+                                       np.minimum(mins, SP_INF))
+        changed = int((new != self.dist).sum())
+        self.dist = new
+        return changed
+
+    def sp_partials(self) -> pd.DataFrame:
+        """Per-shard (hops, n_pages) histogram; unreachable -> -1."""
+        hops = np.where(self.dist >= SP_INF, np.int64(-1), self.dist)
+        return pd.DataFrame({"hops": hops}).groupby("hops").size() \
+            .reset_index(name="n_pages")
+
     # -- pointer jumping (label[u] <- label[label[u]]) -------------------
     def cc_jump_requests(self):
         """Distinct labels of owned nodes, routed to the shard owning
@@ -439,6 +488,26 @@ def _cc_run(shards, max_rounds: int = 200) -> pd.DataFrame:
         if changed == 0:
             break
     return pd.concat(ray.get([s.cc_partials.remote() for s in shards]))
+
+
+def seed_hops(shards, seed_hashes: np.ndarray,
+              max_rounds: int = 200) -> pa.Table:
+    """Directed BFS hop distance from the seed set by min-plus label
+    propagation (rounds = reachable depth; convergence by global
+    changed-count).  Returns the (hops, n_pages) histogram with
+    unreachable pages at hops = -1 — the frontier-reachability profile
+    of a crawl universe."""
+    ray.get([s.sp_init.remote(seed_hashes) for s in shards])
+    for _ in range(max_rounds):
+        if sum(ray.get(_exchange(shards, "sp_messages",
+                                 "sp_apply"))) == 0:
+            break
+    parts = pd.concat(ray.get([s.sp_partials.remote() for s in shards]))
+    g = parts.groupby("hops")["n_pages"].sum().reset_index() \
+        .sort_values("hops").astype({"hops": "int64",
+                                     "n_pages": "int64"})
+    return table_from_pandas(g.reset_index(drop=True),
+                             preserve_index=False)
 
 
 def connected_components(shards, max_rounds: int = 200) -> pa.Table:
