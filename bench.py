@@ -154,6 +154,21 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
            lambda: consume(graph_p.web_components(sf_dir)))
     timed3("web_host_degrees",
            lambda: consume(graph_p.web_host_degrees(sf_dir)))
+
+    # round-5 operators, timed OUTSIDE `value` (same comparability
+    # rule): surprisal scoring, integer z-score burst windows,
+    # per-cluster outliers, seed-hop BFS (reuses the sealed shards
+    # above), and the crawl audit pair (one shared harness crawl)
+    ops_r5: dict = {}
+
+    def timed5(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        ops_r5[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    timed5("web_seed_hops",
+           lambda: graph_p.web_seed_hops(sf_dir).num_rows)
     graph_p.reset_shard_cache()
     # training-data cleaning / clustering family (round-3 additions):
     # decontamination + PII are shuffle-free sweeps, kmeans is 2 Lloyd
@@ -220,6 +235,16 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
            lambda: consume(docs_p.doc_incremental_novelty(sf_dir)))
     timed4("images_hard_negatives",
            lambda: consume(images_p.images_hard_negatives(sf_dir)))
+    timed5("doc_perplexity",
+           lambda: consume(docs_p.doc_perplexity(sf_dir)))
+    timed5("events_window_anomaly",
+           lambda: consume(rel_p.events_window_anomaly(sf_dir)))
+    timed5("embedding_outliers",
+           lambda: consume(vecs_p.embedding_outliers(sf_dir)))
+    timed5("crawl_politeness_audit",
+           lambda: images_p.crawl_politeness_audit(sf_dir).num_rows)
+    timed5("crawl_page_lineage",
+           lambda: consume(images_p.crawl_page_lineage(sf_dir)))
     return {
         "metric": "crawl+operator suite wall time",
         "value": total,
@@ -234,6 +259,7 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         "politeness_pages_per_sec": pol["pages_per_sec"],
         "ops_r3": ops_r3,
         "ops_r4": ops_r4,
+        "ops_r5": ops_r5,
     }
 
 
