@@ -330,6 +330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_dedup_clusters": images_q.images_dedup_clusters,
         "images_thumbnails": images_q.images_thumbnails,
         "images_aspect_buckets": images_q.images_aspect_buckets,
+        "images_curation": images_q.images_curation,
         "images_shard_pack": images_q.images_shard_pack,
         "images_bucket_shards": images_q.images_bucket_shards,
         "caption_token_stats": images_q.caption_token_stats,
@@ -713,6 +714,7 @@ def _multimodal_oracle_thunks(tag: str) -> dict:
                    id = MIN(r) AS keep
             FROM reach GROUP BY id
         """,
+        "images_curation": lambda: _images_curation_sql(tag),
         "images_aspect_buckets": lambda: f"""
             WITH {meta()},
             b(idx, bname, ar) AS (SELECT * FROM (VALUES
@@ -960,6 +962,61 @@ def _HARDNEG_K() -> int:
 def _ALIGN_MAX_HAMMING() -> int:
     from uniparser_ray.pipelines.images_q import ALIGN_MAX_HAMMING
     return ALIGN_MAX_HAMMING
+
+
+def _images_curation_sql(tag: str) -> str:
+    """Composed curation twin: every bit recomputed in SQL — the
+    recursive-CTE components for the dedup-keep bit, the simhash CTE
+    stack for alignment, integer thresholds for shape/caption."""
+    from uniparser_ray.pipelines.images_q import (
+        _AR_KEEP_HI, _AR_KEEP_LO, _QUALITY_MIN_SIDE, ALIGN_MAX_HAMMING,
+        CUR_CAP_MAX_TOKENS, CUR_CAP_MIN_TOKENS)
+
+    ham = "bit_count(xor(a.phash, b.phash))"
+    meta_cte = _values_cte("m", _expected_table("meta", tag))
+    return f"""
+        WITH RECURSIVE {meta_cte},
+        pairs AS (
+          SELECT a.image_id AS x, b.image_id AS y
+          FROM m a JOIN m b ON b.image_id > a.image_id
+          WHERE {ham} <= 8 AND ({_blocks_pred('a.phash', 'b.phash')})
+        ),
+        und AS (SELECT x, y FROM pairs UNION SELECT y, x FROM pairs),
+        reach(id, r) AS (
+          SELECT image_id, image_id FROM m
+          UNION
+          SELECT u.y, reach.r FROM reach JOIN und u ON u.x = reach.id),
+        cc AS (SELECT id AS image_id,
+                      CAST(id = MIN(r) AS BIGINT) AS cck
+               FROM reach GROUP BY id),
+        documents AS (SELECT image_id AS doc_id, caption AS text FROM m),
+        {_TOK_CTES},
+        {_sh_cte()},
+        {_params_cte("sp", 64, _simhash_seed())},
+        {_simhash_ctes()},
+        scored AS (
+          SELECT m.image_id,
+                 CASE WHEN NOT (m.w >= {_QUALITY_MIN_SIDE}
+                                AND m.h >= {_QUALITY_MIN_SIDE}
+                                AND (1000000 * m.w) // m.h
+                                    BETWEEN {_AR_KEEP_LO}
+                                        AND {_AR_KEEP_HI})
+                      THEN 1 ELSE 0 END
+                 + CASE WHEN len(string_split(m.caption, ' '))
+                             NOT BETWEEN {CUR_CAP_MIN_TOKENS}
+                                     AND {CUR_CAP_MAX_TOKENS}
+                        THEN 2 ELSE 0 END
+                 + CASE WHEN bit_count(xor(m.phash,
+                                           COALESCE(s.simhash, 0)))
+                             > {ALIGN_MAX_HAMMING}
+                        THEN 4 ELSE 0 END
+                 + CASE WHEN cc.cck = 0 THEN 8 ELSE 0 END AS viol
+          FROM m LEFT JOIN simh s ON s.doc_id = m.image_id
+                 JOIN cc USING (image_id))
+        SELECT image_id, CAST(viol AS BIGINT) AS viol,
+               CAST(viol = 0 AS BIGINT) AS keep
+        FROM scored
+    """
 
 
 def _kmeans_ctes(k: int = 8, iters: int = 2, dim: int = 64) -> str:

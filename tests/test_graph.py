@@ -129,3 +129,30 @@ def test_seed_hops_match_expected(ray_session):
     assert df["n_pages"].sum() == _universe_table(web).num_rows
     assert df.loc[df["hops"] == 0, "n_pages"].tolist() \
         == [len(web.seed_urls())]
+
+
+def test_images_curation_composes_components(ray_session):
+    """The composed keep equals the conjunction of the independently
+    oracled component queries (aspect keep, caption token range,
+    alignment flag, dedup-cluster keep), bit by bit."""
+    from uniparser_ray.pipelines.images_q import (
+        CUR_CAP_MAX_TOKENS, CUR_CAP_MIN_TOKENS, caption_token_stats,
+        images_aspect_buckets, images_caption_align, images_curation,
+        images_dedup_clusters)
+
+    got = images_curation(SF).to_pandas() \
+        .sort_values("image_id").reset_index(drop=True)
+    asp = images_aspect_buckets(SF).to_pandas().set_index("image_id")
+    tok = caption_token_stats(SF).to_pandas().set_index("image_id")
+    ali = images_caption_align(SF).to_pandas().set_index("image_id")
+    cc = images_dedup_clusters(SF).to_pandas().set_index("image_id")
+    ids = got["image_id"]
+    want = ((~asp.loc[ids, "keep"].to_numpy()).astype("int64")
+            + 2 * (~tok.loc[ids, "n_tokens"].between(
+                CUR_CAP_MIN_TOKENS, CUR_CAP_MAX_TOKENS).to_numpy())
+            + 4 * (1 - ali.loc[ids, "aligned"].to_numpy())
+            + 8 * (~cc.loc[ids, "keep"].to_numpy()).astype("int64"))
+    assert got["viol"].tolist() == want.tolist()
+    assert (got["keep"] == (got["viol"] == 0).astype("int64")).all()
+    # the gate actually separates: some kept, some dropped
+    assert 0 < got["keep"].sum() < len(got)

@@ -491,6 +491,94 @@ def images_aspect_buckets(sf_dir: str):
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+CUR_CAP_MIN_TOKENS = 3
+CUR_CAP_MAX_TOKENS = 32
+
+
+class CurationBitsStage:
+    """Row-local curation gates in one warm pass: aspect/size (bit 0),
+    caption length (bit 1), caption-image alignment (bit 2).  Simhash
+    affine params derive once per actor (the model-load slot), exactly
+    as CaptionAlignStage."""
+
+    def __init__(self):
+        from ..stages.tokenhash import SIMHASH_SEED, affine_params
+        self.params = affine_params(64, SIMHASH_SEED)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..stages.dedup import popcount64
+        from ..stages.tokenhash import shingle_hashes, simhash_values
+        w = batch["w"].to_numpy().astype(np.int64)
+        h = batch["h"].to_numpy().astype(np.int64)
+        ar = (_AR_SCALE * w) // h
+        bad_shape = ~((w >= _QUALITY_MIN_SIDE) & (h >= _QUALITY_MIN_SIDE)
+                      & (ar >= _AR_KEEP_LO) & (ar <= _AR_KEEP_HI))
+        caps = batch["caption"].to_pylist()
+        # single-space split, matching string_split(caption, ' ') in
+        # the twin ('' -> [''] -> 1 on both sides)
+        ntok = np.fromiter((len(c.split(" ")) for c in caps),
+                           np.int64, count=len(caps))
+        bad_cap = (ntok < CUR_CAP_MIN_TOKENS) | (ntok > CUR_CAP_MAX_TOKENS)
+        sh, counts = shingle_hashes(caps, k=3)
+        sim = simhash_values(sh, counts)
+        ph = np.asarray(batch["phash"].to_pylist(),
+                        np.int64).view(np.uint64)
+        bad_align = popcount64(sim ^ ph) > ALIGN_MAX_HAMMING
+        viol = (bad_shape.astype(np.int64)
+                + 2 * bad_cap.astype(np.int64)
+                + 4 * bad_align.astype(np.int64))
+        return pa.Table.from_arrays(
+            [batch["image_id"], pa.array(viol, pa.int64())],
+            names=["image_id", "viol"])
+
+
+def images_curation(sf_dir: str):
+    """The composed image-curation KEEP decision — what a LAION-style
+    pipeline actually ships: per image a violation bitmask over
+    bit 0 aspect/size gate, bit 1 caption length, bit 2 caption-image
+    alignment (all row-local, ONE shuffle-free warm pass, bytes never
+    read), bit 3 near-dup non-representative (the phash dedup-cluster
+    keep from the BSP connected components), and keep = (viol == 0).
+
+    Scale shape: the only exchanges are the dedup-cluster machinery
+    (block-bucketed pair candidates + component supersteps) and one
+    image-count-sized hash join of (image_id, viol) against
+    (image_id, cluster-keep) — metadata rows, never payloads.  The
+    DuckDB twin recomputes every bit (recursive-CTE components +
+    simhash CTEs + the same integer thresholds), so the final keep
+    list is value-checked end to end."""
+    from ..stages.combine import hash_bucket_join
+    from ..stages.taskcache import cached_stage
+
+    table = images_lance_for(sf_dir)
+    ds = table.read_dataset(columns=["image_id", "w", "h",
+                                     "caption", "phash"])
+    bits = ds.map_batches(cached_stage(CurationBitsStage),
+                          batch_format="pyarrow", batch_size=1024)
+
+    import ray.data as rd
+
+    cc_tbl = images_dedup_clusters(sf_dir)  # pa.Table (assignments)
+    cc = rd.from_arrow(pa.table({
+        "cc_id": cc_tbl["image_id"],
+        "cck": cc_tbl["keep"].cast(pa.int64())}))
+
+    joined = hash_bucket_join(bits, cc, "image_id", "cc_id",
+                              left_cols=["image_id", "viol"],
+                              right_cols=["cc_id", "cck"],
+                              driver_limit_rows=200_000)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        viol = (df["viol"].astype("int64")
+                + 8 * (1 - df["cck"].astype("int64")))
+        return pd.DataFrame({
+            "image_id": df["image_id"],
+            "viol": viol,
+            "keep": (viol == 0).astype("int64")})
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
 def images_shard_pack(sf_dir: str, budget: int = 262_144,
                       num_ranges: int = 16):
     """Deterministic WebDataset-style shard packing: images are packed
