@@ -298,6 +298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_rarity_buckets": documents.doc_rarity_buckets,
         "doc_incremental_novelty": documents.doc_incremental_novelty,
         "doc_gopher_rules": documents.doc_gopher_rules,
+        "doc_curation": documents.doc_curation,
         "doc_quality": documents.doc_quality,
         "doc_langid": documents.doc_langid,
         "doc_fingerprint": documents.doc_fingerprint,
@@ -1878,6 +1879,38 @@ def oracle_sql(sf_tag: str = None) -> dict[str, str]:
             "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
         "doc_repetition": _repetition_sql(),
         "doc_gopher_rules": _gopher_sql(),
+        "doc_curation": f"""
+            WITH RECURSIVE
+            pairs AS ({_minhash_pairs_sql(threshold=0.6)}),
+            und AS (SELECT doc_a AS x, doc_b AS y FROM pairs
+                    UNION SELECT doc_b, doc_a FROM pairs),
+            reach(id, r) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT u.y, reach.r FROM reach JOIN und u ON u.x = reach.id),
+            cc AS (SELECT id AS doc_id,
+                          CAST(id = MIN(r) AS BIGINT) AS cck
+                   FROM reach GROUP BY id),
+            g AS (SELECT doc_id, violations FROM ({_gopher_sql()}) _g),
+            l AS (SELECT doc_id, lang_pred FROM ({_langid_sql()}) _l),
+            e AS (SELECT doc_id,
+                         CAST(doc_id = MIN(doc_id) OVER (
+                             PARTITION BY md5(text)) AS BIGINT) AS exk
+                  FROM documents),
+            scored AS (
+              SELECT d.doc_id,
+                     CASE WHEN g.violations <> 0 THEN 1 ELSE 0 END
+                   + CASE WHEN e.exk = 0 THEN 2 ELSE 0 END
+                   + CASE WHEN cc.cck = 0 THEN 4 ELSE 0 END
+                   + CASE WHEN l.lang_pred <> 'en' THEN 8 ELSE 0 END
+                       AS viol
+              FROM documents d JOIN g USING (doc_id)
+                   JOIN l USING (doc_id) JOIN e USING (doc_id)
+                   JOIN cc USING (doc_id))
+            SELECT doc_id, CAST(viol AS BIGINT) AS viol,
+                   CAST(viol = 0 AS BIGINT) AS keep
+            FROM scored
+        """,
         # training-mix weighting: exact integer keep rates
         "doc_source_mix": f"""
             WITH per AS (

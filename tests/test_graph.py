@@ -156,3 +156,37 @@ def test_images_curation_composes_components(ray_session):
     assert (got["keep"] == (got["viol"] == 0).astype("int64")).all()
     # the gate actually separates: some kept, some dropped
     assert 0 < got["keep"].sum() < len(got)
+
+
+def test_doc_curation_composes_components(ray_session):
+    """The composed doc keep equals the conjunction of the
+    independently oracled component queries, bit by bit."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from uniparser_ray.pipelines.documents import (doc_curation,
+                                                   doc_dedup_clusters,
+                                                   doc_gopher_rules,
+                                                   doc_langid)
+
+    got = doc_curation(SF).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    gop = doc_gopher_rules(SF).to_pandas().set_index("doc_id")
+    lng = doc_langid(SF).to_pandas().set_index("doc_id")
+    cc = doc_dedup_clusters(SF).to_pandas().set_index("doc_id")
+    src = pq.read_table(f"{SF}/documents.parquet",
+                        columns=["doc_id", "text"]).to_pandas()
+    src["h"] = src["text"].map(
+        lambda x: hashlib.md5(x.encode()).hexdigest())
+    src["exk"] = src["doc_id"] == src.groupby("h")["doc_id"] \
+        .transform("min")
+    src = src.set_index("doc_id")
+    ids = got["doc_id"]
+    want = ((gop.loc[ids, "violations"] != 0).to_numpy().astype("int64")
+            + 2 * (~src.loc[ids, "exk"].to_numpy())
+            + 4 * (~cc.loc[ids, "keep"].to_numpy()).astype("int64")
+            + 8 * (lng.loc[ids, "lang_pred"] != "en").to_numpy())
+    assert got["viol"].tolist() == want.tolist()
+    assert (got["keep"] == (got["viol"] == 0).astype("int64")).all()
+    assert 0 < got["keep"].sum() < len(got)

@@ -364,6 +364,90 @@ def doc_dedup_clusters(sf_dir: str, threshold: float = 0.6):
         preserve_index=False)
 
 
+def doc_curation(sf_dir: str):
+    """The composed document-curation KEEP decision — the C4/Gopher/
+    RefinedWeb-shaped pipeline end product: per document a violation
+    bitmask over bit 0 Gopher quality rules, bit 1 exact-dup
+    non-keeper (min doc_id per md5(text) group survives), bit 2
+    MinHash near-dup cluster non-representative (transitive, from the
+    BSP components), bit 3 language gate (langid != 'en'), and
+    keep = (viol == 0).
+
+    Scale shape: gopher + langid are shuffle-free sweeps; exact dedup
+    is one md5-hash shuffle of (doc_id, hash) rows; the minhash
+    cluster machinery is the existing banded pipeline; the four
+    signals then co-locate in ONE doc_id hash shuffle (tagged union,
+    bit weights applied in-bucket) — metadata rows only, strings never
+    move past their own stage.  The DuckDB twin recomputes every bit
+    (gopher/langid twins as subqueries, a window-MIN exact keeper, the
+    recursive-CTE minhash closure), so the final keep list is
+    value-checked end to end."""
+    import hashlib
+
+    import ray.data as rd
+
+    from ..stages.combine import hash_bucket_combine
+
+    gop = doc_gopher_rules(sf_dir).map_batches(
+        lambda df: pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "src": np.int64(0),
+            "val": (df["violations"] != 0).astype("int64")}),
+        batch_format="pandas")
+    lng = doc_langid(sf_dir).map_batches(
+        lambda df: pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "src": np.int64(3),
+            "val": (df["lang_pred"] != "en").astype("int64")}),
+        batch_format="pandas")
+
+    def md5_rows(t: pa.Table) -> pa.Table:
+        hs = [hashlib.md5(x.encode()).hexdigest()
+              for x in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "h": pa.array(hs, pa.string())})
+
+    def exact_flag(g: pd.DataFrame) -> pd.DataFrame:
+        keeper = g.groupby("h")["doc_id"].transform("min")
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].astype("int64"),
+            "src": np.int64(1),
+            "val": (g["doc_id"] != keeper).astype("int64")})
+
+    exc = hash_bucket_combine(
+        _read(sf_dir, ["doc_id", "text"]).map_batches(
+            md5_rows, batch_format="pyarrow"),
+        ["h"], exact_flag)
+
+    cc_t = doc_dedup_clusters(sf_dir)
+    cc = rd.from_arrow(pa.table({
+        "doc_id": cc_t["doc_id"],
+        "src": pa.array(np.full(cc_t.num_rows, 2, np.int64)),
+        "val": pc_invert_keep(cc_t["keep"])}))
+
+    weights = np.array([1, 2, 4, 8], np.int64)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        v = (g["val"].to_numpy(dtype=np.int64)
+             * weights[g["src"].to_numpy(dtype=np.int64)])
+        s = pd.DataFrame({"doc_id": g["doc_id"].astype("int64"),
+                          "v": v}).groupby("doc_id")["v"].sum()
+        out = s.reset_index().rename(columns={"v": "viol"})
+        out["keep"] = (out["viol"] == 0).astype("int64")
+        return out.astype({"doc_id": "int64", "viol": "int64"})
+
+    return hash_bucket_combine(gop.union(lng, exc, cc),
+                               ["doc_id"], fold, num_buckets=64)
+
+
+def pc_invert_keep(keep_col: pa.ChunkedArray) -> pa.Array:
+    """bool keep -> int64 violation flag (1 - keep), chunk-safe."""
+    import pyarrow.compute as pc
+    return pc.cast(pc.invert(keep_col.combine_chunks()
+                             if isinstance(keep_col, pa.ChunkedArray)
+                             else keep_col), pa.int64())
+
+
 def doc_repetition(sf_dir: str):
     """Gopher-style repetition quality signals (dup-token fraction,
     top-token fraction, integer-exact repetitive flag) — one vectorized
