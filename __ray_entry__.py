@@ -867,6 +867,29 @@ def _repetition_sql() -> str:
     """
 
 
+def _perplexity_sql() -> str:
+    """Unigram-LM surprisal twin: length(bin(x))-1 == floor(log2 x)
+    exactly (bin() is minimal-width); the +1s cancel in the
+    difference."""
+    return f"""
+            WITH {_TOK_CTES},
+            pos AS (SELECT doc_id, unnest(h) AS tid FROM ids),
+            tot AS (SELECT tid, COUNT(*) AS c FROM pos GROUP BY 1),
+            n AS (SELECT GREATEST(COUNT(*), 1) AS nt FROM pos),
+            per AS (
+              SELECT doc_id, COUNT(*) AS n_tokens,
+                     SUM(length(bin(nt)) - length(bin(c))) AS sum_bits
+              FROM pos JOIN tot USING (tid) CROSS JOIN n GROUP BY 1)
+            SELECT d.doc_id,
+                   CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(p.sum_bits, 0) AS BIGINT) AS sum_bits,
+                   CAST(CASE WHEN COALESCE(p.n_tokens, 0) > 0
+                        THEN (1000 * p.sum_bits) // p.n_tokens
+                        ELSE 0 END AS BIGINT) AS mean_millibits
+            FROM documents d LEFT JOIN per p USING (doc_id)
+        """
+
+
 def _gopher_sql() -> str:
     """Composed Gopher keep/drop filter: the five rule thresholds as a
     violation bitmask, every comparison an integer cross-multiplication
@@ -1733,25 +1756,7 @@ def oracle_sql(sf_tag: str = None) -> dict[str, str]:
                    CAST(COALESCE(p.n_hapax, 0) AS BIGINT) AS n_hapax
             FROM documents d LEFT JOIN per p USING (doc_id)
         """,
-        "doc_perplexity": f"""
-            WITH {_TOK_CTES},
-            pos AS (SELECT doc_id, unnest(h) AS tid FROM ids),
-            tot AS (SELECT tid, COUNT(*) AS c FROM pos GROUP BY 1),
-            n AS (SELECT GREATEST(COUNT(*), 1) AS nt FROM pos),
-            per AS (
-              -- length(bin(x))-1 == floor(log2 x) exactly (bin() is
-              -- minimal-width); the +1s cancel in the difference
-              SELECT doc_id, COUNT(*) AS n_tokens,
-                     SUM(length(bin(nt)) - length(bin(c))) AS sum_bits
-              FROM pos JOIN tot USING (tid) CROSS JOIN n GROUP BY 1)
-            SELECT d.doc_id,
-                   CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
-                   CAST(COALESCE(p.sum_bits, 0) AS BIGINT) AS sum_bits,
-                   CAST(CASE WHEN COALESCE(p.n_tokens, 0) > 0
-                        THEN (1000 * p.sum_bits) // p.n_tokens
-                        ELSE 0 END AS BIGINT) AS mean_millibits
-            FROM documents d LEFT JOIN per p USING (doc_id)
-        """,
+        "doc_perplexity": _perplexity_sql(),
         "doc_tfidf_exact": f"""
             WITH {_TOK_CTES},
             pos AS (SELECT doc_id, unnest(h) AS tid FROM ids),

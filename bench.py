@@ -245,6 +245,11 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
            lambda: images_p.crawl_politeness_audit(sf_dir).num_rows)
     timed5("crawl_page_lineage",
            lambda: consume(images_p.crawl_page_lineage(sf_dir)))
+    # composed ship-it gates (each re-runs its component machinery:
+    # minhash+components for docs, phash-CC for images)
+    timed5("doc_curation", lambda: consume(docs_p.doc_curation(sf_dir)))
+    timed5("images_curation",
+           lambda: consume(images_p.images_curation(sf_dir)))
     return {
         "metric": "crawl+operator suite wall time",
         "value": total,

@@ -188,3 +188,63 @@ def test_fuzz_caption_align_parity(rows):
     """).fetchdf().sort_values("image_id").reset_index(drop=True)
     assert py.equals(sql[py.columns].astype(py.dtypes.to_dict())), \
         (rows, py, sql)
+
+
+@settings(max_examples=40, deadline=None)
+@given(CORPUS)
+def test_fuzz_perplexity_parity(docs):
+    """Integer-bit surprisal: the numpy floor-log path (bit shifts +
+    the shared token-count front) equals DuckDB's length(bin(x))-1
+    algebra on adversarial corpora."""
+    import numpy as np
+
+    from uniparser_ray.pipelines.documents import (_doc_token_count_rows,
+                                                   _ilog2)
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs, pa.string())})
+    g = _doc_token_count_rows(t).to_pandas()
+    tot = g.groupby("tid")["cnt"].transform("sum") \
+        .to_numpy(dtype="int64")
+    real = (g["tid"] >= 0).to_numpy()
+    n_total = int(g["cnt"].sum())
+    log_n = int(_ilog2(np.array([max(n_total, 1)], np.int64))[0])
+    bits = np.zeros(len(g), np.int64)
+    if real.any():
+        bits[real] = g["cnt"].to_numpy()[real] * (log_n - _ilog2(tot[real]))
+    per = pd.DataFrame({"doc_id": g["doc_id"], "cnt": g["cnt"],
+                        "bits": bits}).groupby("doc_id") \
+        .agg(n_tokens=("cnt", "sum"), sum_bits=("bits", "sum")) \
+        .reset_index()
+    per["mean_millibits"] = (
+        (1000 * per["sum_bits"])
+        // per["n_tokens"].clip(lower=1)).where(per["n_tokens"] > 0, 0)
+    py = _canon(per.astype("int64"))
+    sql = _canon(_register(docs).execute(entry._perplexity_sql()).fetchdf())
+    assert py.equals(sql[py.columns].astype(py.dtypes.to_dict())), \
+        (docs, py, sql)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(0, 10**6), min_size=1, max_size=30),
+       st.integers(0, 29))
+def test_fuzz_anomaly_cross_multiplication(counts, idx):
+    """The integer z-score test (d>0 and d^2 > k^2(W*SS - S^2)) agrees
+    with the float mean+k*sigma comparison away from exact-boundary
+    ties, for k=2 — pins the cross-multiplied algebra incl. overflow
+    headroom at 1e6-count windows."""
+    import math
+
+    idx = idx % len(counts)
+    n = counts[idx]
+    W = len(counts)
+    S = sum(counts)
+    SS = sum(c * c for c in counts)
+    d = W * n - S
+    var_term = W * SS - S * S
+    int_flag = d > 0 and d * d > 4 * var_term
+    mean = S / W
+    sigma = math.sqrt(max(var_term, 0)) / W
+    lhs, rhs = n - mean, 2 * sigma
+    if abs(lhs * lhs - rhs * rhs) > 1e-6 * max(1.0, rhs * rhs):
+        assert int_flag == (lhs > 0 and lhs * lhs > rhs * rhs), \
+            (counts, n, d, var_term)
