@@ -316,7 +316,19 @@ def doc_dedup_clusters(sf_dir: str, threshold: float = 0.6):
     Node ids are the int64 doc_ids themselves (identity hash into the
     shard space), so the propagated min-label IS the representative.
     Oracle: the full minhash SQL twin wrapped in a RECURSIVE-CTE
-    transitive closure."""
+    transitive closure.
+
+    The assignment table is a persisted artifact at real scale
+    (written once, read by every curation gate); here the process-level
+    memo stands in, so composed consumers (``doc_curation``) never
+    re-run the minhash pipeline on an unchanged corpus."""
+    from .sharedcache import input_sig, memo
+    key = ("doc_dedup_clusters",
+           input_sig(f"{sf_dir}/documents.parquet"), threshold)
+    return memo(key, lambda: _doc_dedup_clusters(sf_dir, threshold))
+
+
+def _doc_dedup_clusters(sf_dir: str, threshold: float):
     import numpy as np
     import ray
 

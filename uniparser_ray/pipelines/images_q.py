@@ -384,15 +384,28 @@ def images_dedup_clusters(sf_dir: str, max_hamming: int = 8):
     ``keep`` marks the one row per cluster a training pipeline retains.
     Oracle: DuckDB recomputes the pair rule from the stored phash
     column and closes it transitively with a RECURSIVE CTE — a fully
-    computed SQL twin of the distributed label propagation."""
+    computed SQL twin of the distributed label propagation.
+
+    Like ``doc_dedup_clusters``, the assignment table is a persisted
+    artifact at real scale; the process-level memo (keyed by the Lance
+    ``_latest`` manifest pointer) stands in, so ``images_curation``
+    reuses instead of re-running the pair machinery."""
+    from .sharedcache import input_sig, memo
+
+    table = images_lance_for(sf_dir)  # ensure generated before sig
+    key = ("images_dedup_clusters",
+           input_sig(str(table.root / "_latest")), max_hamming)
+    return memo(key,
+                lambda: _images_dedup_clusters(table, max_hamming))
+
+
+def _images_dedup_clusters(table, max_hamming: int):
     import numpy as np
     import ray
 
     from ..rulevm.urlutil import url_hash64
     from ..stages import graph_bsp
     from ..stages.dedup import hamming_block_pairs
-
-    table = images_lance_for(sf_dir)
     ds = table.read_dataset(columns=["image_id", "phash"])
     pairs = hamming_block_pairs(ds, "image_id", "phash", max_hamming,
                                 out_prefix="image")
