@@ -294,6 +294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_para_dedup": documents.doc_para_dedup,
         "doc_unigram_stats": documents.doc_unigram_stats,
         "doc_perplexity": documents.doc_perplexity,
+        "doc_bigram_surprisal": documents.doc_bigram_surprisal,
         "doc_tfidf_exact": documents.doc_tfidf_exact,
         "doc_rarity_buckets": documents.doc_rarity_buckets,
         "doc_incremental_novelty": documents.doc_incremental_novelty,
@@ -885,6 +886,33 @@ def _perplexity_sql() -> str:
                    CAST(COALESCE(p.sum_bits, 0) AS BIGINT) AS sum_bits,
                    CAST(CASE WHEN COALESCE(p.n_tokens, 0) > 0
                         THEN (1000 * p.sum_bits) // p.n_tokens
+                        ELSE 0 END AS BIGINT) AS mean_millibits
+            FROM documents d LEFT JOIN per p USING (doc_id)
+        """
+
+
+def _bigram_surprisal_sql() -> str:
+    """Bigram-LM surprisal twin: same length(bin()) integer logs as
+    the unigram twin; prefix counts = bigram rows grouped by v, so the
+    P(w|v) floors are exact and the two engines agree bit-for-bit."""
+    return f"""
+            WITH {_TOK_CTES},
+            big AS (
+              SELECT doc_id, h[i] AS v, h[i + 1] AS w
+              FROM ids, unnest(generate_series(1, n - 1)) AS u(i)
+              WHERE n >= 2),
+            btot AS (SELECT v, w, COUNT(*) AS cb FROM big GROUP BY 1, 2),
+            ptot AS (SELECT v, COUNT(*) AS cp FROM big GROUP BY 1),
+            per AS (
+              SELECT doc_id, COUNT(*) AS n_bigrams,
+                     SUM(length(bin(cp)) - length(bin(cb))) AS sum_bits
+              FROM big JOIN btot USING (v, w) JOIN ptot USING (v)
+              GROUP BY 1)
+            SELECT d.doc_id,
+                   CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   CAST(COALESCE(p.sum_bits, 0) AS BIGINT) AS sum_bits,
+                   CAST(CASE WHEN COALESCE(p.n_bigrams, 0) > 0
+                        THEN (1000 * p.sum_bits) // p.n_bigrams
                         ELSE 0 END AS BIGINT) AS mean_millibits
             FROM documents d LEFT JOIN per p USING (doc_id)
         """
@@ -1757,6 +1785,7 @@ def oracle_sql(sf_tag: str = None) -> dict[str, str]:
             FROM documents d LEFT JOIN per p USING (doc_id)
         """,
         "doc_perplexity": _perplexity_sql(),
+        "doc_bigram_surprisal": _bigram_surprisal_sql(),
         "doc_tfidf_exact": f"""
             WITH {_TOK_CTES},
             pos AS (SELECT doc_id, unnest(h) AS tid FROM ids),

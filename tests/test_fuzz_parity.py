@@ -224,6 +224,46 @@ def test_fuzz_perplexity_parity(docs):
         (docs, py, sql)
 
 
+@settings(max_examples=40, deadline=None)
+@given(CORPUS)
+def test_fuzz_bigram_surprisal_parity(docs):
+    """Bigram-LM surprisal: the numpy prefix/bigram transform algebra
+    (in-bucket group sums + bit-shift floor logs) equals DuckDB's
+    positional-unnest + length(bin(x))-1 twin on adversarial corpora."""
+    import numpy as np
+
+    from uniparser_ray.pipelines.documents import _ilog2
+    from uniparser_ray.stages.tokenhash import batch_token_ids
+
+    flat, offs = batch_token_ids(docs)
+    lens = np.diff(offs)
+    docidx = np.repeat(np.arange(len(docs)), lens)
+    valid = docidx[:-1] == docidx[1:] if len(flat) else np.zeros(0, bool)
+    df = pd.DataFrame({"doc_id": docidx[:-1][valid],
+                       "v": flat[:-1][valid].astype("int64"),
+                       "w": flat[1:][valid].astype("int64")})
+    g = df.groupby(["doc_id", "v", "w"], sort=False).size() \
+        .reset_index(name="cnt")
+    cp = g.groupby("v")["cnt"].transform("sum").to_numpy("int64")
+    cb = g.groupby(["v", "w"])["cnt"].transform("sum").to_numpy("int64")
+    bits = (g["cnt"].to_numpy("int64")
+            * (_ilog2(cp) - _ilog2(cb))) if len(g) else \
+        np.zeros(0, np.int64)
+    per = pd.DataFrame({"doc_id": g["doc_id"], "cnt": g["cnt"],
+                        "bits": bits}).groupby("doc_id") \
+        .agg(n_bigrams=("cnt", "sum"), sum_bits=("bits", "sum"))
+    per = per.reindex(range(len(docs)), fill_value=0).reset_index() \
+        .rename(columns={"index": "doc_id"})
+    per["mean_millibits"] = (
+        (1000 * per["sum_bits"])
+        // per["n_bigrams"].clip(lower=1)).where(per["n_bigrams"] > 0, 0)
+    py = _canon(per.astype("int64"))
+    sql = _canon(_register(docs).execute(
+        entry._bigram_surprisal_sql()).fetchdf())
+    assert py.equals(sql[py.columns].astype(py.dtypes.to_dict())), \
+        (docs, py, sql)
+
+
 @settings(max_examples=60, deadline=None)
 @given(st.lists(st.integers(0, 10**6), min_size=1, max_size=30),
        st.integers(0, 29))

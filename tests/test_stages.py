@@ -677,6 +677,32 @@ def test_doc_perplexity_semantics(ray_session, tmp_path):
     assert got["mean_millibits"].tolist() == [1250, 1500, 2000, 0]
 
 
+def test_doc_bigram_surprisal_semantics(ray_session, tmp_path):
+    """Bigram surprisal bits = ilog2(c(v.)) - ilog2(c(v,w)) per
+    transition: corpus (a,b)x3 (b,a)x1 (b,c)x1 gives prefix counts
+    c(a.)=3, c(b.)=2, so (a,b) costs 0 bits, (b,a)/(b,c) cost 1;
+    sub-2-token docs report zero transitions."""
+    from uniparser_ray.pipelines.documents import doc_bigram_surprisal
+
+    docs = [
+        (1, "a b a b"),   # (a,b),(b,a),(a,b): 0+1+0 = 1 bit, n=3
+        (2, "a b c"),     # (a,b),(b,c): 0+1 = 1 bit, n=2
+        (3, "x"),         # no transitions
+        (4, ""),          # no transitions
+    ]
+    df = pd.DataFrame(docs, columns=["doc_id", "text"])
+    df["lang"] = "en"
+    df["source"] = "t"
+    df["n_chars"] = df["text"].str.len()
+    df.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    got = doc_bigram_surprisal(str(tmp_path)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got["n_bigrams"].tolist() == [3, 2, 0, 0]
+    assert got["sum_bits"].tolist() == [1, 1, 0, 0]
+    assert got["mean_millibits"].tolist() == [333, 500, 0, 0]
+
+
 def test_doc_incremental_novelty_semantics(ray_session, tmp_path):
     """Delta docs (doc_id % 5 == 0) score windows against the base
     split only: a delta window repeated WITHIN the delta but absent

@@ -1013,6 +1013,89 @@ def doc_perplexity(sf_dir: str):
     return out.map_batches(finish, batch_format="pandas")
 
 
+def doc_bigram_surprisal(sf_dir: str):
+    """Per-document bigram-LM surprisal in integer bits — the
+    conditional-entropy upgrade of :func:`doc_perplexity` (the KenLM
+    direction of a CCNet-shaped quality filter, public recipe): with
+    corpus bigram counts c(v,w) and prefix counts c(v·) = Σ_w c(v,w),
+    a transition's surprisal is floor(log2 c(v·)) - floor(log2 c(v,w))
+    bits, i.e. -log2 of the MLE P(w|v) with exact integer logs (bit
+    length — no float round-trip).  Each document reports its
+    transition count, summed bits, and mean in milli-bits; docs with
+    fewer than two tokens have zero transitions.
+
+    Scale shape: ONE hash shuffle keyed by the PREFIX token v — the
+    distinct (doc_id, v, w, cnt) rows co-locate by v, so the in-bucket
+    sums ARE both count tables (prefix total = sum over the v-group,
+    bigram total = sum over the (v,w)-group); neither table ever
+    materializes and no strings move.  Same hot-key exposure as the
+    unigram family (a corpus-dominating prefix token skews its hash
+    bucket; the bucket holds many prefixes, so balance follows from
+    the hash unless one token IS the corpus)."""
+    from ..stages.combine import grouped_aggregate, hash_bucket_combine
+    from ..stages.tokenhash import batch_token_ids
+
+    ds = _read(sf_dir, ["doc_id", "text"])
+
+    def bigram_rows(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        doc_ids = t["doc_id"].to_numpy()
+        flat, offs = batch_token_ids(texts)
+        lens = np.diff(offs)
+        docidx = np.repeat(np.arange(len(doc_ids)), lens)
+        # a position starts a bigram iff its successor is in-doc
+        valid = docidx[:-1] == docidx[1:] if len(flat) else \
+            np.zeros(0, bool)
+        df = pd.DataFrame({
+            "doc_id": doc_ids[docidx[:-1][valid]],
+            "v": flat[:-1][valid].astype(np.int64),
+            "w": flat[1:][valid].astype(np.int64)})
+        g = df.groupby(["doc_id", "v", "w"], sort=False).size() \
+            .reset_index(name="cnt")
+        lonely = doc_ids[lens < 2]
+        if len(lonely):
+            g = pd.concat([g, pd.DataFrame({
+                "doc_id": lonely, "v": np.int64(-1),
+                "w": np.int64(-1), "cnt": np.int64(0)})],
+                ignore_index=True)
+        return table_from_pandas(
+            g.astype({"doc_id": "int64", "v": "int64",
+                      "w": "int64", "cnt": "int64"}),
+            preserve_index=False)
+
+    per_big = ds.map_batches(bigram_rows, batch_format="pyarrow")
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        cp = g.groupby("v")["cnt"].transform("sum") \
+            .to_numpy(dtype=np.int64)
+        cb = g.groupby(["v", "w"])["cnt"].transform("sum") \
+            .to_numpy(dtype=np.int64)
+        real = (g["v"] >= 0).to_numpy()
+        bits = np.zeros(len(g), dtype=np.int64)
+        if real.any():
+            bits[real] = g["cnt"].to_numpy()[real] \
+                * (_ilog2(cp[real]) - _ilog2(cb[real]))
+        g["bits"] = bits
+        return g[["doc_id", "cnt", "bits"]]
+
+    marked = hash_bucket_combine(per_big, ["v"], attach)
+    out = grouped_aggregate(marked, ["doc_id"],
+                            {"n_bigrams": ("cnt", "sum"),
+                             "sum_bits": ("bits", "sum")})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n_bigrams"].astype("int64")
+        df["n_bigrams"] = n
+        df["sum_bits"] = df["sum_bits"].astype("int64")
+        df["mean_millibits"] = np.where(
+            n > 0, (1000 * df["sum_bits"]) // n.clip(lower=1),
+            0).astype("int64")
+        return df[["doc_id", "n_bigrams", "sum_bits", "mean_millibits"]]
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
 def doc_rarity_buckets(sf_dir: str):
     """CCNet-shaped corpus-level quality bucketing (Wenzek et al.,
     arXiv:1911.00359 — public recipe), integer-exact: each token gets
