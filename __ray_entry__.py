@@ -338,6 +338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "caption_token_stats": images_q.caption_token_stats,
         "images_caption_align": images_q.images_caption_align,
         "images_hard_negatives": images_q.images_hard_negatives,
+        "images_phash_ann": images_q.images_phash_ann,
         "audio_features": images_q.audio_features_q,
         "video_frames": images_q.video_frames_q,
         "video_shot_boundaries": images_q.video_shot_boundaries,
@@ -690,6 +691,26 @@ def _multimodal_oracle_thunks(tag: str) -> dict:
                   FROM scored)
             WHERE rn <= {_HARDNEG_K()}
         """,
+        # binary-code KNN: same md5-residue probe rule as the Ray
+        # side's hash31 sample; ties by (hamming, neighbor_id)
+        "images_phash_ann": lambda: f"""
+            WITH {meta()},
+            q AS (SELECT image_id AS query_id, phash AS qph FROM m
+                  WHERE ('0x' || substr(md5(image_id), 1, 15))::BIGINT
+                          % 2147483647 % {_PHASH_ANN_MOD()} = 0),
+            scored AS (
+              SELECT q.query_id, c.image_id AS neighbor_id,
+                     bit_count(xor(q.qph, c.phash)) AS hamming
+              FROM q JOIN m c ON c.image_id <> q.query_id)
+            SELECT query_id, neighbor_id,
+                   CAST(hamming AS BIGINT) AS hamming,
+                   CAST(rn AS BIGINT) AS rank
+            FROM (SELECT *, ROW_NUMBER() OVER (
+                      PARTITION BY query_id
+                      ORDER BY hamming, neighbor_id) AS rn
+                  FROM scored)
+            WHERE rn <= {_PHASH_ANN_K()}
+        """,
         "images_neardup_phash": lambda: f"""
             WITH {meta()}
             SELECT a.image_id AS image_a, b.image_id AS image_b,
@@ -1009,6 +1030,16 @@ def _HARDNEG_MOD() -> int:
 def _HARDNEG_K() -> int:
     from uniparser_ray.pipelines.images_q import HARDNEG_K
     return HARDNEG_K
+
+
+def _PHASH_ANN_MOD() -> int:
+    from uniparser_ray.pipelines.images_q import PHASH_ANN_QUERY_MOD
+    return PHASH_ANN_QUERY_MOD
+
+
+def _PHASH_ANN_K() -> int:
+    from uniparser_ray.pipelines.images_q import PHASH_ANN_K
+    return PHASH_ANN_K
 
 
 def _ALIGN_MAX_HAMMING() -> int:

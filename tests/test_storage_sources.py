@@ -223,6 +223,43 @@ def test_caption_align_stage_semantics(ray_session):
     assert len(full) == 300
 
 
+def test_images_phash_ann_knn(ray_session):
+    """Binary-code visual KNN invariants: every probe is an md5-residue
+    sample member, a probe is never its own neighbor, ranks are 1..k
+    ordered by (hamming asc, neighbor_id asc), and each probe's rank-1
+    hamming equals the true minimum xor-popcount over all OTHER
+    images (brute-force numpy check)."""
+    import numpy as np
+
+    from uniparser_ray.pipelines.images_q import (PHASH_ANN_K,
+                                                  PHASH_ANN_QUERY_MOD,
+                                                  images_lance_for,
+                                                  images_phash_ann)
+    from uniparser_ray.stages.dedup import popcount64
+    from uniparser_ray.stages.sketches import hash31
+
+    got = images_phash_ann("/root/testdata/sf0.001").to_pandas()
+    assert len(got)
+    assert (got["query_id"] != got["neighbor_id"]).all()
+    assert ((hash31(got["query_id"].to_numpy(object))
+             % PHASH_ANN_QUERY_MOD) == 0).all()
+    for _, g in got.sort_values(["query_id", "rank"]).groupby("query_id"):
+        assert g["rank"].tolist() == list(range(1, len(g) + 1))
+        assert len(g) <= PHASH_ANN_K
+        assert (np.diff(g["hamming"].to_numpy()) >= 0).all()
+
+    meta = images_lance_for("/root/testdata/sf0.001") \
+        .read_dataset(columns=["image_id", "phash"]).to_pandas()
+    ph = meta["phash"].to_numpy(np.int64).view(np.uint64)
+    ids = meta["image_id"].to_numpy(object)
+    top1 = got[got["rank"] == 1].set_index("query_id")["hamming"]
+    for qid, want in top1.items():
+        q = np.where(ids == qid)[0][0]
+        ham = popcount64(np.uint64(ph[q]) ^ ph)
+        ham[q] = 65
+        assert want == ham.min()
+
+
 def test_images_hard_negatives_mining(ray_session):
     """Hard-negative mining invariants on the synthetic crawl table:
     every anchor is an md5-residue sample member, its own caption

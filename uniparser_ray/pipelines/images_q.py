@@ -1089,6 +1089,99 @@ class HardNegStage:
             names=["anchor_id", "neg_image_id", "hamming"])
 
 
+PHASH_ANN_QUERY_MOD = 16   # hash31(image_id) % 16 == 0 -> probe sample
+PHASH_ANN_K = 5
+
+
+class PhashAnnStage:
+    """Visual KNN scorer over binary codes: hamming(probe phash,
+    corpus phash) against the broadcast probe set, local top-k per
+    probe per batch — the binary-code twin of ``BruteTopKStage``
+    (retrieval over 64-bit signatures instead of float embeddings; a
+    production run swaps phash for a learned hash layer, the plumbing
+    — probes broadcast once, streamed corpus, bounded per-probe fan-in
+    — is unchanged)."""
+
+    def __init__(self, queries_ref, k: int = PHASH_ANN_K):
+        import ray
+        self.query_ids, ph = ray.get(queries_ref)
+        self.qph = ph.view(np.uint64)
+        self.query_arr = np.asarray(self.query_ids, dtype=object)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..stages.dedup import popcount64
+        ids = np.asarray(batch["image_id"].to_pylist(), dtype=object)
+        ph = batch["phash"].to_numpy().astype(np.int64).view(np.uint64)
+        x = self.qph[:, None] ^ ph[None, :]
+        ham = popcount64(x.ravel()).reshape(x.shape).astype(np.int64)
+        # a probe is not its own neighbor
+        ham[self.query_arr[:, None] == ids[None, :]] = 65
+        ids_u = ids.astype(str)
+        out_q, out_n, out_h = [], [], []
+        k = min(self.k, ham.shape[1])
+        for qi, qid in enumerate(self.query_ids):
+            row = ham[qi]
+            idx = np.lexsort((ids_u, row))[:k]
+            idx = idx[row[idx] <= 64]
+            out_q.extend([qid] * len(idx))
+            out_n.extend(ids[idx].tolist())
+            out_h.extend(row[idx].tolist())
+        return pa.Table.from_arrays([
+            pa.array(out_q, pa.string()), pa.array(out_n, pa.string()),
+            pa.array(out_h, pa.int64())],
+            names=["query_id", "neighbor_id", "hamming"])
+
+
+def images_phash_ann(sf_dir: str, k: int = PHASH_ANN_K):
+    """Top-k visual nearest neighbors in HAMMING space over the
+    image+caption table's 64-bit phash column — similarity search in
+    the binary-code domain (the dedup/retrieval primitive a LAION-type
+    pipeline runs before clustering): a deterministic md5-residue
+    probe sample broadcasts (image_id, phash) once via ``ray.put``,
+    one streamed pass xor-popcounts every (probe, image) pair and
+    keeps a local top-k per probe, and the global merge fans in k rows
+    per probe per block through the bucketed combine.  Bytes never
+    leave storage; at 10^10 images the probe mod scales the broadcast
+    to probe-set size, and the scan drops into the simhash pigeonhole
+    blocks when k-radius bounds are known."""
+    import ray
+
+    from ..stages.combine import hash_bucket_combine
+    from ..stages.sketches import hash31
+    from ..stages.taskcache import cached_stage
+
+    table = images_lance_for(sf_dir)
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["image_id"].to_pylist(), dtype=object)
+        m = (hash31(ids) % PHASH_ANN_QUERY_MOD) == 0
+        return t.filter(pa.array(m))
+
+    probes = table.read_dataset(columns=["image_id", "phash"]) \
+        .map_batches(pick, batch_format="pyarrow").to_pandas() \
+        .sort_values("image_id")
+    queries_ref = ray.put((probes["image_id"].tolist(),
+                           probes["phash"].to_numpy(np.int64)))
+
+    local = table.read_dataset(columns=["image_id", "phash"]) \
+        .map_batches(cached_stage(PhashAnnStage, queries_ref=queries_ref,
+                                  k=k),
+                     batch_format="pyarrow", batch_size=1024)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["query_id", "hamming", "neighbor_id"],
+                            kind="mergesort")
+        df = df.groupby("query_id", sort=False).head(k).copy()
+        df["rank"] = (df.groupby("query_id", sort=False).cumcount()
+                      + 1).astype(np.int64)
+        df["hamming"] = df["hamming"].astype("int64")
+        return df[["query_id", "neighbor_id", "hamming", "rank"]]
+
+    return hash_bucket_combine(local, ["query_id"], merge,
+                               driver_limit_rows=200_000)
+
+
 def images_hard_negatives(sf_dir: str, k: int = HARDNEG_K):
     """Hard-negative mining for contrastive (CLIP-style) training over
     the crawl's image+caption table: a deterministic md5-residue
