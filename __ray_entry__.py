@@ -55,21 +55,31 @@ def _horner_sql(terms, base=_HB):
 _SPLIT_SQL = (r"list_filter(string_split_regex(text, '\s+'), "
               r"s -> s <> '')")
 
-_TOK_CTES = f"""toks AS (
-      SELECT doc_id, {_SPLIT_SQL} AS t FROM documents),
-    ids AS (
+def _tok_ctes(src: str = "documents", p: str = "") -> str:
+    """toks/ids CTE pair over an arbitrary (doc_id, text) source with
+    a CTE-name prefix — DuckDB shadows a view name for EVERY CTE in
+    the WITH clause regardless of order, so cross-table twins (real
+    documents AND captions in one query) need renamed stacks instead
+    of the shadowing trick."""
+    return f"""{p}toks AS (
+      SELECT doc_id, {_SPLIT_SQL} AS t FROM {src}),
+    {p}ids AS (
       SELECT doc_id,
              list_transform(t, s ->
                  ('0x' || substr(md5(s), 1, 15))::BIGINT % {_P}) AS h,
              len(t) AS n
-      FROM toks)"""
+      FROM {p}toks)"""
 
 
-def _sh_cte(with62: bool = False) -> str:
+_TOK_CTES = _tok_ctes()
+
+
+def _sh_cte(with62: bool = False, p: str = "") -> str:
     """Word-3-shingle hashes per doc: column s (31-bit, minhash/simhash
     domain) and optionally s62 (dual-base 62-bit, exact-jaccard
     domain — collision differences would otherwise diverge from the
-    numpy path)."""
+    numpy path).  ``p`` prefixes the CTE names (pairs with
+    ``_tok_ctes(p=...)``)."""
     h3a = _horner_sql(["h[i]", "h[i+1]", "h[i+2]"], _HB)
     sh_a = (f"CASE WHEN n = 1 THEN h[1] "
             f"ELSE ({_horner_sql(['h[1]', 'h[2]'], _HB)}) END")
@@ -80,13 +90,13 @@ def _sh_cte(with62: bool = False) -> str:
                 f"ELSE ({_horner_sql(['h[1]', 'h[2]'], _HB2)}) END")
         cols_long += f", (({h3a}) << 31) | ({h3b}) AS s62"
         cols_short += f", (({sh_a}) << 31) | ({sh_b}) AS s62"
-    return f"""sh AS (
+    return f"""{p}sh AS (
       SELECT doc_id, {cols_long}
-      FROM ids, unnest(generate_series(1, n - 2)) AS u(i)
+      FROM {p}ids, unnest(generate_series(1, n - 2)) AS u(i)
       WHERE n >= 3
       UNION ALL
       SELECT doc_id, {cols_short}
-      FROM ids WHERE n IN (1, 2))"""
+      FROM {p}ids WHERE n IN (1, 2))"""
 
 
 def _params_cte(name: str, n: int, seed: int) -> str:
@@ -339,6 +349,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_caption_align": images_q.images_caption_align,
         "images_hard_negatives": images_q.images_hard_negatives,
         "images_phash_ann": images_q.images_phash_ann,
+        "caption_decontaminate": images_q.caption_decontaminate,
         "audio_features": images_q.audio_features_q,
         "video_frames": images_q.video_frames_q,
         "video_shot_boundaries": images_q.video_shot_boundaries,
@@ -690,6 +701,31 @@ def _multimodal_oracle_thunks(tag: str) -> dict:
                       ORDER BY hamming, neg_image_id) AS rn
                   FROM scored)
             WHERE rn <= {_HARDNEG_K()}
+        """,
+        # cross-modal decontamination: benchmark shingles from the
+        # REAL documents view, caption shingles from a renamed CTE
+        # stack (DuckDB shadows a view for the whole WITH clause, so
+        # the two stacks must not share names)
+        "caption_decontaminate": lambda: f"""
+            WITH {meta()},
+            {_TOK_CTES},
+            {_sh_cte()},
+            bench AS (SELECT DISTINCT s FROM sh
+                      WHERE doc_id % {DECONTAM_MOD_SQL} = 0),
+            caps AS (SELECT image_id AS doc_id, caption AS text FROM m),
+            {_tok_ctes(src='caps', p='c')},
+            {_sh_cte(p='c')},
+            per AS (SELECT csh.doc_id AS image_id,
+                           CAST(COUNT(*) AS BIGINT) AS ns,
+                           CAST(SUM(CASE WHEN b.s IS NOT NULL
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS nc
+                    FROM csh LEFT JOIN bench b ON csh.s = b.s
+                    GROUP BY 1)
+            SELECT m.image_id,
+                   COALESCE(ns, 0) AS n_shingles,
+                   COALESCE(nc, 0) AS n_contaminated,
+                   CAST(COALESCE(nc, 0) > 0 AS BIGINT) AS contaminated
+            FROM m LEFT JOIN per ON per.image_id = m.image_id
         """,
         # binary-code KNN: same md5-residue probe rule as the Ray
         # side's hash31 sample; ties by (hamming, neighbor_id)

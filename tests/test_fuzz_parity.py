@@ -224,6 +224,62 @@ def test_fuzz_perplexity_parity(docs):
         (docs, py, sql)
 
 
+@settings(max_examples=30, deadline=None)
+@given(CORPUS, st.lists(st.one_of(DOC, st.integers(0, 7)),
+                        min_size=1, max_size=6))
+def test_fuzz_caption_decontaminate_parity(docs, caps_spec):
+    """Cross-modal decontamination: captions that QUOTE a benchmark
+    document (int specs copy docs[i] verbatim, so shingle overlap with
+    the doc_id%MOD==0 split genuinely occurs) must flag identically in
+    the numpy searchsorted probe and the renamed-CTE DuckDB stack."""
+    import numpy as np
+
+    from uniparser_ray.pipelines.documents import DECONTAM_BENCH_MOD
+    from uniparser_ray.stages.text import contamination_counts
+    from uniparser_ray.stages.tokenhash import shingle_hashes
+
+    caps = [docs[i % len(docs)] if isinstance(i, int) else i
+            for i in caps_spec]
+    bench = [d for j, d in enumerate(docs)
+             if j % DECONTAM_BENCH_MOD == 0]
+    sh, _ = shingle_hashes(bench, k=3)
+    blk = np.unique(sh)
+    ns, nc = contamination_counts(caps, blk)
+    py = pd.DataFrame({
+        "image_id": [f"img-{i:04d}" for i in range(len(caps))],
+        "n_shingles": ns.astype("int64"),
+        "n_contaminated": nc.astype("int64"),
+        "contaminated": (nc > 0).astype("int64")})
+
+    con = _register(docs)
+    con.register("m", pa.table({
+        "image_id": pa.array(py["image_id"], pa.string()),
+        "caption": pa.array(caps, pa.string())}))
+    sql = con.execute(f"""
+        WITH {entry._TOK_CTES},
+        {entry._sh_cte()},
+        bench AS (SELECT DISTINCT s FROM sh
+                  WHERE doc_id % {entry.DECONTAM_MOD_SQL} = 0),
+        caps AS (SELECT image_id AS doc_id, caption AS text FROM m),
+        {entry._tok_ctes(src='caps', p='c')},
+        {entry._sh_cte(p='c')},
+        per AS (SELECT csh.doc_id AS image_id,
+                       CAST(COUNT(*) AS BIGINT) AS ns,
+                       CAST(SUM(CASE WHEN b.s IS NOT NULL
+                                THEN 1 ELSE 0 END) AS BIGINT) AS nc
+                FROM csh LEFT JOIN bench b ON csh.s = b.s
+                GROUP BY 1)
+        SELECT m.image_id,
+               COALESCE(ns, 0) AS n_shingles,
+               COALESCE(nc, 0) AS n_contaminated,
+               CAST(COALESCE(nc, 0) > 0 AS BIGINT) AS contaminated
+        FROM m LEFT JOIN per ON per.image_id = m.image_id
+    """).fetchdf().sort_values("image_id").reset_index(drop=True)
+    py = py.sort_values("image_id").reset_index(drop=True)
+    assert py.equals(sql[py.columns].astype(py.dtypes.to_dict())), \
+        (docs, caps, py, sql)
+
+
 @settings(max_examples=40, deadline=None)
 @given(CORPUS)
 def test_fuzz_bigram_surprisal_parity(docs):

@@ -474,6 +474,37 @@ def doc_repetition(sf_dir: str):
 DECONTAM_BENCH_MOD = 41
 
 
+def bench_shingle_block(sf_dir: str) -> np.ndarray:
+    """Distinct word-3-shingle hashes of the held-out benchmark split
+    (doc_id % DECONTAM_BENCH_MOD == 0) — small BY DEFINITION (eval
+    sets, not training data), so the sorted uint64 array collects once
+    per process (sharedcache, keyed by input identity) and broadcasts
+    to every decontamination sweep: the documents one AND the
+    cross-modal caption one."""
+    from .sharedcache import input_sig, memo
+    key = ("bench_shingle_block",
+           input_sig(f"{sf_dir}/documents.parquet"))
+    return memo(key, lambda: _bench_shingle_block(sf_dir))
+
+
+def _bench_shingle_block(sf_dir: str) -> np.ndarray:
+    from ..stages.tokenhash import shingle_hashes
+
+    def bench_shingles(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].to_pylist(), dtype=np.int64)
+        mask = ids % DECONTAM_BENCH_MOD == 0
+        texts = [x for x, m in zip(t["text"].to_pylist(), mask) if m]
+        sh, _ = shingle_hashes(texts, k=3)
+        return pa.Table.from_arrays(
+            [pa.array(np.unique(sh).view(np.int64), pa.int64())],
+            names=["s"])
+
+    parts = _read(sf_dir, ["doc_id", "text"]) \
+        .map_batches(bench_shingles, batch_format="pyarrow").take_all()
+    return np.unique(np.array([r["s"] for r in parts],
+                              dtype=np.int64).view(np.uint64))
+
+
 def doc_decontaminate(sf_dir: str):
     """Benchmark decontamination: flag training documents sharing any
     word 3-shingle with the held-out benchmark set (the GPT-3/Gopher
@@ -491,24 +522,9 @@ def doc_decontaminate(sf_dir: str):
     import ray
 
     from ..stages.text import contamination_counts
-    from ..stages.tokenhash import shingle_hashes
 
     ds = _read(sf_dir, ["doc_id", "text"])
-
-    def bench_shingles(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t["doc_id"].to_pylist(), dtype=np.int64)
-        mask = ids % DECONTAM_BENCH_MOD == 0
-        texts = [x for x, m in zip(t["text"].to_pylist(), mask) if m]
-        sh, _ = shingle_hashes(texts, k=3)
-        return pa.Table.from_arrays(
-            [pa.array(np.unique(sh).view(np.int64), pa.int64())],
-            names=["s"])
-
-    parts = ds.map_batches(bench_shingles,
-                           batch_format="pyarrow").take_all()
-    block = np.unique(np.array([r["s"] for r in parts],
-                               dtype=np.int64).view(np.uint64))
-    block_ref = ray.put(block)
+    block_ref = ray.put(bench_shingle_block(sf_dir))
 
     def score(t: pa.Table) -> pa.Table:
         blk = ray.get(block_ref)

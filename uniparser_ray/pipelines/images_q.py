@@ -1089,6 +1089,43 @@ class HardNegStage:
             names=["anchor_id", "neg_image_id", "hamming"])
 
 
+def caption_decontaminate(sf_dir: str):
+    """CROSS-MODAL benchmark decontamination: flag images whose
+    CAPTION shares any word-3-shingle with the held-out benchmark
+    DOCUMENT split — the leak check a multimodal training pipeline
+    runs when its eval prompts are text (captions quoting benchmark
+    sentences leak the eval into image-text pretraining).
+
+    Scale shape: the benchmark shingle block comes from the shared
+    per-process collection (`documents.bench_shingle_block` — small by
+    definition, broadcast once via ``ray.put``), and the caption side
+    is ONE shuffle-free streamed pass over the Lance image table doing
+    a vectorized searchsorted membership probe per batch; bytes never
+    leave storage.  The DuckDB twin runs both tokenize/shingle stacks
+    under renamed CTEs (no view shadowing), so the cross-table join is
+    value-checked end to end."""
+    import ray
+
+    from ..stages.text import contamination_counts
+    from .documents import bench_shingle_block
+
+    block_ref = ray.put(bench_shingle_block(sf_dir))
+    table = images_lance_for(sf_dir)
+
+    def score(t: pa.Table) -> pa.Table:
+        blk = ray.get(block_ref)
+        ns, nc = contamination_counts(t["caption"].to_pylist(), blk)
+        return pa.Table.from_arrays(
+            [t["image_id"], pa.array(ns, pa.int64()),
+             pa.array(nc, pa.int64()),
+             pa.array((nc > 0).astype(np.int64), pa.int64())],
+            names=["image_id", "n_shingles", "n_contaminated",
+                   "contaminated"])
+
+    return table.read_dataset(columns=["image_id", "caption"]) \
+        .map_batches(score, batch_format="pyarrow")
+
+
 PHASH_ANN_QUERY_MOD = 16   # hash31(image_id) % 16 == 0 -> probe sample
 PHASH_ANN_K = 5
 
