@@ -362,6 +362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_images": images_q.crawl_images,
         # link-graph analytics (BSP shard actors over parsed edges)
         "web_pagerank": graph.web_pagerank,
+        "web_hits": graph.web_hits,
         "web_components": graph.web_components,
         "web_host_degrees": graph.web_host_degrees,
         "web_seed_hops": graph.web_seed_hops,
@@ -606,6 +607,9 @@ def _expected_table(kind: str, tag: str) -> pa.Table:
                                                expected_pagerank)
     if kind == "pagerank":
         return expected_pagerank(tag)
+    if kind == "hits":
+        from uniparser_ray.pipelines.graph import expected_hits
+        return expected_hits(tag)
     if kind == "components":
         return expected_components(tag)
     if kind == "hostdeg":
@@ -870,6 +874,10 @@ def _multimodal_oracle_thunks(tag: str) -> dict:
         "web_pagerank": lambda: f"""
             WITH {_values_cte('e', _expected_table('pagerank', tag))}
             SELECT url, pr_score FROM e
+        """,
+        "web_hits": lambda: f"""
+            WITH {_values_cte('e', _expected_table('hits', tag))}
+            SELECT url, auth, hub FROM e
         """,
         "web_components": lambda: f"""
             WITH {_values_cte('e', _expected_table('components', tag))}

@@ -169,6 +169,8 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
 
     timed5("web_seed_hops",
            lambda: graph_p.web_seed_hops(sf_dir).num_rows)
+    timed5("web_hits",
+           lambda: graph_p.web_hits(sf_dir).num_rows)
     graph_p.reset_shard_cache()
     # training-data cleaning / clustering family (round-3 additions):
     # decontamination + PII are shuffle-free sweeps, kmeans is 2 Lloyd

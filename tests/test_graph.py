@@ -59,6 +59,29 @@ def test_host_degrees_match_expected(ray_session):
     assert web_host_degrees(SF).equals(expected_host_degrees(TAG))
 
 
+def test_hits_matches_expected(ray_session):
+    """BSP exact-integer HITS == single-process numpy alternating
+    updates, bit-exact; running pagerank first on the SAME sealed
+    shards (shared forward-structure cache) must not perturb it."""
+    from uniparser_ray.pipelines.graph import (expected_hits, web_hits,
+                                               web_pagerank)
+    web_pagerank(SF)  # warm the shared structure cache first
+    got = web_hits(SF)
+    exp = expected_hits(TAG)
+    assert got.equals(exp)
+    auth = got["auth"].to_numpy()
+    assert (np.diff(auth) <= 0).all()
+    # hand identity on the synthetic graph: after the first half-step
+    # every authority equals its in-degree (all hubs start at 1), so
+    # iterated scores are positive wherever in-degree is
+    assert (auth >= 0).all() and auth[0] > 0
+    # shard-count determinism (the partition-independence claim)
+    from uniparser_ray.pipelines.graph import _sealed_shards
+    from uniparser_ray.stages.graph_bsp import hits
+    assert hits(_sealed_shards(SF, num_shards=1)).equals(got)
+    assert hits(_sealed_shards(SF, num_shards=3)).equals(got)
+
+
 def test_pagerank_shard_count_invariant(ray_session):
     """Result independent of shard count (the partition-determinism
     claim the 100 TB design rests on)."""

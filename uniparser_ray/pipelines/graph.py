@@ -230,6 +230,24 @@ def web_seed_hops(sf_dir: str) -> pa.Table:
     return graph_bsp.seed_hops(shards, seed_h)
 
 
+HITS_ITERATIONS = 2
+HITS_TOP_K = 50
+
+
+def web_hits(sf_dir: str) -> pa.Table:
+    """Top-50 pages by exact-integer HITS authority over the parsed
+    link graph (Kleinberg hubs & authorities — the link-quality signal
+    a crawl scheduler can prioritize by, complementing PageRank):
+    alternating gather half-steps on the SAME pinned BSP shards, the
+    authority direction reusing pagerank's seal-time message plan and
+    the hub direction the reverse plan; no normalization, so scores
+    are exact int64 and the single-process numpy builder value-checks
+    bit-for-bit."""
+    shards = _sealed_shards(sf_dir)
+    return graph_bsp.hits(shards, iterations=HITS_ITERATIONS,
+                          top_k=HITS_TOP_K)
+
+
 def web_host_degrees(sf_dir: str) -> pa.Table:
     """Per-host degree stats over the DISTINCT edge set: fetched-ok
     page count, out-edges, in-edges, distinct cross-host out-edges.
@@ -328,6 +346,32 @@ def expected_pagerank(tag: str) -> pa.Table:
         ["pr_score", "url"], ascending=[False, True]).head(PR_TOP_K)
     return table_from_pandas(df.reset_index(drop=True),
                                 preserve_index=False)
+
+
+def expected_hits(tag: str) -> pa.Table:
+    """Single-process numpy HITS with the same exact-integer
+    alternating updates over the structural edge set."""
+    web = _web_for(tag)
+    urls = sorted(u for h in range(web.num_hosts)
+                  for p in range(web.pages_of_host[h])
+                  for u in [web.page_url(h, p)])
+    idx = {u: i for i, u in enumerate(urls)}
+    n = len(urls)
+    edges = structural_edges(web)
+    src = np.array([idx[a] for a, _ in edges], np.int64)
+    dst = np.array([idx[b] for _, b in edges], np.int64)
+    hub = np.ones(n, np.int64)
+    auth = np.zeros(n, np.int64)
+    for _ in range(HITS_ITERATIONS):
+        auth = np.zeros(n, np.int64)
+        np.add.at(auth, dst, hub[src])
+        hub = np.zeros(n, np.int64)
+        np.add.at(hub, src, auth[dst])
+    df = pd.DataFrame({"url": urls, "auth": auth, "hub": hub}) \
+        .sort_values(["auth", "url"], ascending=[False, True]) \
+        .head(HITS_TOP_K)
+    return table_from_pandas(df.reset_index(drop=True),
+                             preserve_index=False)
 
 
 def expected_components(tag: str) -> pa.Table:

@@ -139,6 +139,13 @@ class GraphShard:
 
         # components plan: undirected adjacency = fwd U reversed-rev
         rsrc, rdst = _dedup_pairs(*_concat(self._rev_chunks))
+        # HITS hub plan: owned v sends auth(v) back along its IN-edges
+        # (rev pairs are (dst v, src u) routed to owner(v) at ingest).
+        # Built at seal like the pr/cc plans — at extreme scale an
+        # algorithm-on-demand build would halve resident plan memory.
+        self.ht_src_idx = np.searchsorted(self.nodes, rsrc)
+        (self.ht_order, self.ht_segs, self.ht_uniq_dst,
+         self.ht_slices) = _segment_plan(rdst, self.B)
         csrc = np.concatenate([fsrc, rsrc])
         cdst = np.concatenate([fdst, rdst])
         csrc, cdst = _dedup_pairs(csrc, cdst)
@@ -148,8 +155,9 @@ class GraphShard:
 
         self._node_chunks = self._fwd_chunks = self._rev_chunks = None
         # exchange-structure caches are seal-derived: invalidate
-        self._pr_plan = self._cc_plan = None
+        self._pr_plan = self._cc_plan = self._ht_plan = None
         self._pr_structure_sent = self._cc_structure_sent = False
+        self._ht_structure_sent = False
         self.sealed = True
         return {"nodes": len(self.nodes), "fwd_edges": len(fsrc),
                 "cc_edges": len(csrc)}
@@ -240,6 +248,73 @@ class GraphShard:
         """Per-shard partial top-k by (rank desc, url asc)."""
         df = pd.DataFrame({"url": self.urls, "pr_score": self.rank})
         return df.sort_values(["pr_score", "url"],
+                              ascending=[False, True]).head(k)
+
+    # -- HITS hubs & authorities --------------------------------------------
+    # Exact-integer HITS, no per-iteration normalization: scores stay
+    # int64 sums (bounded by (max_deg^2)^T — fine at small fixed T;
+    # a production run at deeper T renormalizes by a power-of-two
+    # shift, preserving exactness).  The authority half-step reuses
+    # pagerank's seal-time forward message plan AND its structure
+    # cache (identical (sender, receiver) structure — only the values
+    # differ), so mixing pagerank and HITS on the same sealed shards
+    # ships the structure exactly once between them.
+
+    def hits_init(self):
+        self.hub = np.ones(len(self.nodes), np.int64)
+        self.auth = np.zeros(len(self.nodes), np.int64)
+
+    def ht_auth_messages(self):
+        """a(v) <- sum of h(u) over in-edges u->v: per-edge hub at the
+        owned src, aggregated per distinct destination (pagerank's
+        plan, hub values instead of rank/outdeg masses)."""
+        per_edge = self.hub[self.pr_src_idx]
+        ordered = per_edge[self.pr_order]
+        masses = np.add.reduceat(ordered, self.pr_segs) \
+            if len(self.pr_segs) else np.empty(0, np.int64)
+        first = not getattr(self, "_pr_structure_sent", False)
+        self._pr_structure_sent = True
+        out = [(self.pr_uniq_dst[lo:hi] if first else None,
+                masses[lo:hi]) for lo, hi in self.pr_slices]
+        return tuple(out) if self.B > 1 else out[0]
+
+    def ht_auth_apply(self, *payloads):
+        order, segs, uniq_idx = self._recv_plan(payloads, "_pr_plan")
+        m = self._payload_values(payloads, np.int64)
+        auth = np.zeros(len(self.nodes), np.int64)
+        if len(m):
+            auth[uniq_idx] = np.add.reduceat(m[order], segs)
+        self.auth = auth
+        return True
+
+    def ht_hub_messages(self):
+        """h(u) <- sum of a(v) over out-edges u->v: owner(v) sends
+        auth(v) BACK along the in-edge plan built at seal from the
+        reverse pairs."""
+        per_edge = self.auth[self.ht_src_idx]
+        ordered = per_edge[self.ht_order]
+        masses = np.add.reduceat(ordered, self.ht_segs) \
+            if len(self.ht_segs) else np.empty(0, np.int64)
+        first = not getattr(self, "_ht_structure_sent", False)
+        self._ht_structure_sent = True
+        out = [(self.ht_uniq_dst[lo:hi] if first else None,
+                masses[lo:hi]) for lo, hi in self.ht_slices]
+        return tuple(out) if self.B > 1 else out[0]
+
+    def ht_hub_apply(self, *payloads):
+        order, segs, uniq_idx = self._recv_plan(payloads, "_ht_plan")
+        m = self._payload_values(payloads, np.int64)
+        hub = np.zeros(len(self.nodes), np.int64)
+        if len(m):
+            hub[uniq_idx] = np.add.reduceat(m[order], segs)
+        self.hub = hub
+        return True
+
+    def ht_top(self, k: int) -> pd.DataFrame:
+        """Per-shard partial top-k by (auth desc, url asc)."""
+        df = pd.DataFrame({"url": self.urls, "auth": self.auth,
+                           "hub": self.hub})
+        return df.sort_values(["auth", "url"],
                               ascending=[False, True]).head(k)
 
     # -- connected components ---------------------------------------------
@@ -449,6 +524,24 @@ def pagerank(shards, iterations: int = 8, top_k: int = 50) -> pa.Table:
         ["pr_score", "url"], ascending=[False, True]).head(top_k)
     return table_from_pandas(df.reset_index(drop=True),
                                 preserve_index=False)
+
+
+def hits(shards, iterations: int = 2, top_k: int = 50) -> pa.Table:
+    """Exact-integer HITS (Kleinberg hubs & authorities, public
+    algorithm): alternating BSP half-steps — authorities gather hub
+    mass along in-edges (pagerank's forward message plan, structure
+    shipped once), hubs gather authority mass back along out-edges
+    (the reverse plan).  No normalization, so every score is an exact
+    int64 and the numpy expected builder matches bit-for-bit."""
+    ray.get([s.hits_init.remote() for s in shards])
+    for _ in range(iterations):
+        ray.get(_exchange(shards, "ht_auth_messages", "ht_auth_apply"))
+        ray.get(_exchange(shards, "ht_hub_messages", "ht_hub_apply"))
+    tops = ray.get([s.ht_top.remote(top_k) for s in shards])
+    df = pd.concat(tops).sort_values(
+        ["auth", "url"], ascending=[False, True]).head(top_k)
+    return table_from_pandas(df.reset_index(drop=True),
+                             preserve_index=False)
 
 
 def _cc_jump(shards):
