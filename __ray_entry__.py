@@ -305,6 +305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_unigram_stats": documents.doc_unigram_stats,
         "doc_perplexity": documents.doc_perplexity,
         "doc_bigram_surprisal": documents.doc_bigram_surprisal,
+        "doc_chunks": documents.doc_chunks,
         "doc_tfidf_exact": documents.doc_tfidf_exact,
         "doc_rarity_buckets": documents.doc_rarity_buckets,
         "doc_incremental_novelty": documents.doc_incremental_novelty,
@@ -980,6 +981,41 @@ def _bigram_surprisal_sql() -> str:
                         THEN (1000 * p.sum_bits) // p.n_bigrams
                         ELSE 0 END AS BIGINT) AS mean_millibits
             FROM documents d LEFT JOIN per p USING (doc_id)
+        """
+
+
+def _doc_chunks_sql() -> str:
+    """RAG chunking twin: windows via generate_series, the Horner
+    content hash via a precomputed HB-power VALUES table — per-term
+    products accumulate as HUGEINT before the mod, matching the numpy
+    per-term-mod + small-sum path exactly."""
+    from uniparser_ray.pipelines.documents import CHUNK_S, CHUNK_W
+    p = 1
+    powers = []
+    for j in range(CHUNK_W):
+        powers.append(f"({j}, {p})")
+        p = (p * _HB) % _P
+    return f"""
+            WITH {_TOK_CTES},
+            pw(j, p) AS (SELECT * FROM (VALUES {", ".join(powers)})
+                         AS _p(j, p)),
+            st AS (SELECT doc_id, h, n, s
+                   FROM ids, unnest(generate_series(0, n - 1,
+                                                    {CHUNK_S})) AS u(s)
+                   WHERE n >= 1),
+            terms AS (
+              SELECT doc_id, s, LEAST({CHUNK_W}, n - s) AS wc,
+                     h[s + jj + 1] AS tid, jj
+              FROM st, unnest(generate_series(
+                  0, LEAST({CHUNK_W}, n - s) - 1)) AS v(jj))
+            SELECT doc_id,
+                   CAST(s // {CHUNK_S} AS BIGINT) AS chunk_id,
+                   CAST(s AS BIGINT) AS start_tok,
+                   CAST(wc AS BIGINT) AS n_tokens,
+                   CAST(SUM(CAST(tid AS HUGEINT) * p) % {_P}
+                        AS BIGINT) AS chunk_hash
+            FROM terms JOIN pw ON pw.j = wc - 1 - terms.jj
+            GROUP BY doc_id, s, wc
         """
 
 
@@ -1861,6 +1897,7 @@ def oracle_sql(sf_tag: str = None) -> dict[str, str]:
         """,
         "doc_perplexity": _perplexity_sql(),
         "doc_bigram_surprisal": _bigram_surprisal_sql(),
+        "doc_chunks": _doc_chunks_sql(),
         "doc_tfidf_exact": f"""
             WITH {_TOK_CTES},
             pos AS (SELECT doc_id, unnest(h) AS tid FROM ids),

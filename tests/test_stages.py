@@ -677,6 +677,37 @@ def test_doc_perplexity_semantics(ray_session, tmp_path):
     assert got["mean_millibits"].tolist() == [1250, 1500, 2000, 0]
 
 
+def test_doc_chunks_semantics(ray_session, tmp_path):
+    """Chunk windows: 80 tokens at width 32 / stride 24 -> starts
+    0/24/48/72 with lengths 32/32/32/8; every chunk_hash equals the
+    Horner fold of its token ids; empty docs emit no chunks."""
+    from uniparser_ray.pipelines.documents import (CHUNK_S, CHUNK_W,
+                                                   doc_chunks)
+    from uniparser_ray.stages.tokenhash import _horner, batch_token_ids
+
+    words = [f"w{i}" for i in range(80)]
+    docs = [(1, " ".join(words)), (2, "solo"), (3, "")]
+    df = pd.DataFrame(docs, columns=["doc_id", "text"])
+    df["lang"] = "en"
+    df["source"] = "t"
+    df["n_chars"] = df["text"].str.len()
+    df.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    got = doc_chunks(str(tmp_path)).to_pandas() \
+        .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    d1 = got[got["doc_id"] == 1]
+    assert d1["start_tok"].tolist() == [0, 24, 48, 72]
+    assert d1["n_tokens"].tolist() == [32, 32, 32, 8]
+    assert got[got["doc_id"] == 2]["n_tokens"].tolist() == [1]
+    assert 3 not in set(got["doc_id"])
+
+    ids, _ = batch_token_ids([" ".join(words)])
+    for _, row in d1.iterrows():
+        s, w = int(row["start_tok"]), int(row["n_tokens"])
+        assert row["chunk_hash"] == _horner(ids[s:s + w])
+    assert CHUNK_W - CHUNK_S == 8  # the overlap this test assumes
+
+
 def test_doc_bigram_surprisal_semantics(ray_session, tmp_path):
     """Bigram surprisal bits = ilog2(c(v.)) - ilog2(c(v,w)) per
     transition: corpus (a,b)x3 (b,a)x1 (b,c)x1 gives prefix counts

@@ -1112,6 +1112,70 @@ def doc_bigram_surprisal(sf_dir: str):
     return out.map_batches(finish, batch_format="pandas")
 
 
+CHUNK_W = 32    # chunk width in tokens
+CHUNK_S = 24    # stride (W - S = 8 tokens of overlap)
+
+
+def doc_chunks(sf_dir: str):
+    """RAG/pretraining chunk extraction: each document splits into
+    fixed-width token windows (width {W}, stride {S} — overlapping
+    context like a retrieval chunker), emitting per chunk its
+    position, length, and an exact Horner content hash of its token
+    ids (mod P31) — the id a chunk store dedups and joins on.
+
+    Scale shape: completely row-local — ONE shuffle-free vectorized
+    ``map_batches`` pass (per-chunk term expansion via repeat/arange
+    index algebra + one reduceat; no Python loop over chunks), nothing
+    leaves the stage but (doc_id, 4 ints) rows.  The DuckDB twin
+    replays the windowing with generate_series and the hash with a
+    precomputed HB-power VALUES table under HUGEINT accumulation, so
+    chunk boundaries AND contents value-check bit-exactly."""
+    from ..stages.tokenhash import P31, batch_token_ids
+
+    HB = np.uint64(1000003)
+    pw = np.empty(CHUNK_W, np.uint64)
+    pw[0] = 1
+    for j in range(1, CHUNK_W):
+        pw[j] = (pw[j - 1] * HB) % P31
+
+    ds = _read(sf_dir, ["doc_id", "text"])
+
+    def chunk_rows(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        doc_ids = t["doc_id"].to_numpy()
+        flat, offs = batch_token_ids(texts)
+        lens = np.diff(offs)
+        n_chunks = -(-lens // CHUNK_S)          # ceil; 0 for empty docs
+        total = int(n_chunks.sum())
+        if not total:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "chunk_id": pa.array([], pa.int64()),
+                             "start_tok": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "chunk_hash": pa.array([], pa.int64())})
+        docx = np.repeat(np.arange(len(doc_ids)), n_chunks)
+        cid = np.arange(total) - np.repeat(
+            np.concatenate([[0], np.cumsum(n_chunks)[:-1]]), n_chunks)
+        start = cid * CHUNK_S
+        wc = np.minimum(CHUNK_W, lens[docx] - start)
+        # expand chunks -> per-token terms without a Python loop
+        t_total = int(wc.sum())
+        cstart = np.concatenate([[0], np.cumsum(wc)[:-1]])
+        j = np.arange(t_total) - np.repeat(cstart, wc)
+        tok_idx = np.repeat(offs[:-1][docx] + start, wc) + j
+        exp = np.repeat(wc - 1, wc) - j
+        terms = (flat[tok_idx] * pw[exp]) % np.uint64(P31)
+        hashes = np.add.reduceat(terms, cstart) % np.uint64(P31)
+        return pa.table({
+            "doc_id": pa.array(doc_ids[docx], pa.int64()),
+            "chunk_id": pa.array(cid, pa.int64()),
+            "start_tok": pa.array(start, pa.int64()),
+            "n_tokens": pa.array(wc, pa.int64()),
+            "chunk_hash": pa.array(hashes.astype(np.int64), pa.int64())})
+
+    return ds.map_batches(chunk_rows, batch_format="pyarrow")
+
+
 def doc_rarity_buckets(sf_dir: str):
     """CCNet-shaped corpus-level quality bucketing (Wenzek et al.,
     arXiv:1911.00359 — public recipe), integer-exact: each token gets
