@@ -269,6 +269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_watermark_late": stats.events_watermark_late,
         "events_hll_users": stats.events_hll_users,
         "events_heavy_hitters": stats.events_heavy_hitters,
+        "events_countmin": stats.events_countmin,
         "order_price_quantiles": stats.order_price_quantiles,
         "events_value_quantiles": stats.events_value_quantiles,
         # stream-shaped operators
@@ -984,6 +985,36 @@ def _bigram_surprisal_sql() -> str:
         """
 
 
+def _countmin_sql() -> str:
+    """Count-Min twin: the same affine (a, b) rows as VALUES literals,
+    keys reduced mod P before hashing (int64-safe on both engines),
+    point query = MIN over the d hashed cells."""
+    from uniparser_ray.pipelines.stats import (CMS_DEPTH, CMS_SEED,
+                                               CMS_WIDTH)
+    return f"""
+            WITH {_params_cte("cp", CMS_DEPTH, CMS_SEED)},
+            ev AS (SELECT user_id, user_id % {_P} AS x FROM events),
+            cells AS (
+              SELECT cp.i, (cp.a * x + cp.b) % {_P} % {CMS_WIDTH} AS col,
+                     COUNT(*) AS c
+              FROM ev, cp GROUP BY 1, 2),
+            tru AS (SELECT user_id, user_id % {_P} AS x,
+                           CAST(COUNT(*) AS BIGINT) AS true_count
+                    FROM events GROUP BY 1, 2),
+            est AS (
+              SELECT t.user_id, MIN(c.c) AS cms_estimate
+              FROM tru t JOIN cp ON TRUE
+              JOIN cells c ON c.i = cp.i
+               AND c.col = (cp.a * t.x + cp.b) % {_P} % {CMS_WIDTH}
+              GROUP BY 1)
+            SELECT t.user_id, t.true_count,
+                   CAST(e.cms_estimate AS BIGINT) AS cms_estimate,
+                   CAST(e.cms_estimate - t.true_count AS BIGINT)
+                       AS overestimate
+            FROM tru t JOIN est e USING (user_id)
+        """
+
+
 def _doc_chunks_sql() -> str:
     """RAG chunking twin: windows via generate_series, the Horner
     content hash via a precomputed HB-power VALUES table — per-term
@@ -1673,6 +1704,7 @@ def oracle_sql(sf_tag: str = None) -> dict[str, str]:
                          ROWS BETWEEN UNBOUNDED PRECEDING
                               AND 1 PRECEDING)
         """,
+        "events_countmin": _countmin_sql(),
         "events_heavy_hitters": """
             -- the Ray side goes through Misra-Gries candidates + an
             -- exact recount (or the adaptive exact fallback); both

@@ -677,6 +677,39 @@ def test_doc_perplexity_semantics(ray_session, tmp_path):
     assert got["mean_millibits"].tolist() == [1250, 1500, 2000, 0]
 
 
+def test_events_countmin_semantics(ray_session, tmp_path):
+    """CMS invariants on a controlled stream: estimates equal a
+    brute-force single-process sketch exactly, every estimate >= its
+    true count (the CMS guarantee), and true counts are exact."""
+    import numpy as np
+
+    from uniparser_ray.pipelines.stats import (CMS_DEPTH, CMS_SEED,
+                                               CMS_WIDTH, events_countmin)
+    from uniparser_ray.stages.tokenhash import P31, affine_params
+
+    uids = np.repeat(np.array([7, 11, 400000037, 13], np.int64),
+                     [5, 3, 4, 1])
+    pd.DataFrame({"user_id": uids}).to_parquet(
+        tmp_path / "events.parquet", index=False)
+
+    got = events_countmin(str(tmp_path)).to_pandas()
+    assert got["true_count"].tolist() == [5, 3, 1, 4]  # sorted by uid
+    assert (got["overestimate"] >= 0).all()
+    assert (got["cms_estimate"] >= got["true_count"]).all()
+
+    a, b = affine_params(CMS_DEPTH, CMS_SEED)
+    P = np.uint64(P31)
+    cms = np.zeros((CMS_DEPTH, CMS_WIDTH), np.int64)
+    for u in uids:
+        cols = (a * (np.uint64(u) % P) + b) % P % np.uint64(CMS_WIDTH)
+        cms[np.arange(CMS_DEPTH), cols.astype(np.int64)] += 1
+    for _, row in got.iterrows():
+        cols = (a * (np.uint64(row["user_id"]) % P) + b) % P \
+            % np.uint64(CMS_WIDTH)
+        want = cms[np.arange(CMS_DEPTH), cols.astype(np.int64)].min()
+        assert row["cms_estimate"] == want
+
+
 def test_doc_chunks_semantics(ray_session, tmp_path):
     """Chunk windows: 80 tokens at width 32 / stride 24 -> starts
     0/24/48/72 with lengths 32/32/32/8; every chunk_hash equals the

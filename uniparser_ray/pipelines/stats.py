@@ -251,6 +251,79 @@ def heavy_hitters_topk(ds, key: str, k: int = 10, capacity: int = 64,
     return out, info
 
 
+CMS_DEPTH = 4      # independent hash rows
+CMS_WIDTH = 32     # counters per row (narrow ON PURPOSE: collisions,
+#                    and thus real CMS overestimates, occur at test scale)
+CMS_SEED = 20260818
+
+
+def events_countmin(sf_dir: str):
+    """Count-Min sketch per-user event counts — THE mergeable
+    streaming-count summary (Cormode & Muthukrishnan, public
+    algorithm): every block folds its keys into a d×w integer counter
+    grid, grids sum cell-wise (mergeable partials — the same property
+    that lets 256 nodes sketch 100 TB and ship d·w ints each), and a
+    point query reads min over the d hashed cells, guaranteed
+    >= the true count.  Output per probed user: true count (exact
+    aggregate, the audit side), the CMS estimate, and the
+    overestimate — all integers, so the DuckDB twin (the same affine
+    hash params as VALUES literals) is bit-exact.
+
+    Scale shape: the sketch pass ships ONE d×w grid per block (the
+    partial-sum fast path folds them driver-side — 128 ints here);
+    the exact side is the ordinary partial-agg groupby.  Keys reduce
+    mod P31 BEFORE the affine hash so products stay in int64 range on
+    both engines."""
+    import pyarrow as pa
+
+    from ..stages.tokenhash import P31, affine_params
+    from .relational import partial_groupby
+
+    a, b = affine_params(CMS_DEPTH, CMS_SEED)
+    P = np.uint64(P31)
+
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def grid_rows(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy().astype(np.int64).view(np.uint64) % P
+        cols = (a[:, None] * uid[None, :] + b[:, None]) % P \
+            % np.uint64(CMS_WIDTH)
+        cell = (np.arange(CMS_DEPTH, dtype=np.uint64)[:, None]
+                * np.uint64(CMS_WIDTH) + cols).ravel()
+        counts = np.bincount(cell.astype(np.int64),
+                             minlength=CMS_DEPTH * CMS_WIDTH)
+        nz = np.flatnonzero(counts)
+        return pa.table({"cell": pa.array(nz, pa.int64()),
+                         "c": pa.array(counts[nz], pa.int64())})
+
+    grid = partial_groupby(ds.map_batches(grid_rows,
+                                          batch_format="pyarrow"),
+                           ["cell"], {"c": ("c", "sum")},
+                           driver_limit_rows=200_000).to_pandas()
+    cms = np.zeros(CMS_DEPTH * CMS_WIDTH, np.int64)
+    cms[grid["cell"].to_numpy()] = grid["c"].to_numpy()
+    cms = cms.reshape(CMS_DEPTH, CMS_WIDTH)
+
+    tru = partial_groupby(ds, ["user_id"],
+                          {"true_count": ("user_id", "count")},
+                          driver_limit_rows=200_000).to_pandas()
+    uid = tru["user_id"].to_numpy().astype(np.int64).view(np.uint64) % P
+    cols = (a[:, None] * uid[None, :] + b[:, None]) % P \
+        % np.uint64(CMS_WIDTH)
+    est = cms[np.arange(CMS_DEPTH)[:, None],
+              cols.astype(np.int64)].min(axis=0)
+    out = pd.DataFrame({
+        "user_id": tru["user_id"].astype("int64"),
+        "true_count": tru["true_count"].astype("int64"),
+        "cms_estimate": est.astype("int64")})
+    out["overestimate"] = (out["cms_estimate"]
+                           - out["true_count"]).astype("int64")
+    from ..blocks import table_from_pandas
+    return table_from_pandas(
+        out.sort_values("user_id").reset_index(drop=True),
+        preserve_index=False)
+
+
 def events_heavy_hitters(sf_dir: str, k: int = 10, capacity: int = 64):
     """Top-k users by event count via the Misra-Gries candidates +
     exact-recount plan (exact by construction on every path)."""
