@@ -307,6 +307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_perplexity": documents.doc_perplexity,
         "doc_bigram_surprisal": documents.doc_bigram_surprisal,
         "doc_chunks": documents.doc_chunks,
+        "doc_winnow": documents.doc_winnow,
         "doc_tfidf_exact": documents.doc_tfidf_exact,
         "doc_rarity_buckets": documents.doc_rarity_buckets,
         "doc_incremental_novelty": documents.doc_incremental_novelty,
@@ -982,6 +983,45 @@ def _bigram_surprisal_sql() -> str:
                         THEN (1000 * p.sum_bits) // p.n_bigrams
                         ELSE 0 END AS BIGINT) AS mean_millibits
             FROM documents d LEFT JOIN per p USING (doc_id)
+        """
+
+
+def _winnow_sql() -> str:
+    """Winnowing twin: positional 3-gram CTE, window min over w
+    consecutive grams via plain joins, rightmost tie by MAX(i) among
+    the grams equal to the window min, deduped to the fingerprint
+    set.  Short docs (< w grams) winnow one all-grams window — the
+    BETWEEN bound simply truncates at the gram count."""
+    from uniparser_ray.pipelines.documents import WINNOW_W
+    h3 = _horner_sql(["h[i]", "h[i+1]", "h[i+2]"], _HB)
+    short = (f"CASE WHEN n = 1 THEN h[1] "
+             f"ELSE ({_horner_sql(['h[1]', 'h[2]'], _HB)}) END")
+    span = WINNOW_W - 1
+    return f"""
+            WITH {_TOK_CTES},
+            grams AS (
+              SELECT doc_id, i, {h3} AS s
+              FROM ids, unnest(generate_series(1, n - 2)) AS u(i)
+              WHERE n >= 3
+              UNION ALL
+              SELECT doc_id, 1 AS i, {short} AS s
+              FROM ids WHERE n IN (1, 2)),
+            cnt AS (SELECT doc_id, COUNT(*) AS c FROM grams GROUP BY 1),
+            wins AS (SELECT g.doc_id, g.i AS ws
+                     FROM grams g JOIN cnt USING (doc_id)
+                     WHERE g.i <= GREATEST(1, c - {span})),
+            sel AS (SELECT w.doc_id, w.ws, MIN(g.s) AS fp
+                    FROM wins w JOIN grams g ON g.doc_id = w.doc_id
+                     AND g.i BETWEEN w.ws AND w.ws + {span}
+                    GROUP BY 1, 2),
+            pick AS (SELECT s.doc_id, MAX(g.i) AS ipos, s.fp
+                     FROM sel s JOIN grams g ON g.doc_id = s.doc_id
+                      AND g.i BETWEEN s.ws AND s.ws + {span}
+                      AND g.s = s.fp
+                     GROUP BY s.doc_id, s.ws, s.fp)
+            SELECT DISTINCT doc_id, CAST(ipos - 1 AS BIGINT) AS pos,
+                   CAST(fp AS BIGINT) AS fp
+            FROM pick
         """
 
 
@@ -1930,6 +1970,7 @@ def oracle_sql(sf_tag: str = None) -> dict[str, str]:
         "doc_perplexity": _perplexity_sql(),
         "doc_bigram_surprisal": _bigram_surprisal_sql(),
         "doc_chunks": _doc_chunks_sql(),
+        "doc_winnow": _winnow_sql(),
         "doc_tfidf_exact": f"""
             WITH {_TOK_CTES},
             pos AS (SELECT doc_id, unnest(h) AS tid FROM ids),

@@ -677,6 +677,51 @@ def test_doc_perplexity_semantics(ray_session, tmp_path):
     assert got["mean_millibits"].tolist() == [1250, 1500, 2000, 0]
 
 
+def test_doc_winnow_semantics(ray_session, tmp_path):
+    """Winnowing invariants: positions valid and deduped, every
+    fingerprint is the rightmost min of its width-4 gram window
+    (brute-force recompute), short docs emit exactly one fingerprint,
+    and the SWA guarantee holds — two docs sharing a k+w-1 = 6-token
+    run share at least one fingerprint value."""
+    import numpy as np
+
+    from uniparser_ray.pipelines.documents import (WINNOW_K, WINNOW_W,
+                                                   doc_winnow)
+    from uniparser_ray.stages.tokenhash import batch_token_ids, window_hashes
+
+    shared = "alpha beta gamma delta epsilon zeta"   # 6 tokens
+    docs = [(1, "one two three " + shared),
+            (2, shared + " seven eight nine"),
+            (3, "xy zz"),                            # 1 gram (short fold)
+            (4, "")]
+    df = pd.DataFrame(docs, columns=["doc_id", "text"])
+    df["lang"] = "en"
+    df["source"] = "t"
+    df["n_chars"] = df["text"].str.len()
+    df.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    got = doc_winnow(str(tmp_path)).to_pandas()
+    assert 4 not in set(got["doc_id"])
+    d3 = got[got["doc_id"] == 3]
+    assert len(d3) == 1 and d3["pos"].tolist() == [0]
+    # brute-force winnow per doc
+    for did, text in docs[:2]:
+        flat, offs = batch_token_ids([text])
+        wh, counts = window_hashes(flat, offs, k=WINNOW_K)
+        c = int(counts[0])
+        want = set()
+        for ws in range(max(1, c - WINNOW_W + 1)):
+            win = wh[ws:ws + WINNOW_W]
+            m = win.min()
+            j = ws + max(np.flatnonzero(win == m))
+            want.add((j, int(m)))
+        g = got[got["doc_id"] == did]
+        assert set(zip(g["pos"], g["fp"])) == want
+    fp1 = set(got[got["doc_id"] == 1]["fp"])
+    fp2 = set(got[got["doc_id"] == 2]["fp"])
+    assert fp1 & fp2, "shared 6-token run must share a fingerprint"
+
+
 def test_events_countmin_semantics(ray_session, tmp_path):
     """CMS invariants on a controlled stream: estimates equal a
     brute-force single-process sketch exactly, every estimate >= its

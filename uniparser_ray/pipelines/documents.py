@@ -1112,6 +1112,75 @@ def doc_bigram_surprisal(sf_dir: str):
     return out.map_batches(finish, batch_format="pandas")
 
 
+WINNOW_K = 3    # k-gram width (token shingles)
+WINNOW_W = 4    # winnowing window: one fingerprint per w consecutive grams
+
+
+def doc_winnow(sf_dir: str):
+    """Winnowing document fingerprints (Schleimer–Wilkerson–Aiken
+    MOSS scheme, public): per document, the 3-gram Horner hashes slide
+    under a width-4 window and each window selects its MINIMUM hash
+    (rightmost on ties — the standard density guarantee), deduped to
+    the (position, fingerprint) set a plagiarism / near-dup index
+    stores.  Guarantees every length-(k+w-1) match between documents
+    shares a fingerprint, at ~1/w storage of the full gram set.
+
+    Scale shape: ONE shuffle-free vectorized pass — the per-doc
+    sliding-min runs over a sentinel-padded flat gram array with
+    ``sliding_window_view`` (no Python loop over docs or windows);
+    only (doc_id, pos, fp) int rows leave the stage.  Docs with fewer
+    than w grams winnow their single all-grams window; empty docs emit
+    nothing.  The DuckDB twin replays the positional gram CTE and the
+    window-min + rightmost-tie pick with plain joins."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    from ..stages.tokenhash import P31, batch_token_ids, window_hashes
+
+    SENT = np.uint64(P31) + np.uint64(2)   # larger than any gram hash
+    w = WINNOW_W
+
+    ds = _read(sf_dir, ["doc_id", "text"])
+
+    def winnow_rows(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        doc_ids = t["doc_id"].to_numpy()
+        flat, offs = batch_token_ids(texts)
+        wh, counts = window_hashes(flat, offs, k=WINNOW_K)
+        nz = counts > 0
+        seg = counts[nz]
+        ids_nz = doc_ids[nz]
+        if not len(seg):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64()),
+                             "fp": pa.array([], pa.int64())})
+        # sentinel-padded flat grams: [doc grams][w-1 sentinels]...
+        pad_start = np.concatenate([[0], np.cumsum(seg + w - 1)[:-1]])
+        padded = np.full(int((seg + w - 1).sum()), SENT, np.uint64)
+        gcum = np.concatenate([[0], np.cumsum(seg)[:-1]])
+        padded[np.repeat(pad_start, seg)
+               + (np.arange(int(seg.sum())) - np.repeat(gcum, seg))] = wh
+        wv = sliding_window_view(padded, w)
+        nwin = np.maximum(1, seg - (w - 1))
+        wcum = np.concatenate([[0], np.cumsum(nwin)[:-1]])
+        ws_in_doc = np.arange(int(nwin.sum())) - np.repeat(wcum, nwin)
+        wstart = np.repeat(pad_start, nwin) + ws_in_doc
+        vals = wv[wstart]
+        # rightmost min: argmin over the reversed window
+        j = (w - 1) - np.argmin(vals[:, ::-1], axis=1)
+        fp = vals[np.arange(len(vals)), j]
+        pos = ws_in_doc + j
+        out = pd.DataFrame({
+            "doc_id": np.repeat(ids_nz, nwin),
+            "pos": pos.astype(np.int64),
+            "fp": fp.astype(np.int64)}).drop_duplicates(
+                ["doc_id", "pos"])
+        return table_from_pandas(
+            out.astype({"doc_id": "int64"}).reset_index(drop=True),
+            preserve_index=False)
+
+    return ds.map_batches(winnow_rows, batch_format="pyarrow")
+
+
 CHUNK_W = 32    # chunk width in tokens
 CHUNK_S = 24    # stride (W - S = 8 tokens of overlap)
 
