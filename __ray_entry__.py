@@ -308,6 +308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bigram_surprisal": documents.doc_bigram_surprisal,
         "doc_chunks": documents.doc_chunks,
         "doc_winnow": documents.doc_winnow,
+        "doc_source_lang_mix": documents.doc_source_lang_mix,
         "doc_tfidf_exact": documents.doc_tfidf_exact,
         "doc_rarity_buckets": documents.doc_rarity_buckets,
         "doc_incremental_novelty": documents.doc_incremental_novelty,
@@ -1971,6 +1972,24 @@ def oracle_sql(sf_tag: str = None) -> dict[str, str]:
         "doc_bigram_surprisal": _bigram_surprisal_sql(),
         "doc_chunks": _doc_chunks_sql(),
         "doc_winnow": _winnow_sql(),
+        # composed corpus report: nests the langid twin so the
+        # (source x predicted-lang) mix value-checks end to end
+        "doc_source_lang_mix": f"""
+            WITH l AS (SELECT doc_id, lang_pred
+                       FROM ({_langid_sql()}) _l),
+            t AS (SELECT doc_id, source,
+                         len({_SPLIT_SQL}) AS nt FROM documents),
+            cells AS (SELECT source, lang_pred,
+                             CAST(COUNT(*) AS BIGINT) AS n_docs,
+                             CAST(SUM(nt) AS BIGINT) AS n_tokens
+                      FROM t JOIN l USING (doc_id) GROUP BY 1, 2),
+            tot AS (SELECT source, SUM(n_docs) AS sd
+                    FROM cells GROUP BY 1)
+            SELECT c.source, c.lang_pred, c.n_docs, c.n_tokens,
+                   CAST(10000 * c.n_docs // t.sd AS BIGINT)
+                       AS doc_share_bp
+            FROM cells c JOIN tot t USING (source)
+        """,
         "doc_tfidf_exact": f"""
             WITH {_TOK_CTES},
             pos AS (SELECT doc_id, unnest(h) AS tid FROM ids),

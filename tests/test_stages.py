@@ -677,6 +677,31 @@ def test_doc_perplexity_semantics(ray_session, tmp_path):
     assert got["mean_millibits"].tolist() == [1250, 1500, 2000, 0]
 
 
+def test_doc_source_lang_mix_semantics(ray_session):
+    """Mix report invariants on the shipped corpus: per-source doc
+    counts sum to the corpus size, every cell's share is the exact
+    basis-point floor of docs/source_docs, and cells agree with a
+    pandas recomputation from doc_langid + the source column."""
+    from uniparser_ray.pipelines.documents import (_read, doc_langid,
+                                                   doc_source_lang_mix)
+
+    sf = "/root/testdata/sf0.001"
+    got = doc_source_lang_mix(sf).to_pandas()
+    lang = doc_langid(sf).to_pandas()[["doc_id", "lang_pred"]]
+    src = _read(sf, ["doc_id", "text", "source"]).to_pandas()
+    src["nt"] = src["text"].str.split().str.len()
+    m = src.merge(lang, on="doc_id")
+    want = m.groupby(["source", "lang_pred"]).agg(
+        n_docs=("doc_id", "size"), n_tokens=("nt", "sum")) \
+        .reset_index().sort_values(["source", "lang_pred"]) \
+        .reset_index(drop=True)
+    assert got[["source", "lang_pred", "n_docs", "n_tokens"]] \
+        .astype(want.dtypes.to_dict()).equals(want)
+    assert got["n_docs"].sum() == len(src)
+    sd = got.groupby("source")["n_docs"].transform("sum")
+    assert (got["doc_share_bp"] == 10_000 * got["n_docs"] // sd).all()
+
+
 def test_doc_winnow_semantics(ray_session, tmp_path):
     """Winnowing invariants: positions valid and deduped, every
     fingerprint is the rightmost min of its width-4 gram window

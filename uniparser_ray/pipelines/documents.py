@@ -1112,6 +1112,50 @@ def doc_bigram_surprisal(sf_dir: str):
     return out.map_batches(finish, batch_format="pandas")
 
 
+def doc_source_lang_mix(sf_dir: str):
+    """Corpus composition report — the "what's in my corpus" table a
+    data-mix owner reads before setting sampling weights: docs and
+    token counts per (source, PREDICTED language) cell, with each
+    cell's share of its source's documents in exact basis points.
+
+    Scale shape: langid + token count + cell fold in ONE shuffle-free
+    pass (cells are sources × languages — tiny — so the per-batch
+    partial counts ride the low-cardinality partial-sum fast path);
+    shares computed on the folded cell table.  The DuckDB twin nests
+    the langid twin, so the composed report value-checks end to
+    end."""
+    from ..stages.text import langid_batch
+    from .relational import partial_groupby
+
+    ds = _read(sf_dir, ["doc_id", "text", "source"])
+
+    def cell_rows(t: pa.Table) -> pa.Table:
+        lang = langid_batch(t)["lang_pred"].to_pylist()
+        nt = [len(x.split()) for x in t["text"].to_pylist()]
+        df = pd.DataFrame({"source": t["source"].to_pylist(),
+                           "lang_pred": lang,
+                           "n_docs": np.int64(1),
+                           "n_tokens": np.asarray(nt, np.int64)})
+        g = df.groupby(["source", "lang_pred"], sort=False) \
+            .sum().reset_index()
+        return table_from_pandas(g, preserve_index=False)
+
+    cells = partial_groupby(
+        ds.map_batches(cell_rows, batch_format="pyarrow"),
+        ["source", "lang_pred"],
+        {"n_docs": ("n_docs", "sum"), "n_tokens": ("n_tokens", "sum")},
+        driver_limit_rows=200_000).to_pandas()
+    src_docs = cells.groupby("source")["n_docs"].transform("sum") \
+        .to_numpy(np.int64)
+    cells["doc_share_bp"] = (10_000 * cells["n_docs"].to_numpy(np.int64)
+                             // src_docs).astype("int64")
+    for c in ("n_docs", "n_tokens"):
+        cells[c] = cells[c].astype("int64")
+    return table_from_pandas(
+        cells.sort_values(["source", "lang_pred"]).reset_index(drop=True),
+        preserve_index=False)
+
+
 WINNOW_K = 3    # k-gram width (token shingles)
 WINNOW_W = 4    # winnowing window: one fingerprint per w consecutive grams
 
