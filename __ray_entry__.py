@@ -354,6 +354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_hard_negatives": images_q.images_hard_negatives,
         "images_phash_ann": images_q.images_phash_ann,
         "caption_decontaminate": images_q.caption_decontaminate,
+        "crawl_images_curation": images_q.crawl_images_curation,
         "audio_features": images_q.audio_features_q,
         "video_frames": images_q.video_frames_q,
         "video_shot_boundaries": images_q.video_shot_boundaries,
@@ -782,6 +783,8 @@ def _multimodal_oracle_thunks(tag: str) -> dict:
             FROM reach GROUP BY id
         """,
         "images_curation": lambda: _images_curation_sql(tag),
+        "crawl_images_curation": lambda: _images_curation_sql(
+            tag, meta_kind="crawl"),
         "images_aspect_buckets": lambda: f"""
             WITH {meta()},
             b(idx, bname, ar) AS (SELECT * FROM (VALUES
@@ -1199,16 +1202,19 @@ def _ALIGN_MAX_HAMMING() -> int:
     return ALIGN_MAX_HAMMING
 
 
-def _images_curation_sql(tag: str) -> str:
+def _images_curation_sql(tag: str, meta_kind: str = "meta") -> str:
     """Composed curation twin: every bit recomputed in SQL — the
     recursive-CTE components for the dedup-keep bit, the simhash CTE
-    stack for alignment, integer thresholds for shape/caption."""
+    stack for alignment, integer thresholds for shape/caption.
+    ``meta_kind`` picks the image table: the generated one ("meta") or
+    the conformance crawl's expected rows ("crawl" — the end-to-end
+    crawl -> gate composition)."""
     from uniparser_ray.pipelines.images_q import (
         _AR_KEEP_HI, _AR_KEEP_LO, _QUALITY_MIN_SIDE, ALIGN_MAX_HAMMING,
         CUR_CAP_MAX_TOKENS, CUR_CAP_MIN_TOKENS)
 
     ham = "bit_count(xor(a.phash, b.phash))"
-    meta_cte = _values_cte("m", _expected_table("meta", tag))
+    meta_cte = _values_cte("m", _expected_table(meta_kind, tag))
     return f"""
         WITH RECURSIVE {meta_cte},
         pairs AS (

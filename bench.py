@@ -264,6 +264,10 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     timed5("doc_bigram_surprisal",
            lambda: consume(docs_p.doc_bigram_surprisal(sf_dir)))
     timed5("doc_curation", lambda: consume(docs_p.doc_curation(sf_dir)))
+    # crawl -> gate composition: reuses the harness crawl (timed cost
+    # = the gate itself + the crawl-table cluster machinery)
+    timed5("crawl_images_curation",
+           lambda: consume(images_p.crawl_images_curation(sf_dir)))
     timed5("images_curation",
            lambda: consume(images_p.images_curation(sf_dir)))
     return {

@@ -181,6 +181,37 @@ def test_images_curation_composes_components(ray_session):
     assert 0 < got["keep"].sum() < len(got)
 
 
+def test_crawl_images_curation_composes(ray_session):
+    """The crawl -> gate composition: every crawled image appears
+    exactly once, keep == (viol == 0), the three row-local bits equal
+    a direct numpy recompute from the crawled metadata, and bit 3
+    equals the BSP cluster keep on the crawl's own Lance table."""
+    from uniparser_ray.pipelines.images_q import (_ensure_crawl,
+                                                  crawl_images_curation,
+                                                  images_dedup_clusters_for)
+    from uniparser_ray.pipelines.images_q import CurationBitsStage
+    from uniparser_ray.storage.lance_layout import LanceLayoutTable
+
+    got = crawl_images_curation(SF).to_pandas() \
+        .sort_values("image_id").reset_index(drop=True)
+    out, _ = _ensure_crawl(TAG)
+    table = LanceLayoutTable(f"{out}/images_lance")
+    meta = table.read_dataset(
+        columns=["image_id", "w", "h", "caption", "phash"]) \
+        .to_pandas().sort_values("image_id").reset_index(drop=True)
+    assert got["image_id"].tolist() == meta["image_id"].tolist()
+    assert ((got["keep"] == 1) == (got["viol"] == 0)).all()
+
+    bits = CurationBitsStage()(pa.Table.from_pandas(meta)) \
+        .to_pandas().set_index("image_id")["viol"]
+    cc = images_dedup_clusters_for(table).to_pandas() \
+        .set_index("image_id")["keep"]
+    for _, row in got.iterrows():
+        want = int(bits[row["image_id"]]) \
+            + 8 * (1 - int(cc[row["image_id"]]))
+        assert row["viol"] == want
+
+
 def test_doc_curation_composes_components(ray_session):
     """The composed doc keep equals the conjunction of the
     independently oracled component queries, bit by bit."""

@@ -390,9 +390,15 @@ def images_dedup_clusters(sf_dir: str, max_hamming: int = 8):
     artifact at real scale; the process-level memo (keyed by the Lance
     ``_latest`` manifest pointer) stands in, so ``images_curation``
     reuses instead of re-running the pair machinery."""
-    from .sharedcache import input_sig, memo
+    return images_dedup_clusters_for(images_lance_for(sf_dir),
+                                     max_hamming)
 
-    table = images_lance_for(sf_dir)  # ensure generated before sig
+
+def images_dedup_clusters_for(table, max_hamming: int = 8):
+    """Table-keyed memo wrapper: works for BOTH the generated image
+    table and a crawl's Lance output (key = the table's ``_latest``
+    manifest pointer identity)."""
+    from .sharedcache import input_sig, memo
     key = ("images_dedup_clusters",
            input_sig(str(table.root / "_latest")), max_hamming)
     return memo(key,
@@ -560,10 +566,27 @@ def images_curation(sf_dir: str):
     DuckDB twin recomputes every bit (recursive-CTE components +
     simhash CTEs + the same integer thresholds), so the final keep
     list is value-checked end to end."""
+    return _curation_gate(images_lance_for(sf_dir))
+
+
+def crawl_images_curation(sf_dir: str):
+    """The north-star pipeline composed END TO END: the distributed
+    crawl's own Lance image+caption output runs through the SAME
+    four-bit ship-it gate as ``images_curation`` — crawl → near-dup
+    cluster → quality/alignment bits → keep list, all on the crawled
+    table (bytes never re-read; the gate sees only the metadata
+    columns the crawl wrote).  The DuckDB twin rebuilds every bit from
+    the conformance crawler's expected rows, so the full
+    crawl-then-curate composition value-checks."""
+    tag = _sf_tag(sf_dir)
+    out, _totals = _ensure_crawl(tag)
+    return _curation_gate(LanceLayoutTable(f"{out}/images_lance"))
+
+
+def _curation_gate(table):
     from ..stages.combine import hash_bucket_join
     from ..stages.taskcache import cached_stage
 
-    table = images_lance_for(sf_dir)
     ds = table.read_dataset(columns=["image_id", "w", "h",
                                      "caption", "phash"])
     bits = ds.map_batches(cached_stage(CurationBitsStage),
@@ -571,7 +594,7 @@ def images_curation(sf_dir: str):
 
     import ray.data as rd
 
-    cc_tbl = images_dedup_clusters(sf_dir)  # pa.Table (assignments)
+    cc_tbl = images_dedup_clusters_for(table)  # pa.Table (assignments)
     cc = rd.from_arrow(pa.table({
         "cc_id": cc_tbl["image_id"],
         "cck": cc_tbl["keep"].cast(pa.int64())}))
