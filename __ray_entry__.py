@@ -355,6 +355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_phash_ann": images_q.images_phash_ann,
         "caption_decontaminate": images_q.caption_decontaminate,
         "crawl_images_curation": images_q.crawl_images_curation,
+        "crawl_images_dedup_exact": images_q.crawl_images_dedup_exact,
         "audio_features": images_q.audio_features_q,
         "video_frames": images_q.video_frames_q,
         "video_shot_boundaries": images_q.video_shot_boundaries,
@@ -785,6 +786,17 @@ def _multimodal_oracle_thunks(tag: str) -> dict:
         "images_curation": lambda: _images_curation_sql(tag),
         "crawl_images_curation": lambda: _images_curation_sql(
             tag, meta_kind="crawl"),
+        "crawl_images_dedup_exact": lambda: f"""
+            WITH {_values_cte('m', _expected_table('crawl', tag))}
+            SELECT image_id, bytes_md5,
+                   MIN(image_id) OVER (PARTITION BY bytes_md5)
+                       AS keeper_id,
+                   CAST(COUNT(*) OVER (PARTITION BY bytes_md5)
+                        AS BIGINT) AS dup_count,
+                   CAST(image_id = MIN(image_id) OVER (
+                        PARTITION BY bytes_md5) AS BIGINT) AS keep
+            FROM m
+        """,
         "images_aspect_buckets": lambda: f"""
             WITH {meta()},
             b(idx, bname, ar) AS (SELECT * FROM (VALUES

@@ -243,6 +243,12 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
            lambda: consume(rel_p.events_window_anomaly(sf_dir)))
     timed5("embedding_outliers",
            lambda: consume(vecs_p.embedding_outliers(sf_dir)))
+    # the harness crawl is a FIXTURE for the audit/lineage/curation
+    # queries, not the operator under test (the headline `crawl` entry
+    # already times a full crawl) — warm it with its cost reported
+    # under its own key so each audit op's timing is the op itself
+    timed5("crawl_fixture",
+           lambda: images_p._ensure_crawl(images_p._sf_tag(sf_dir))[0])
     timed5("crawl_politeness_audit",
            lambda: images_p.crawl_politeness_audit(sf_dir).num_rows)
     timed5("crawl_page_lineage",
@@ -268,6 +274,8 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     # = the gate itself + the crawl-table cluster machinery)
     timed5("crawl_images_curation",
            lambda: consume(images_p.crawl_images_curation(sf_dir)))
+    timed5("crawl_images_dedup_exact",
+           lambda: consume(images_p.crawl_images_dedup_exact(sf_dir)))
     timed5("images_curation",
            lambda: consume(images_p.images_curation(sf_dir)))
     return {

@@ -223,6 +223,33 @@ def test_caption_align_stage_semantics(ray_session):
     assert len(full) == 300
 
 
+def test_bytes_dedup_exact_groups(ray_session, tmp_path):
+    """Byte-level exact dedup on a constructed Lance table WITH real
+    duplicate payloads: identical bytes collapse to one keeper (min
+    image_id), dup_count counts the group, distinct bytes keep
+    themselves — the positive path the crawl's URL-seen dedup never
+    produces on the synthetic web."""
+    from uniparser_ray.pipelines.images_q import _bytes_dedup
+
+    blob_a, blob_b = b"\x89PNGfakepayloadA", b"BMfakepayloadB"
+    t = pa.table({
+        "image_id": ["img-3", "img-1", "img-2", "img-4"],
+        "bytes": [blob_a, blob_a, blob_b, blob_a]})
+    tbl = LanceLayoutTable(str(tmp_path / "tbl"))
+    f0 = tbl.write_fragment(t.slice(0, 2), "p0")
+    f1 = tbl.write_fragment(t.slice(2, 2), "p1")
+    tbl.commit([f0, f1])
+
+    got = _bytes_dedup(tbl).to_pandas() \
+        .sort_values("image_id").reset_index(drop=True)
+    assert got["image_id"].tolist() == ["img-1", "img-2", "img-3",
+                                        "img-4"]
+    assert got["keeper_id"].tolist() == ["img-1", "img-2", "img-1",
+                                         "img-1"]
+    assert got["dup_count"].tolist() == [3, 1, 3, 3]
+    assert got["keep"].tolist() == [1, 1, 0, 0]
+
+
 def test_images_phash_ann_knn(ray_session):
     """Binary-code visual KNN invariants: every probe is an md5-residue
     sample member, a probe is never its own neighbor, ranks are 1..k

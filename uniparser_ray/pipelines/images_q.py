@@ -583,6 +583,49 @@ def crawl_images_curation(sf_dir: str):
     return _curation_gate(LanceLayoutTable(f"{out}/images_lance"))
 
 
+def crawl_images_dedup_exact(sf_dir: str):
+    """EXACT byte-level dedup over the crawl's own image output — the
+    md5-of-payload twin of the perceptual phash dedup (a mirror/alias
+    URL serving identical bytes dedups here even when phash blocking
+    would, or would not, pair it): bytes hash WHERE THEY LIVE (one
+    map_batches over the Lance fragments, payloads never move), then
+    only (image_id, md5) rows shuffle by md5 and each group keeps its
+    min image_id.  Twin: window MIN/COUNT over the conformance
+    crawler's expected bytes_md5 column."""
+    from ..stages.combine import hash_bucket_combine
+
+    tag = _sf_tag(sf_dir)
+    out, _totals = _ensure_crawl(tag)
+    return _bytes_dedup(LanceLayoutTable(f"{out}/images_lance"))
+
+
+def _bytes_dedup(table):
+    from ..stages.combine import hash_bucket_combine
+
+    ds = table.read_dataset(columns=["image_id", "bytes"])
+
+    def md5_rows(t: pa.Table) -> pa.Table:
+        md5s = [hashlib.md5(b).hexdigest() for b in t["bytes"].to_pylist()]
+        return pa.table({"image_id": t["image_id"],
+                         "bytes_md5": pa.array(md5s, pa.string())})
+
+    hashed = ds.map_batches(md5_rows, batch_format="pyarrow",
+                            batch_size=256)
+
+    def group(g: pd.DataFrame) -> pd.DataFrame:
+        keeper = g.groupby("bytes_md5")["image_id"].transform("min")
+        cnt = g.groupby("bytes_md5")["image_id"].transform("size")
+        return pd.DataFrame({
+            "image_id": g["image_id"],
+            "bytes_md5": g["bytes_md5"],
+            "keeper_id": keeper,
+            "dup_count": cnt.astype("int64"),
+            "keep": (g["image_id"] == keeper).astype("int64")})
+
+    return hash_bucket_combine(hashed, ["bytes_md5"], group,
+                               driver_limit_rows=200_000)
+
+
 def _curation_gate(table):
     from ..stages.combine import hash_bucket_join
     from ..stages.taskcache import cached_stage
