@@ -289,6 +289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             relational.events_hopping(sf).to_pandas(), ["window_start"]),
         "events_cumulative": relational.events_cumulative,
         "orders_rollup": relational.orders_rollup,
+        "orders_incremental_agg": relational.orders_incremental_agg,
         "events_pivot": relational.events_pivot,
         # rule-VM extraction as Dataset stages
         "events_json_k": relational.events_json_k,
@@ -1807,6 +1808,16 @@ def oracle_sql(sf_tag: str = None) -> dict[str, str]:
                      PARTITION BY user_id ORDER BY ts, event_id), 2)
                      AS running_sum
             FROM events
+        """,
+        # the twin is a FULL recompute — the Ray side maintains state
+        # incrementally (base partials + delta partials merged), and
+        # incremental == full is exactly the property under test
+        "orders_incremental_agg": """
+            SELECT o_custkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS sum_cents
+            FROM orders GROUP BY 1
         """,
         "orders_rollup": """
             SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,

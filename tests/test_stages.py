@@ -677,6 +677,32 @@ def test_doc_perplexity_semantics(ray_session, tmp_path):
     assert got["mean_millibits"].tolist() == [1250, 1500, 2000, 0]
 
 
+def test_orders_incremental_agg_semantics(ray_session):
+    """Incremental maintenance == full recompute: the cutoff genuinely
+    splits the shipped orders (both ranges non-empty), and the merged
+    state equals a pandas full-recompute with the same exact-cents
+    quantization."""
+    import numpy as np
+
+    from uniparser_ray.pipelines.relational import (INCR_CUTOFF, _read,
+                                                    orders_incremental_agg)
+
+    sf = "/root/testdata/sf0.001"
+    got = orders_incremental_agg(sf).to_pandas() \
+        .sort_values("o_custkey").reset_index(drop=True)
+    raw = _read(sf, "orders",
+                ["o_custkey", "o_totalprice", "o_orderdate"]).to_pandas()
+    cutoff = pd.Timestamp(INCR_CUTOFF)
+    assert (raw["o_orderdate"] < cutoff).any()
+    assert (raw["o_orderdate"] >= cutoff).any()
+    raw["cents"] = np.floor(raw["o_totalprice"] * 100 + 0.5) \
+        .astype("int64")
+    want = raw.groupby("o_custkey").agg(
+        n_orders=("cents", "size"), sum_cents=("cents", "sum")) \
+        .reset_index().sort_values("o_custkey").reset_index(drop=True)
+    assert got.astype(want.dtypes.to_dict()).equals(want)
+
+
 def test_doc_source_lang_mix_semantics(ray_session):
     """Mix report invariants on the shipped corpus: per-source doc
     counts sum to the corpus size, every cell's share is the exact
