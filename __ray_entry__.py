@@ -335,6 +335,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_kmeans": vectors.embedding_kmeans,
         "embedding_outliers": vectors.embedding_outliers,
         "embedding_pq_topk": vectors.embedding_pq_topk,
+        "embedding_pq_distortion": vectors.embedding_pq_distortion,
         "embedding_semdedup": vectors.embedding_semdedup,
         # similarity search
         "ann_topk": vectors.ann_topk,
@@ -1361,6 +1362,24 @@ def _pq_kmeans_ctes(s: int, lo: int, ksub: int, iters: int,
     return ",\n    ".join(parts)
 
 
+def _pq_distortion_sql(nsub: int = 8, ksub: int = 16, iters: int = 2,
+                       dim: int = 64) -> str:
+    """PQ distortion twin: the per-subspace Lloyd recursion's final
+    assign CTEs already carry each vector's assigned-centroid d2 —
+    total reconstruction error = their sum across subspaces."""
+    sd = dim // nsub
+    ctes = ",\n    ".join(_pq_kmeans_ctes(s, s * sd, ksub, iters, sd)
+                          for s in range(nsub))
+    joins = " ".join(f"JOIN a{iters}_{s} s{s} USING (vec_id)"
+                     for s in range(1, nsub))
+    total = " + ".join(f"s{s}.d2" for s in range(nsub))
+    return f"""
+        WITH {ctes}
+        SELECT s0.vec_id, CAST({total} AS BIGINT) AS dist2
+        FROM a{iters}_0 s0 {joins}
+    """
+
+
 def _pq_sql(nsub: int = 8, ksub: int = 16, iters: int = 2, k: int = 10,
             dim: int = 64, nq: int = 5, shortlist: int = 50) -> str:
     """PQ/ADC+re-rank twin: per-subspace Lloyd codebooks (replayed
@@ -2195,6 +2214,7 @@ def oracle_sql(sf_tag: str = None) -> dict[str, str]:
         "embedding_kmeans": _kmeans_sql(),
         "embedding_outliers": _kmeans_outliers_sql(),
         "embedding_pq_topk": _pq_sql(),
+        "embedding_pq_distortion": _pq_distortion_sql(),
         "embedding_semdedup": _semdedup_sql(),
         "doc_dedup_exact": """
             SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_id,

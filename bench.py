@@ -255,6 +255,8 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
            lambda: consume(images_p.crawl_page_lineage(sf_dir)))
     # composed ship-it gates (each re-runs its component machinery:
     # minhash+components for docs, phash-CC for images)
+    timed5("embedding_pq_distortion",
+           lambda: consume(vecs_p.embedding_pq_distortion(sf_dir)))
     timed5("orders_incremental_agg",
            lambda: consume(rel_p.orders_incremental_agg(sf_dir)))
     timed5("doc_source_lang_mix",

@@ -256,3 +256,37 @@ def test_embedding_outliers_matches_brute():
                  "vec_id": "int64"}).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, ref)
     assert got["cluster"].nunique() > 1
+
+
+def test_pq_distortion_matches_reconstruction(ray_session):
+    """Distortion audit == independent reconstruction route: decode
+    each vector's codes back to the concatenated centroid vector and
+    take the plain numpy squared error; distortion is nonzero for
+    most vectors (16 codes can't cover 500) and zero is possible only
+    for the codebook seeds themselves."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from uniparser_ray.pipelines.vectors import (_pq_centroids,
+                                                 embedding_pq_distortion)
+    from uniparser_ray.stages.kmeans import (QUANT_OFFSET, QUANT_SCALE,
+                                             _assign, quantize)
+
+    sf = "/root/testdata/sf0.001"
+    got = embedding_pq_distortion(sf).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    src = pq.read_table(f"{sf}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    q = quantize(np.array(src["embedding"].tolist(), np.float64),
+                 QUANT_SCALE, QUANT_OFFSET)
+    cents = _pq_centroids(sf, nsub=8, ksub=16, iters=2)
+    nsub, _ksub, sd = cents.shape
+    recon = np.zeros_like(q)
+    for s in range(nsub):
+        codes, _d2 = _assign(q[:, s * sd:(s + 1) * sd], cents[s])
+        recon[:, s * sd:(s + 1) * sd] = cents[s][codes]
+    want = ((q - recon) ** 2).sum(axis=1).astype(np.int64)
+    assert got["vec_id"].tolist() == src["vec_id"].tolist()
+    assert (got["dist2"].to_numpy() == want).all()
+    assert (got["dist2"] > 0).mean() > 0.9

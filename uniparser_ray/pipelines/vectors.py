@@ -203,7 +203,17 @@ def _pq_centroids(sf_dir: str, nsub: int, ksub: int, iters: int):
     the same shuffle-free partial-sum passes as ``_kmeans_centroids``
     (nsub x ksub rows per batch cross the wire).  Init: subvectors of
     vec_ids 0..ksub-1 — the same deterministic rule the SQL twin
-    replays."""
+    replays.  Codebooks are persisted artifacts at real scale; the
+    process memo (input-identity keyed) lets the search and the
+    distortion audit share one training run."""
+    from .sharedcache import input_sig, memo
+    key = ("pq_centroids", input_sig(f"{sf_dir}/embeddings.parquet"),
+           nsub, ksub, iters)
+    return memo(key,
+                lambda: _pq_centroids_impl(sf_dir, nsub, ksub, iters))
+
+
+def _pq_centroids_impl(sf_dir: str, nsub: int, ksub: int, iters: int):
     import pyarrow.parquet as pq
     import ray
 
@@ -354,6 +364,42 @@ def embedding_pq_topk(sf_dir: str, k: int = 10, nsub: int = 8,
     return table_from_pandas(
         out[["query_id", "vec_id", "l2_dist", "rank"]],
         preserve_index=False)
+
+
+def embedding_pq_distortion(sf_dir: str, nsub: int = 8, ksub: int = 16,
+                            iters: int = 2):
+    """PQ compression-quality AUDIT: per vector the exact int64
+    squared reconstruction error between its quantized embedding and
+    the concatenation of its assigned codebook centroids — the number
+    a pipeline owner watches when choosing nsub/ksub (distortion up =
+    recall down).  Reuses the search path's codebooks (shared
+    persist-once memo) and runs ONE shuffle-free pass: quantize,
+    per-subspace argmin (the dist2 the assign kernel already
+    computes), sum — only (vec_id, dist2) rows leave the stage.  The
+    SQL twin replays the per-subspace Lloyd recursion and re-derives
+    each vector's assigned-centroid distance, so the audit
+    value-checks bit-exactly."""
+    import ray
+
+    from ..stages.kmeans import _assign, batch_quantized
+
+    cents = _pq_centroids(sf_dir, nsub, ksub, iters)
+    ref = ray.put(cents)
+
+    def dist_rows(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        ns, _ks, sd = c.shape
+        ids, q = batch_quantized(batch, dim=ns * sd)
+        tot = np.zeros(len(ids), np.int64)
+        for s in range(ns):
+            _cl, d2 = _assign(q[:, s * sd:(s + 1) * sd], c[s])
+            tot += d2
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(tot, pa.int64())],
+            names=["vec_id", "dist2"])
+
+    return _read(sf_dir, ["vec_id", "embedding"]).map_batches(
+        dist_rows, batch_format="pyarrow")
 
 
 def embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 2):
