@@ -280,6 +280,75 @@ def test_fuzz_caption_decontaminate_parity(docs, caps_spec):
         (docs, caps, py, sql)
 
 
+@settings(max_examples=30, deadline=None)
+@given(CORPUS)
+def test_fuzz_doc_chunks_parity(docs):
+    """Chunk windows + Horner content hashes: a BRUTE-FORCE per-doc
+    loop (independent of the pipeline's vectorized index algebra)
+    equals the generate_series + HB-power DuckDB twin on adversarial
+    corpora (short docs, tail chunks, whitespace runs)."""
+    from uniparser_ray.pipelines.documents import CHUNK_S, CHUNK_W
+    from uniparser_ray.stages.tokenhash import _horner, batch_token_ids
+
+    rows = []
+    for did, text in enumerate(docs):
+        ids, _ = batch_token_ids([text])
+        n = len(ids)
+        for ci, s in enumerate(range(0, n, CHUNK_S)):
+            w = min(CHUNK_W, n - s)
+            rows.append((did, ci, s, w, _horner(ids[s:s + w])))
+    py = pd.DataFrame(rows, columns=["doc_id", "chunk_id", "start_tok",
+                                     "n_tokens", "chunk_hash"]) \
+        .astype("int64") if rows else pd.DataFrame(
+        columns=["doc_id", "chunk_id", "start_tok", "n_tokens",
+                 "chunk_hash"], dtype="int64")
+    sql = _register(docs).execute(entry._doc_chunks_sql()).fetchdf() \
+        .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    py = py.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    assert py.equals(sql[py.columns].astype("int64")), (docs, py, sql)
+
+
+# repeated single tokens make equal gram hashes inside one window —
+# the rightmost-tie rule is exactly what this generator stresses
+WINNOW_DOC = st.one_of(
+    DOC,
+    st.builds(lambda t, n: " ".join([t] * n), TOKEN, st.integers(3, 12)),
+    st.builds(lambda a, b, n: " ".join(([a, b] * n)[:n + 3]),
+              TOKEN, TOKEN, st.integers(3, 10)),
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(WINNOW_DOC, min_size=1, max_size=6))
+def test_fuzz_doc_winnow_parity(docs):
+    """Winnowing fingerprints: a brute-force per-window loop
+    (rightmost min via reversed scan) equals the window-min-join
+    DuckDB twin — repeated-token corpora force in-window hash ties,
+    pinning the rightmost-tie rule on both engines."""
+    import numpy as np
+
+    from uniparser_ray.pipelines.documents import WINNOW_K, WINNOW_W
+    from uniparser_ray.stages.tokenhash import batch_token_ids, window_hashes
+
+    rows = set()
+    for did, text in enumerate(docs):
+        flat, offs = batch_token_ids([text])
+        wh, counts = window_hashes(flat, offs, k=WINNOW_K)
+        c = int(counts[0])
+        for ws in range(max(1, c - WINNOW_W + 1) if c else 0):
+            win = wh[ws:ws + WINNOW_W]
+            m = win.min()
+            pos = ws + int(max(np.flatnonzero(win == m)))
+            rows.add((did, pos, int(np.int64(m))))
+    py = pd.DataFrame(sorted(rows), columns=["doc_id", "pos", "fp"]) \
+        .astype("int64") if rows else pd.DataFrame(
+        columns=["doc_id", "pos", "fp"], dtype="int64")
+    sql = _register(docs).execute(entry._winnow_sql()).fetchdf() \
+        .sort_values(["doc_id", "pos"]).reset_index(drop=True)
+    py = py.sort_values(["doc_id", "pos"]).reset_index(drop=True)
+    assert py.equals(sql[py.columns].astype("int64")), (docs, py, sql)
+
+
 @settings(max_examples=40, deadline=None)
 @given(CORPUS)
 def test_fuzz_bigram_surprisal_parity(docs):
