@@ -358,6 +358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "caption_decontaminate": images_q.caption_decontaminate,
         "crawl_images_curation": images_q.crawl_images_curation,
         "crawl_images_dedup_exact": images_q.crawl_images_dedup_exact,
+        "crawl_wet_roundtrip": images_q.crawl_wet_roundtrip,
         "audio_features": images_q.audio_features_q,
         "video_frames": images_q.video_frames_q,
         "video_shot_boundaries": images_q.video_shot_boundaries,
@@ -788,6 +789,14 @@ def _multimodal_oracle_thunks(tag: str) -> dict:
         "images_curation": lambda: _images_curation_sql(tag),
         "crawl_images_curation": lambda: _images_curation_sql(
             tag, meta_kind="crawl"),
+        # the twin reads the crawl's checkpoint parquet directly, so
+        # the WET files (the Ray side) and the parquet (the source)
+        # are independent serializations compared by value
+        "crawl_wet_roundtrip": lambda: f"""
+            SELECT url, CAST(status AS BIGINT) AS status,
+                   md5(COALESCE(result_json, '')) AS content_md5
+            FROM read_parquet('{_crawl_pages_glob(tag)}')
+        """,
         "crawl_images_dedup_exact": lambda: f"""
             WITH {_values_cte('m', _expected_table('crawl', tag))}
             SELECT image_id, bytes_md5,
@@ -1214,6 +1223,14 @@ def _PHASH_ANN_K() -> int:
 def _ALIGN_MAX_HAMMING() -> int:
     from uniparser_ray.pipelines.images_q import ALIGN_MAX_HAMMING
     return ALIGN_MAX_HAMMING
+
+
+def _crawl_pages_glob(tag: str) -> str:
+    """Ensure the shared harness crawl exists and return its pages
+    checkpoint glob (the WET-roundtrip twin reads it directly)."""
+    from uniparser_ray.pipelines.images_q import _ensure_crawl
+    out, _ = _ensure_crawl(tag)
+    return f"{out}/pages/round=*/*.parquet"
 
 
 def _images_curation_sql(tag: str, meta_kind: str = "meta") -> str:

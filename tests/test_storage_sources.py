@@ -223,6 +223,28 @@ def test_caption_align_stage_semantics(ray_session):
     assert len(full) == 300
 
 
+def test_wet_write_parse_roundtrip(tmp_path):
+    """WET record framing survives adversarial payloads: CRLF and
+    blank lines INSIDE a record body (Content-Length framing must not
+    split on them), empty bodies, unicode, and idempotent rewrite."""
+    from uniparser_ray.sources.warc import parse_wet, write_wet_fragment
+
+    rows = [
+        ("http://a.test/1", 200, "plain"),
+        ("http://a.test/2", 200, "has\r\n\r\ninner blank line"),
+        ("http://a.test/3", 404, ""),
+        ("http://a.test/4", 200, "unicodé ✓ 中文"),
+        ("http://a.test/5", -1, "WARC/1.0\r\nfake header soup"),
+    ]
+    p = str(tmp_path / "t.warc")
+    write_wet_fragment(iter(rows), p)
+    got = list(parse_wet(open(p, "rb").read()))
+    assert got == rows
+    # idempotent: a second write keeps the existing file
+    write_wet_fragment(iter([("http://x/", 200, "other")]), p)
+    assert list(parse_wet(open(p, "rb").read())) == rows
+
+
 def test_bytes_dedup_exact_groups(ray_session, tmp_path):
     """Byte-level exact dedup on a constructed Lance table WITH real
     duplicate payloads: identical bytes collapse to one keeper (min

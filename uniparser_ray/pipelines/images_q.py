@@ -583,6 +583,33 @@ def crawl_images_curation(sf_dir: str):
     return _curation_gate(LanceLayoutTable(f"{out}/images_lance"))
 
 
+def crawl_wet_roundtrip(sf_dir: str):
+    """WET archive export/ingest fidelity: the crawl's
+    round-partitioned page results export to Common-Crawl-style WET
+    files (one per round checkpoint, task-parallel, atomic +
+    idempotent — the resumable partitioned-output rule), read BACK
+    distributed, and every record's (url, status, md5(content)) must
+    equal the checkpoint source row it came from.  The DuckDB twin
+    reads the checkpoint parquet directly (read_parquet over the
+    round=* glob), so the two serializations of the same crawl are
+    compared by value — a lossless-interchange guarantee, not a
+    self-compare."""
+    from ..sources.warc import export_wet, read_wet
+
+    tag = _sf_tag(sf_dir)
+    out, _totals = _ensure_crawl(tag)
+    paths = export_wet(f"{out}/pages", f"{out}/wet")
+
+    def digest(t: pa.Table) -> pa.Table:
+        md5s = [hashlib.md5(c.encode()).hexdigest()
+                for c in t["content"].to_pylist()]
+        return pa.table({"url": t["url"],
+                         "status": t["status"],
+                         "content_md5": pa.array(md5s, pa.string())})
+
+    return read_wet(paths).map_batches(digest, batch_format="pyarrow")
+
+
 def crawl_images_dedup_exact(sf_dir: str):
     """EXACT byte-level dedup over the crawl's own image output — the
     md5-of-payload twin of the perceptual phash dedup (a mirror/alias
