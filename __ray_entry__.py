@@ -359,6 +359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_images_curation": images_q.crawl_images_curation,
         "crawl_images_dedup_exact": images_q.crawl_images_dedup_exact,
         "crawl_wet_roundtrip": images_q.crawl_wet_roundtrip,
+        "images_wds_roundtrip": images_q.images_wds_roundtrip,
         "audio_features": images_q.audio_features_q,
         "video_frames": images_q.video_frames_q,
         "video_shot_boundaries": images_q.video_shot_boundaries,
@@ -797,6 +798,14 @@ def _multimodal_oracle_thunks(tag: str) -> dict:
                    md5(COALESCE(result_json, '')) AS content_md5
             FROM read_parquet('{_crawl_pages_glob(tag)}')
         """,
+        "images_wds_roundtrip": lambda: f"""
+            SELECT image_id, md5(hex(bytes)) AS bytes_md5h,
+                   CAST(octet_length(bytes) AS BIGINT) AS nbytes,
+                   caption,
+                   regexp_extract(filename, 'frag-([^/]+)[.]parquet', 1)
+                       AS shard
+            FROM read_parquet('{_images_frag_glob(tag)}', filename=true)
+        """,
         "crawl_images_dedup_exact": lambda: f"""
             WITH {_values_cte('m', _expected_table('crawl', tag))}
             SELECT image_id, bytes_md5,
@@ -1231,6 +1240,15 @@ def _crawl_pages_glob(tag: str) -> str:
     from uniparser_ray.pipelines.images_q import _ensure_crawl
     out, _ = _ensure_crawl(tag)
     return f"{out}/pages/round=*/*.parquet"
+
+
+def _images_frag_glob(tag: str) -> str:
+    """Ensure the shared synthetic image table exists and return its
+    Lance fragment-parquet glob (the WDS-roundtrip twin reads the
+    fragments directly — the independent serialization)."""
+    from uniparser_ray.pipelines.images_q import images_lance_for
+    table = images_lance_for(f"/root/testdata/{tag}")
+    return f"{table.data_dir}/frag-*.parquet"
 
 
 def _images_curation_sql(tag: str, meta_kind: str = "meta") -> str:

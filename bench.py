@@ -280,6 +280,8 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
            lambda: consume(images_p.crawl_images_curation(sf_dir)))
     timed5("crawl_wet_roundtrip",
            lambda: consume(images_p.crawl_wet_roundtrip(sf_dir)))
+    timed5("images_wds_roundtrip",
+           lambda: consume(images_p.images_wds_roundtrip(sf_dir)))
     timed5("crawl_images_dedup_exact",
            lambda: consume(images_p.crawl_images_dedup_exact(sf_dir)))
     timed5("images_curation",

@@ -610,6 +610,37 @@ def crawl_wet_roundtrip(sf_dir: str):
     return read_wet(paths).map_batches(digest, batch_format="pyarrow")
 
 
+def images_wds_roundtrip(sf_dir: str):
+    """WebDataset shard export/ingest fidelity — the image-axis twin
+    of ``crawl_wet_roundtrip``: the Lance image+caption table exports
+    to WebDataset-style tar shards (one per Lance fragment,
+    task-parallel, atomic + idempotent — the resumable
+    partitioned-output rule), reads BACK distributed by tar framing,
+    and every sample's (md5-of-bytes, caption, shard) must equal the
+    fragment row it came from.  The DuckDB twin reads the fragment
+    parquet directly (read_parquet glob with filename=true for the
+    shard id), so the two serializations of the same table are
+    compared by value.  Byte fidelity via md5(hex(bytes)) — hex is
+    injective and DuckDB's md5 takes VARCHAR only."""
+    from ..sources.wds import export_wds, read_wds
+
+    table = images_lance_for(sf_dir)
+    paths = export_wds(table, str(table.root) + "_wds")
+
+    def digest(t: pa.Table) -> pa.Table:
+        blobs = t["bytes"].to_pylist()
+        md5s = [hashlib.md5(b.hex().upper().encode()).hexdigest()
+                for b in blobs]
+        return pa.table({
+            "image_id": t["image_id"],
+            "bytes_md5h": pa.array(md5s, pa.string()),
+            "nbytes": pa.array([len(b) for b in blobs], pa.int64()),
+            "caption": t["caption"],
+            "shard": t["shard"]})
+
+    return read_wds(paths).map_batches(digest, batch_format="pyarrow")
+
+
 def crawl_images_dedup_exact(sf_dir: str):
     """EXACT byte-level dedup over the crawl's own image output — the
     md5-of-payload twin of the perceptual phash dedup (a mirror/alias
