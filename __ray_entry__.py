@@ -246,8 +246,9 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from uniparser_ray.pipelines import (documents, graph, images_q,
-                                         relational, stats, vectors)
+    from uniparser_ray.pipelines import (crawl_q, documents, graph,
+                                         images_q, relational, stats,
+                                         vectors)
 
     return {
         # relational operators (groupby/sort/limit/join/filter/distinct)
@@ -360,6 +361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_images_dedup_exact": images_q.crawl_images_dedup_exact,
         "crawl_wet_roundtrip": images_q.crawl_wet_roundtrip,
         "images_wds_roundtrip": images_q.images_wds_roundtrip,
+        "crawl_url_canon": crawl_q.crawl_url_canon,
         "audio_features": images_q.audio_features_q,
         "video_frames": images_q.video_frames_q,
         "video_shot_boundaries": images_q.video_shot_boundaries,
@@ -797,6 +799,32 @@ def _multimodal_oracle_thunks(tag: str) -> dict:
             SELECT url, CAST(status AS BIGINT) AS status,
                    md5(COALESCE(result_json, '')) AS content_md5
             FROM read_parquet('{_crawl_pages_glob(tag)}')
+        """,
+        "crawl_url_canon": lambda: f"""
+            WITH src AS (
+              SELECT DISTINCT url
+              FROM read_parquet('{_crawl_pages_glob(tag)}')),
+            hp AS (
+              SELECT url,
+                     substr(substr(url, 8), 1,
+                            strpos(substr(url, 8), '/') - 1) AS host,
+                     substr(substr(url, 8),
+                            strpos(substr(url, 8), '/')) AS path
+              FROM src)
+            SELECT url, CAST(0 AS BIGINT) AS variant_id,
+                   url AS messy_url, url AS canon_url FROM hp
+            UNION ALL
+            SELECT url, 1, 'HTTP://' || upper(host) || ':80' || path,
+                   url FROM hp
+            UNION ALL
+            SELECT url, 2, url || '?b=2&a=1&c=#frag',
+                   url || '?a=1&b=2&c=' FROM hp
+            UNION ALL
+            SELECT url, 3, 'hTtP://' || host || path || '#sec',
+                   url FROM hp
+            UNION ALL
+            SELECT url, 4, 'http://' || host, url FROM hp
+            WHERE path = '/'
         """,
         "images_wds_roundtrip": lambda: f"""
             SELECT image_id, md5(hex(bytes)) AS bytes_md5h,

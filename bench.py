@@ -282,6 +282,9 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
            lambda: consume(images_p.crawl_wet_roundtrip(sf_dir)))
     timed5("images_wds_roundtrip",
            lambda: consume(images_p.images_wds_roundtrip(sf_dir)))
+    from uniparser_ray.pipelines import crawl_q as crawl_qp
+    timed5("crawl_url_canon",
+           lambda: consume(crawl_qp.crawl_url_canon(sf_dir)))
     timed5("crawl_images_dedup_exact",
            lambda: consume(images_p.crawl_images_dedup_exact(sf_dir)))
     timed5("images_curation",

@@ -147,3 +147,61 @@ def test_fetch_stage_wall_clock_politeness(ray_session):
     # 6/8/10s on the shard's clock)
     stage(batch)
     assert len(slept) == 5 and slept[2] > 5.0 and slept[4] > slept[3]
+
+
+def test_canonicalize_url_rules():
+    """The seen-set key contract, rule by rule: case folding, default
+    ports (http AND https), fragment drop, query-key sort with blank
+    values kept, empty path, and invalid-URL passthrough."""
+    from uniparser_ray.rulevm.urlutil import canonicalize_url as c
+
+    assert c("HTTP://Host.TEST:80/A/b") == "http://host.test/A/b"  # path case kept
+    assert c("https://h.test:443/x") == "https://h.test/x"
+    assert c("https://h.test:8443/x") == "https://h.test:8443/x"  # non-default kept
+    assert c("http://h.test/x#frag") == "http://h.test/x"
+    # duplicate keys sort by (key, value) — fully deterministic
+    assert c("http://h.test/x?z=1&a=2&a=1") == "http://h.test/x?a=1&a=2&z=1"
+    assert c("http://h.test/x?b=&a=1") == "http://h.test/x?a=1&b="
+    assert c("http://h.test") == "http://h.test/"
+    assert c("http://h.test/x?") == "http://h.test/x"
+    bad = "http://[broken"
+    assert c(bad) == bad  # unparseable: returned untouched, never raises
+
+
+def test_url_hash64_cross_process_stable():
+    """url_hash64 must be identical across workers/processes (builtin
+    hash() is salted) — pin an absolute value so any algorithm change
+    that would silently split the distributed seen set fails here."""
+    from uniparser_ray.rulevm.urlutil import url_hash64
+
+    assert url_hash64("http://host-0000.test/") == 0xB51C66ED035DDE4C
+
+
+def test_crawl_url_canon_variants_match_bruteforce():
+    """The vectorized variant builder equals a per-row reference
+    construction, and the production canonicalizer maps every messy
+    variant back to its source URL's predicted canonical form."""
+    import pandas as pd
+
+    from uniparser_ray.pipelines.crawl_q import _variants
+    from uniparser_ray.rulevm.urlutil import canonicalize_url
+
+    urls = ["http://host-0000.test/", "http://host-0012.test/page/7",
+            "http://a.test/page/1"]
+    got = _variants(pd.DataFrame({"url": urls}))
+
+    expect = []
+    for u in urls:
+        host, _, path = u[7:].partition("/")
+        path = "/" + path
+        expect += [(u, 0, u),
+                   (u, 1, f"HTTP://{host.upper()}:80{path}"),
+                   (u, 2, u + "?b=2&a=1&c=#frag"),
+                   (u, 3, f"hTtP://{host}{path}#sec")]
+        if path == "/":
+            expect.append((u, 4, f"http://{host}"))
+    assert sorted(map(tuple, got.itertuples(index=False))) == sorted(expect)
+
+    for u, vid, messy in expect:
+        want = u + "?a=1&b=2&c=" if vid == 2 else u
+        assert canonicalize_url(messy) == want, (vid, messy)
