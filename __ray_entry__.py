@@ -362,6 +362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_wet_roundtrip": images_q.crawl_wet_roundtrip,
         "images_wds_roundtrip": images_q.images_wds_roundtrip,
         "crawl_url_canon": crawl_q.crawl_url_canon,
+        "crawl_resume_roundtrip": crawl_q.crawl_resume_roundtrip,
         "audio_features": images_q.audio_features_q,
         "video_frames": images_q.video_frames_q,
         "video_shot_boundaries": images_q.video_shot_boundaries,
@@ -799,6 +800,17 @@ def _multimodal_oracle_thunks(tag: str) -> dict:
             SELECT url, CAST(status AS BIGINT) AS status,
                    md5(COALESCE(result_json, '')) AS content_md5
             FROM read_parquet('{_crawl_pages_glob(tag)}')
+        """,
+        # twin input = the UNINTERRUPTED harness run's checkpoints;
+        # the Ray side re-crawls the same web interrupted-at-round-2
+        # then resumed — equality pins checkpoint-resume fidelity
+        # including the per-round schedule (round rides the compare)
+        "crawl_resume_roundtrip": lambda: f"""
+            SELECT url, CAST(round AS BIGINT) AS round,
+                   CAST(status AS BIGINT) AS status,
+                   md5(COALESCE(result_json, '')) AS content_md5
+            FROM read_parquet('{_crawl_pages_glob(tag)}',
+                              hive_partitioning = 1)
         """,
         "crawl_url_canon": lambda: f"""
             WITH src AS (

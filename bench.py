@@ -285,6 +285,10 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     from uniparser_ray.pipelines import crawl_q as crawl_qp
     timed5("crawl_url_canon",
            lambda: consume(crawl_qp.crawl_url_canon(sf_dir)))
+    # interrupt-at-round-2 + resume re-crawl; cost is the second crawl
+    # itself (attributed here, not to the shared crawl_fixture)
+    timed5("crawl_resume_roundtrip",
+           lambda: consume(crawl_qp.crawl_resume_roundtrip(sf_dir)))
     timed5("crawl_images_dedup_exact",
            lambda: consume(images_p.crawl_images_dedup_exact(sf_dir)))
     timed5("images_curation",

@@ -388,3 +388,49 @@ def test_crawl_page_lineage_parent_chain(ray_session):
             == by_url.loc[kids["parent"], "depth"].to_numpy() + 1).all()
     assert (kids["round"].to_numpy()
             > by_url.loc[kids["parent"], "round"].to_numpy()).all()
+
+
+def test_crawl_resume_value_roundtrip(ray_session, tmp_path, ray_crawl):
+    """Value-level resume fidelity (the crawl_resume_roundtrip query's
+    claims, pinned without the memo): an interrupt-at-round-2 + resume
+    run must (a) genuinely stop early, (b) leave every committed round
+    file BYTE-identical across the resume (committed partitions are
+    never rewritten), and (c) reproduce the uninterrupted run's
+    (url, round, status, md5(result_json)) rows exactly."""
+    import hashlib
+
+    out_full, _ = ray_crawl
+    web = SynthWeb(**WEB_CFG)
+    out = tmp_path / "crawl_resume"
+    base = dict(web_config=WEB_CFG, out_dir=str(out),
+                seeds=web.seed_urls(), per_host_budget=3,
+                fetch_concurrency=2, seen_shard_bits=2)
+    run_crawl(CrawlConfig(max_rounds=2, **base), web.rule_pack())
+
+    def snap(root):
+        return {str(p.relative_to(root)): hashlib.md5(p.read_bytes())
+                .hexdigest() for p in (root / "pages").glob("round=*/*.parquet")}
+
+    committed = snap(out)
+    full_rounds = len(_ray_rounds(out_full))
+    assert len(_ray_rounds(out)) == 2 < full_rounds  # (a) stopped early
+
+    run_crawl(CrawlConfig(max_rounds=30, **base), web.rule_pack(),
+              resume=True)
+    after = snap(out)
+    assert all(after[k] == v for k, v in committed.items())  # (b)
+
+    def rows(root):
+        out_rows = set()
+        for r, _urls in enumerate(_ray_rounds(root)):
+            for f in sorted((root / "pages" / f"round={r}").glob("*.parquet")):
+                t = pq.read_table(
+                    f, columns=["url", "status", "result_json"])
+                for u, s, j in zip(t["url"].to_pylist(),
+                                   t["status"].to_pylist(),
+                                   t["result_json"].to_pylist()):
+                    out_rows.add((u, r, s,
+                                  hashlib.md5((j or "").encode()).hexdigest()))
+        return out_rows
+
+    assert rows(out) == rows(out_full)  # (c)

@@ -20,6 +20,10 @@ SELECTs DISTINCT — so this check ALSO pins "no URL fetched twice"
 
 from __future__ import annotations
 
+import hashlib
+import shutil
+from pathlib import Path
+
 import pandas as pd
 import pyarrow as pa
 
@@ -67,6 +71,87 @@ class CanonStage:
     def __call__(self, t: pa.Table) -> pa.Table:
         canon = [self._canon(m) for m in t["messy_url"].to_pylist()]
         return t.append_column("canon_url", pa.array(canon, pa.string()))
+
+
+_RESUME_RUNS: dict = {}
+_RESUME_INTERRUPT_ROUND = 2
+
+
+def _ensure_resumed_crawl(tag: str) -> str:
+    """Interrupted-then-resumed twin of the harness crawl: same web,
+    same config, FRESH out dir.  The first invocation stops after
+    ``_RESUME_INTERRUPT_ROUND`` rounds (a simulated driver death after
+    the round-N checkpoint commit); the second reloads ``_state.json``,
+    replays the committed page checkpoints into the seen shards
+    task-parallel, and continues to completion.  Memoized per
+    (process, tag) like the harness crawl itself."""
+    if tag in _RESUME_RUNS:
+        return _RESUME_RUNS[tag]
+    from ..crawl.loop import CrawlConfig, run_crawl
+    from ..sources.synthweb import SynthWeb
+    from .images_q import _CRAWL_BUDGET, _CRAWL_BY_SF, _CRAWL_ROUNDS
+
+    web_cfg = _CRAWL_BY_SF.get(tag, _CRAWL_BY_SF["sf0.01"])
+    web = SynthWeb(**web_cfg)
+    out = f"/tmp/uniparser_ray_cache/crawl_resume_{tag}"
+    shutil.rmtree(out, ignore_errors=True)
+    base = dict(web_config=web_cfg, out_dir=out, seeds=web.seed_urls(),
+                per_host_budget=_CRAWL_BUDGET, fetch_concurrency=4,
+                seen_shard_bits=3)
+    run_crawl(CrawlConfig(max_rounds=_RESUME_INTERRUPT_ROUND, **base),
+              web.rule_pack())
+    run_crawl(CrawlConfig(max_rounds=_CRAWL_ROUNDS, **base),
+              web.rule_pack(), resume=True)
+    _RESUME_RUNS[tag] = out
+    return out
+
+
+def _read_pages_hashed(pages_dir: str):
+    """Task-parallel pruned read of round-partitioned page checkpoints
+    -> (url, round, status, content_md5).  One task per small file
+    batch; result_json never reaches the driver (hashed where read)."""
+    import ray.data as rd
+
+    rows = [{"path": str(f), "round": int(f.parent.name.split("=")[1])}
+            for f in sorted(Path(pages_dir).glob("round=*/*.parquet"))]
+
+    def read_hashed(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+        parts = []
+        for row in batch.to_pylist():
+            t = pq.read_table(row["path"],
+                              columns=["url", "status", "result_json"])
+            md5s = [hashlib.md5((s or "").encode()).hexdigest()
+                    for s in t["result_json"].to_pylist()]
+            parts.append(pa.table({
+                "url": t["url"].cast(pa.string()),
+                "round": pa.array([row["round"]] * t.num_rows, pa.int64()),
+                "status": t["status"].cast(pa.int64()),
+                "content_md5": pa.array(md5s, pa.string())}))
+        return pa.concat_tables(parts)
+
+    return rd.from_items(rows).map_batches(read_hashed,
+                                           batch_format="pyarrow",
+                                           batch_size=4)
+
+
+def crawl_resume_roundtrip(sf_dir: str):
+    """The north rule's 'resumes from per-partition checkpoints'
+    claim as a VALUE check: a second crawl of the same web is killed
+    after round 2's checkpoint commit and resumed from `_state.json` +
+    the committed round partitions (seen shards replayed task-parallel,
+    frontier reloaded from its checkpoint) — its final per-page output
+    (url, round, status, md5(result_json)) must equal the UNINTERRUPTED
+    harness run's, which the DuckDB twin reads directly from the
+    latter's checkpoint files.  Two independent runs, one interrupted:
+    equality pins that resume loses nothing, refetches nothing, and
+    reproduces the exact round-by-round schedule (round rides the
+    compare, so a resumed run that reshuffles work across rounds goes
+    red even if the page set matches)."""
+    tag = _sf_tag(sf_dir)
+    _ensure_crawl(tag)  # the twin's input: the uninterrupted run
+    out = _ensure_resumed_crawl(tag)
+    return _read_pages_hashed(f"{out}/pages")
 
 
 def crawl_url_canon(sf_dir: str):
