@@ -420,17 +420,72 @@ def test_crawl_resume_value_roundtrip(ray_session, tmp_path, ray_crawl):
     after = snap(out)
     assert all(after[k] == v for k, v in committed.items())  # (b)
 
-    def rows(root):
-        out_rows = set()
-        for r, _urls in enumerate(_ray_rounds(root)):
-            for f in sorted((root / "pages" / f"round={r}").glob("*.parquet")):
-                t = pq.read_table(
-                    f, columns=["url", "status", "result_json"])
-                for u, s, j in zip(t["url"].to_pylist(),
-                                   t["status"].to_pylist(),
-                                   t["result_json"].to_pylist()):
-                    out_rows.add((u, r, s,
-                                  hashlib.md5((j or "").encode()).hexdigest()))
-        return out_rows
+    assert _page_value_rows(out) == _page_value_rows(out_full)  # (c)
 
-    assert rows(out) == rows(out_full)  # (c)
+
+def _page_value_rows(root):
+    """{(url, round, status, md5(result_json))} over every committed
+    round — the value identity the resume checks compare."""
+    import hashlib
+    rows = set()
+    for r, _urls in enumerate(_ray_rounds(root)):
+        for f in sorted((root / "pages" / f"round={r}").glob("*.parquet")):
+            t = pq.read_table(f, columns=["url", "status", "result_json"])
+            for u, s, j in zip(t["url"].to_pylist(),
+                               t["status"].to_pylist(),
+                               t["result_json"].to_pylist()):
+                rows.add((u, r, s,
+                          hashlib.md5((j or "").encode()).hexdigest()))
+    return rows
+
+
+def test_crawl_resume_after_midround_crash(ray_session, tmp_path, ray_crawl,
+                                           oracle_result):
+    """A crash INSIDE a round — after the attempt's partial page write
+    and after the Lance manifest registered the attempt's image
+    fragments, but before the round's `_save_state` commit — must roll
+    back on resume: without the round>=start_round purge the re-run
+    MERGES the stale uuid-named page file (duplicate page rows), keeps
+    the orphan fragment in the manifest (duplicate image rows), and
+    `_reseed_filters` poisons img_seen from the rolled-back fragment
+    (the re-run then silently DROPS those images).  Forge exactly that
+    on-disk state, resume, and require the uninterrupted run's values."""
+    import shutil
+
+    out_full, _ = ray_crawl
+    web = SynthWeb(**WEB_CFG)
+    out = tmp_path / "crawl_crash"
+    base = dict(web_config=WEB_CFG, out_dir=str(out),
+                seeds=web.seed_urls(), per_host_budget=3,
+                fetch_concurrency=2, seen_shard_bits=2)
+    run_crawl(CrawlConfig(max_rounds=2, **base), web.rule_pack())
+
+    # forge the crash window: a partial round-2 page checkpoint ...
+    pdir = out / "pages" / "round=2"
+    pdir.mkdir(parents=True)
+    donor_page = next(iter(sorted((out / "pages" / "round=1")
+                                  .glob("*.parquet"))))
+    shutil.copy(donor_page, pdir / "crashed-attempt-uuid.parquet")
+    # ... and a registered round-2 image fragment (images.commit runs
+    # mid-round, so a crash can leave the manifest already advanced)
+    img_tbl = LanceLayoutTable(str(out / "images_lance"))
+    frags = img_tbl.fragment_files()
+    assert frags, "rounds 0-1 of this web must produce images"
+    frag_dir = img_tbl.data_dir / "round=2"
+    frag_dir.mkdir(parents=True)
+    shutil.copy(frags[0], frag_dir / "crashed-attempt.parquet")
+    v_before = img_tbl.commit(["round=2/crashed-attempt.parquet"],
+                              metadata={"round": 2})
+
+    run_crawl(CrawlConfig(max_rounds=30, **base), web.rule_pack(),
+              resume=True)
+
+    assert _page_value_rows(out) == _page_value_rows(out_full)
+    images = LanceLayoutTable(str(out / "images_lance"))
+    assert images.count_rows() == len(oracle_result["images"])
+    # the rollback committed a NEW manifest version (lineage preserved
+    # — the poisoned version stays readable for audit), and no manifest
+    # fragment from the crashed attempt survived
+    assert images.latest_version() > v_before
+    assert all("crashed-attempt" not in f
+               for f in images.fragment_files())

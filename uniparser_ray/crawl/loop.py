@@ -279,6 +279,39 @@ class CrawlRun:
         }))
         tmp.replace(self._state_path())
 
+    def _rollback_uncommitted(self, start_round: int):
+        """Crash-window rollback.  A round commits only at
+        ``_save_state(round+1)``, so on resume ANY on-disk artifact
+        tagged ``round >= start_round`` is an orphan of a crashed
+        attempt: partial page checkpoints (Ray's write_parquet file
+        names are unique per attempt — a re-run would MERGE duplicate
+        rows, not overwrite), image fragments (possibly already
+        registered: ``images.commit`` runs mid-round, before the state
+        commit), and the attempt's next-frontier dir.  Purge them
+        BEFORE ``_reseed_filters`` runs, else the reseed would poison
+        ``img_seen`` with rolled-back fetches and the re-run would
+        silently drop those images.  The frontier dir for
+        ``round=start_round`` itself is committed state (written by
+        round ``start_round-1``) and is kept."""
+        import shutil as _shutil
+
+        def purge(base: Path, min_round: int):
+            for d in base.glob("round=*"):
+                if int(d.name.split("=")[1]) >= min_round:
+                    _shutil.rmtree(d, ignore_errors=True)
+
+        purge(self.pages_dir, start_round)
+        purge(self.frontier_dir, start_round + 1)
+        if self.images.exists():
+            def keep(name: str) -> bool:
+                head = name.split("/", 1)[0]
+                if head.startswith("round="):
+                    return int(head.split("=")[1]) < start_round
+                return True
+            self.images.rollback_fragments(
+                keep, metadata={"rollback_before_round": start_round})
+        purge(self.images.data_dir, start_round)
+
     def _reseed_filters(self, upto_round: int):
         """Rebuild seen state from committed checkpoints (resume).
 
@@ -346,6 +379,7 @@ class CrawlRun:
         if state:
             start_round = state["next_round"]
             self.metrics = state["metrics"]
+            self._rollback_uncommitted(start_round)
             self._reseed_filters(start_round)
         else:
             self._seed_round0()

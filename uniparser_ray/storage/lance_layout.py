@@ -111,6 +111,35 @@ class LanceLayoutTable:
         (self.root / "_latest").write_text(str(version))
         return version
 
+    def rollback_fragments(self, keep_pred, metadata: Optional[dict] = None,
+                           ) -> int:
+        """Commit a new version keeping only the base version's
+        fragments passing ``keep_pred(file_name)`` — the crash-recovery
+        counterpart of ``commit()`` (a crawl round registers its
+        fragments mid-round, so a crash before the round's state commit
+        leaves orphans in the manifest).  Returns the base version
+        unchanged when nothing is dropped (no empty no-op versions);
+        physical file removal is the caller's concern."""
+        base = self.latest_version()
+        if not base:
+            return 0
+        fragments = self.manifest(base)["fragments"]
+        keep = [f for f in fragments if keep_pred(f["file"])]
+        if len(keep) == len(fragments):
+            return base
+        version = base + 1
+        manifest = {
+            "version": version,
+            "fragments": keep,
+            "rows": sum(f["rows"] for f in keep),
+            "metadata": metadata or {},
+        }
+        tmp = self.version_dir / f".{version}.json.tmp"
+        tmp.write_text(json.dumps(manifest, indent=1))
+        os.replace(tmp, self.version_dir / f"{version}.json")
+        (self.root / "_latest").write_text(str(version))
+        return version
+
     def overwrite(self, table: pa.Table, name: str = "0000",
                   metadata: Optional[dict] = None) -> int:
         """Single-fragment convenience write + commit (small tables)."""
