@@ -205,3 +205,36 @@ def test_crawl_url_canon_variants_match_bruteforce():
     for u, vid, messy in expect:
         want = u + "?a=1&b=2&c=" if vid == 2 else u
         assert canonicalize_url(messy) == want, (vid, messy)
+
+
+def test_canonicalize_url_idempotent_fuzz():
+    """Idempotence is a seen-set CONTRACT: a URL discovered as a link
+    (canonicalized at frontier insert) and the same URL re-canonicalized
+    at fetch time must produce one key, or the dedup silently splits.
+    The risky part is the parse_qsl->urlencode query round-trip
+    ('+'/space/%XX re-coding), so fuzz structured URLs with hostile
+    query values as well as raw garbage."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from uniparser_ray.rulevm.urlutil import canonicalize_url as c
+
+    qchars = st.text(
+        alphabet="ab +%2B&=;/?#:@éİ", min_size=0, max_size=8)
+    structured = st.builds(
+        lambda scheme, host, port, path, q1, q2, frag:
+            f"{scheme}://{host}{port}/{path}?x={q1}&y={q2}#{frag}",
+        st.sampled_from(["http", "HTTP", "https", "hTtPs"]),
+        st.sampled_from(["h.test", "H.TEST", "xn--caf-dma.test"]),
+        st.sampled_from(["", ":80", ":443", ":8080"]),
+        st.text(alphabet="Ab/%20.", max_size=6),
+        qchars, qchars, st.text(max_size=4))
+    anything = st.text(max_size=40)
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.one_of(structured, anything))
+    def prop(u):
+        once = c(u)
+        assert c(once) == once
+
+    prop()
