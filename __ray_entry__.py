@@ -262,6 +262,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q5_local_supplier_volume": relational.q5_local_supplier_volume,
         "part_topk_price": relational.part_topk_price,
         "customers_without_orders": relational.customers_without_orders,
+        "q13_customer_distribution": relational.q13_customer_distribution,
+        "q4_returned_order_priority": relational.q4_returned_order_priority,
         "orders_topk_per_customer": relational.orders_topk_per_customer,
         "part_price_bands": relational.part_price_bands,
         # statistics (sketches + rank stats)
@@ -304,6 +306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_seq_pack": documents.doc_seq_pack,
         "doc_bpe_pairs": documents.doc_bpe_pairs,
         "doc_dup_ngrams": documents.doc_dup_ngrams,
+        "doc_dup_spans": documents.doc_dup_spans,
         "doc_para_dedup": documents.doc_para_dedup,
         "doc_unigram_stats": documents.doc_unigram_stats,
         "doc_perplexity": documents.doc_perplexity,
@@ -1975,6 +1978,22 @@ def oracle_sql(sf_tag: str = None) -> dict[str, str]:
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_totalprice > 400000.0)
         """,
+        "q13_customer_distribution": """
+            SELECT c_count, COUNT(*) AS custdist FROM (
+              SELECT c.c_custkey, COUNT(o.o_custkey) AS c_count
+              FROM customer c
+              LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+              GROUP BY c.c_custkey)
+            GROUP BY c_count
+        """,
+        "q4_returned_order_priority": """
+            SELECT o_orderpriority, COUNT(*) AS n_orders
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_returnflag = 'R')
+            GROUP BY o_orderpriority
+        """,
         "doc_sample_hash": """
             SELECT doc_id, lang, n_chars FROM documents
             WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
@@ -2203,6 +2222,31 @@ def oracle_sql(sf_tag: str = None) -> dict[str, str]:
                         ELSE (10000 * p.nd) // p.nw END
                      AS BIGINT) AS dup_bp
             FROM documents d LEFT JOIN per p USING (doc_id)
+        """,
+        "doc_dup_spans": f"""
+            WITH {_TOK_CTES},
+            rollp AS (
+              SELECT doc_id, i - 1 AS pos,
+                     {_horner_sql([f"h[i+{j}]" for j in range(8)])} AS wh
+              FROM ids, unnest(generate_series(1, n - 7)) AS u(i)
+              WHERE n >= 8),
+            tot AS (SELECT wh FROM rollp GROUP BY wh HAVING COUNT(*) >= 2),
+            d AS (SELECT doc_id, pos FROM rollp JOIN tot USING (wh)),
+            isl AS (
+              SELECT doc_id, pos,
+                     CASE WHEN pos - LAG(pos) OVER
+                              (PARTITION BY doc_id ORDER BY pos) <= 8
+                          THEN 0 ELSE 1 END AS brk
+              FROM d),
+            grp AS (
+              SELECT doc_id, pos,
+                     SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS UNBOUNDED PRECEDING) AS g
+              FROM isl)
+            SELECT doc_id, MIN(pos) AS start_tok,
+                   MAX(pos) + 8 AS end_tok,
+                   COUNT(*) AS n_windows
+            FROM grp GROUP BY doc_id, g
         """,
         "doc_token_stats": r"""
             SELECT doc_id,

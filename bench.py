@@ -293,6 +293,14 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
            lambda: consume(images_p.crawl_images_dedup_exact(sf_dir)))
     timed5("images_curation",
            lambda: consume(images_p.images_curation(sf_dir)))
+    # final-session additions: outer-join distribution, EXISTS
+    # semi-join, exact-substring dedup spans
+    timed5("q13_customer_distribution",
+           lambda: consume(rel_p.q13_customer_distribution(sf_dir)))
+    timed5("q4_returned_order_priority",
+           lambda: consume(rel_p.q4_returned_order_priority(sf_dir)))
+    timed5("doc_dup_spans",
+           lambda: consume(docs_p.doc_dup_spans(sf_dir)))
     return {
         "metric": "crawl+operator suite wall time",
         "value": total,

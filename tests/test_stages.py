@@ -1352,3 +1352,97 @@ def test_doc_tfidf_exact_semantics(ray_session, tmp_path):
     for c in expect.columns:
         expect[c] = expect[c].astype("int64")
     pd.testing.assert_frame_equal(got, expect)
+
+
+def test_q13_and_q4_join_semantics(ray_session, tmp_path):
+    """Edge cases for the outer-join and semi-join paths vs DuckDB:
+    zero-order customers (must survive the LEFT join with c_count=0),
+    orphan orders whose custkey has no customer row (dropped by both
+    engines), orders with MULTIPLE returned lineitems (semi counts
+    once), orders with only non-returned items, and a returned
+    lineitem with no matching order."""
+    import duckdb
+
+    from uniparser_ray.pipelines.relational import (
+        q4_returned_order_priority, q13_customer_distribution)
+
+    cust = pd.DataFrame({"c_custkey": [1, 2, 3, 4],
+                         "c_name": [f"c{i}" for i in range(4)],
+                         "c_mktsegment": ["A", "B", "A", "B"]})
+    # cust 1: 3 orders; cust 2: 1 order; cust 3/4: none; custkey 99:
+    # orphan orders (no customer row)
+    orders = pd.DataFrame({
+        "o_orderkey": [10, 11, 12, 13, 14, 15],
+        "o_custkey": [1, 1, 1, 2, 99, 99],
+        "o_orderpriority": ["1-URGENT", "2-HIGH", "2-HIGH", "3-MEDIUM",
+                            "1-URGENT", "2-HIGH"]})
+    # order 10: two R items (counts ONCE); 11: one R; 12: only N; 13:
+    # no lineitems; 14 (orphan cust): R — still counted by q4 (EXISTS
+    # is on orders, not customers); key 999: R with no order row
+    li = pd.DataFrame({
+        "l_orderkey": [10, 10, 11, 12, 14, 999],
+        "l_returnflag": ["R", "R", "R", "N", "R", "R"]})
+    cust.to_parquet(tmp_path / "customer.parquet", index=False)
+    orders.to_parquet(tmp_path / "orders.parquet", index=False)
+    li.to_parquet(tmp_path / "lineitem.parquet", index=False)
+
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/{t}.parquet')")
+
+    got13 = q13_customer_distribution(str(tmp_path)).to_pandas() \
+        .sort_values("c_count").reset_index(drop=True)
+    want13 = con.execute("""
+        SELECT c_count, COUNT(*) AS custdist FROM (
+          SELECT c.c_custkey, COUNT(o.o_custkey) AS c_count
+          FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+          GROUP BY c.c_custkey) GROUP BY c_count ORDER BY c_count
+    """).df().astype("int64")
+    pd.testing.assert_frame_equal(got13, want13)
+    # the zero-order customers are present: two of them
+    assert int(got13.loc[got13["c_count"] == 0, "custdist"].iloc[0]) == 2
+
+    got4 = q4_returned_order_priority(str(tmp_path)).to_pandas() \
+        .sort_values("o_orderpriority").reset_index(drop=True)
+    want4 = con.execute("""
+        SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_returnflag = 'R')
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """).df()
+    want4["n_orders"] = want4["n_orders"].astype("int64")
+    pd.testing.assert_frame_equal(got4, want4)
+    # order 10's duplicate R items count once: 1-URGENT = {10, 14} = 2
+    assert int(got4.loc[got4["o_orderpriority"] == "1-URGENT",
+                        "n_orders"].iloc[0]) == 2
+
+
+def test_doc_dup_spans_semantics(ray_session, tmp_path):
+    """Hand-computed span algebra: cross-doc duplicated windows merge
+    when overlapping/adjacent (gap <= width), self-repeats inside one
+    doc with a gap > width stay two spans, docs shorter than the
+    window width emit nothing even when fully duplicated."""
+    from uniparser_ray.pipelines.documents import doc_dup_spans
+
+    t = [f"t{i}" for i in range(10)]       # shared 10-token prefix run
+    x = [f"x{i}" for i in range(8)]        # self-repeated 8-gram
+    fill = [f"f{i}" for i in range(9)]     # unique separators
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [" ".join(t),              # windows at pos 0,1,2
+                 " ".join(t[:9]),          # shares pos 0,1 with doc 1
+                 " ".join(x + fill + x),   # dup 8-gram at pos 0 and 17
+                 "s1 s2 s3 s4 s5",         # 5 tokens, duplicated ...
+                 "s1 s2 s3 s4 s5"]})       # ... but below width: no row
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    got = doc_dup_spans(str(tmp_path)).to_pandas() \
+        .sort_values(["doc_id", "start_tok"]).reset_index(drop=True)
+    want = pd.DataFrame({
+        "doc_id":    [1, 2, 3, 3],
+        "start_tok": [0, 0, 0, 17],
+        "end_tok":   [9, 9, 8, 25],
+        "n_windows": [2, 2, 1, 1]}).astype("int64")
+    pd.testing.assert_frame_equal(got, want)

@@ -1525,3 +1525,74 @@ def doc_tfidf_exact(sf_dir: str, k: int = 6):
 
     return hash_bucket_combine(pruned, ["doc_id"], final_topk,
                                num_buckets=64)
+
+
+def doc_dup_spans(sf_dir: str, width: int = 8):
+    """Maximal duplicated token SPANS — the actual cut list of exact
+    substring dedup (Lee et al., arXiv:2107.06499 — public recipe):
+    a width-``width`` token window is duplicated when its rolling hash
+    occurs >= 2 times corpus-wide (same rule as :func:`doc_dup_ngrams`,
+    which reports only per-doc fractions); overlapping-or-adjacent
+    duplicated windows in a document merge into one [start_tok,
+    end_tok) span.  Docs shorter than ``width`` have no full-width
+    window and emit nothing (their whole-text duplicates are the exact
+    -dedup family's job).
+
+    Scale shape: stage 1 emits (doc_id, pos, wh) for full-width
+    windows; stage 2 co-locates by window hash and keeps only hashes
+    with a corpus-wide count >= 2 — the second exchange carries
+    DUPLICATED windows only (typically a small fraction); stage 3
+    co-locates those by doc_id and merges islands with one vectorized
+    sorted pass (break when the position gap exceeds ``width``).  Both
+    exchanges are token-scale at worst — the same asymptotics as the
+    suffix-array sort the reference recipe uses, expressed as two
+    hash shuffles."""
+    from ..stages.combine import hash_bucket_combine
+    from ..stages.tokenhash import batch_token_ids, to_int64, window_hashes
+
+    ds = _read(sf_dir, ["doc_id", "text"])
+
+    def rows(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        doc_ids = t["doc_id"].to_numpy()
+        flat, offs = batch_token_ids(texts)
+        wh, counts = window_hashes(flat, offs, width)
+        lens = np.diff(offs)
+        starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+        pos = np.arange(len(wh), dtype=np.int64) \
+            - np.repeat(starts, counts)
+        keep = np.repeat(lens >= width, counts)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(doc_ids, counts)[keep],
+                               type=pa.int64()),
+            "pos": pa.array(pos[keep], type=pa.int64()),
+            "wh": pa.array(to_int64(wh)[keep], type=pa.int64())})
+
+    def mark(g: pd.DataFrame) -> pd.DataFrame:
+        # all rows of a hash are in this bucket: in-bucket size IS the
+        # corpus-wide occurrence count (incl. same-doc repeats)
+        tot = g.groupby("wh")["wh"].transform("size")
+        return g.loc[tot >= 2, ["doc_id", "pos"]]
+
+    dups = hash_bucket_combine(
+        ds.map_batches(rows, batch_format="pyarrow"), ["wh"], mark)
+
+    def spans(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "start_tok": pd.Series([], dtype="int64"),
+                                 "end_tok": pd.Series([], dtype="int64"),
+                                 "n_windows": pd.Series([], dtype="int64")})
+        g = g.sort_values(["doc_id", "pos"])
+        brk = g["doc_id"].ne(g["doc_id"].shift()) \
+            | (g["pos"] - g["pos"].shift() > width)
+        grp = brk.cumsum()
+        out = g.groupby(grp, sort=False).agg(
+            doc_id=("doc_id", "first"),
+            start_tok=("pos", "min"),
+            end_tok=("pos", "max"),
+            n_windows=("pos", "size")).reset_index(drop=True)
+        out["end_tok"] = out["end_tok"] + width
+        return out.astype("int64")
+
+    return hash_bucket_combine(dups, ["doc_id"], spans)

@@ -1062,3 +1062,104 @@ def events_window_anomaly(sf_dir: str, sigmas: int = 2):
             "is_anomaly": anom.astype("int64")})
 
     return cells.map_batches(flag, batch_format="pandas")
+
+
+def q13_customer_distribution(sf_dir: str):
+    """Orders-per-customer distribution INCLUDING zero-order customers
+    (TPC-H Q13 shape) — the distributed LEFT OUTER join.
+
+    Scale shape: orders fold to one (custkey, n_orders) row per
+    ordering customer BEFORE any join (the exchange is bounded by
+    customer count, never order count); the customer side reads ONE
+    column (the key).  The outer join is the bucketed shuffle join with
+    ``how='left'`` — never-ordered customers survive with a null count
+    that becomes c_count=0 — and the final histogram is a tiny
+    low-cardinality fold (keys = max orders per customer)."""
+    from ..stages.combine import hash_bucket_join
+
+    counts = partial_groupby(_read(sf_dir, "orders", ["o_custkey"]),
+                             ["o_custkey"],
+                             {"n_orders": ("o_custkey", "count")})
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    # both sides are bounded by CUSTOMER count (orders pre-folded), so
+    # the adaptive small-input fast path applies — same limit rationale
+    # as orders_incremental_agg's per-customer partials
+    joined = hash_bucket_join(cust, counts, "c_custkey", "o_custkey",
+                              how="left",
+                              left_cols=["c_custkey"],
+                              right_cols=["o_custkey", "n_orders"],
+                              driver_limit_rows=200_000)
+
+    def c_count(df: pd.DataFrame) -> pd.DataFrame:
+        # unmatched left rows carry a null n_orders (int64-with-nulls
+        # block -> pandas float64/NaN): that null IS the zero-order case
+        return pd.DataFrame(
+            {"c_count": df["n_orders"].fillna(0).astype("int64")})
+
+    hist = partial_groupby(joined.map_batches(c_count,
+                                              batch_format="pandas"),
+                           ["c_count"], {"custdist": ("c_count", "count")},
+                           driver_limit_rows=_LOWCARD_COMBINE_LIMIT)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["c_count", "custdist"]].astype("int64")
+
+    return hist.map_batches(finish, batch_format="pandas")
+
+
+def q4_returned_order_priority(sf_dir: str):
+    """Order-priority census of orders with >=1 RETURNED line item
+    (TPC-H Q4 shape: EXISTS as a distributed SEMI-join).
+
+    Scale shape: the probe side prunes at the scan (returnflag filter
+    pushes into the parquet read; only the key column survives the
+    batch) and pre-shrinks to per-batch distinct orderkeys, so the
+    exchange moves qualifying keys once, never lineitem rows.  Both
+    sides co-locate by key hash; each bucket keeps order rows with one
+    vectorized ``isin`` (semi = at-least-one, so probe duplicates
+    across batches are harmless) and folds its per-priority counts
+    in-bucket — only (priority, partial_count) rows leave the
+    exchange before the final low-cardinality sum."""
+    import pyarrow.dataset as pads
+
+    from ..stages.combine import hash_bucket_combine
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    probe = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"],
+                  filter=pads.field("l_returnflag") == "R") \
+        .map_batches(lambda df: pd.DataFrame(
+            {"o_orderkey": df["l_orderkey"].unique()}),
+            batch_format="pandas")
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_probe"] = np.int8(0)
+        return df
+
+    def tag_probe(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"o_orderkey": df["o_orderkey"]})
+        out["o_orderpriority"] = pd.Series([None] * len(out), dtype=object)
+        out["_probe"] = np.int8(1)
+        return out[["o_orderkey", "o_orderpriority", "_probe"]]
+
+    u = orders.map_batches(tag_orders, batch_format="pandas").union(
+        probe.map_batches(tag_probe, batch_format="pandas"))
+
+    def semi_count(g: pd.DataFrame) -> pd.DataFrame:
+        keys = g.loc[g["_probe"] == 1, "o_orderkey"]
+        keep = g[(g["_probe"] == 0) & g["o_orderkey"].isin(keys)]
+        out = keep.groupby("o_orderpriority").size() \
+            .reset_index(name="n_orders")
+        out["n_orders"] = out["n_orders"].astype("int64")
+        return out
+
+    partials = hash_bucket_combine(u, ["o_orderkey"], semi_count)
+    out = partial_groupby(partials, ["o_orderpriority"],
+                          {"n_orders": ("n_orders", "sum")},
+                          driver_limit_rows=_LOWCARD_COMBINE_LIMIT)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_orders"] = df["n_orders"].astype("int64")
+        return df[["o_orderpriority", "n_orders"]]
+
+    return out.map_batches(finish, batch_format="pandas")
