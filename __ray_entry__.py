@@ -307,6 +307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bpe_pairs": documents.doc_bpe_pairs,
         "doc_dup_ngrams": documents.doc_dup_ngrams,
         "doc_dup_spans": documents.doc_dup_spans,
+        "doc_dup_apply": documents.doc_dup_apply,
         "doc_para_dedup": documents.doc_para_dedup,
         "doc_unigram_stats": documents.doc_unigram_stats,
         "doc_perplexity": documents.doc_perplexity,
@@ -2247,6 +2248,39 @@ def oracle_sql(sf_tag: str = None) -> dict[str, str]:
                    MAX(pos) + 8 AS end_tok,
                    COUNT(*) AS n_windows
             FROM grp GROUP BY doc_id, g
+        """,
+        # the surgery pass: identical dup-window CTEs, then coverage =
+        # union of [pos, pos+8) per doc, kept tokens re-joined in
+        # position order and md5'd — an independent reconstruction of
+        # the pipeline's flat-token-space diff-array cut
+        "doc_dup_apply": f"""
+            WITH {_TOK_CTES},
+            rollp AS (
+              SELECT doc_id, i - 1 AS pos,
+                     {_horner_sql([f"h[i+{j}]" for j in range(8)])} AS wh
+              FROM ids, unnest(generate_series(1, n - 7)) AS u(i)
+              WHERE n >= 8),
+            tot AS (SELECT wh FROM rollp GROUP BY wh HAVING COUNT(*) >= 2),
+            d AS (SELECT doc_id, pos FROM rollp JOIN tot USING (wh)),
+            cov AS (SELECT DISTINCT doc_id, pos + u.j AS k
+                    FROM d, unnest(generate_series(0, 7)) AS u(j)),
+            posd AS (
+              SELECT doc_id, u.j AS j, t[u.j] AS tok
+              FROM toks, unnest(generate_series(1, len(t))) AS u(j)),
+            kept AS (
+              SELECT p.doc_id, p.j, p.tok
+              FROM posd p LEFT JOIN cov c
+                ON c.doc_id = p.doc_id AND c.k = p.j - 1
+              WHERE c.k IS NULL),
+            agg AS (
+              SELECT doc_id, COUNT(*) AS n_kept,
+                     md5(array_to_string(list(tok ORDER BY j), ' '))
+                         AS clean_md5
+              FROM kept GROUP BY doc_id)
+            SELECT b.doc_id, len(b.t) AS n_tokens,
+                   len(b.t) - COALESCE(a.n_kept, 0) AS n_removed,
+                   COALESCE(a.clean_md5, md5('')) AS clean_md5
+            FROM toks b LEFT JOIN agg a USING (doc_id)
         """,
         "doc_token_stats": r"""
             SELECT doc_id,

@@ -1446,3 +1446,40 @@ def test_doc_dup_spans_semantics(ray_session, tmp_path):
         "end_tok":   [9, 9, 8, 25],
         "n_windows": [2, 2, 1, 1]}).astype("int64")
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_doc_dup_apply_semantics(ray_session, tmp_path):
+    """Hand-computed surgery: overlapping dup windows cut as one
+    merged range, a fully-duplicated doc cuts to the empty string,
+    below-width duplicates and empty docs pass through untouched —
+    clean_md5 recomputed independently here with hashlib."""
+    import hashlib
+
+    from uniparser_ray.pipelines.documents import doc_dup_apply
+
+    def h(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    t = [f"t{i}" for i in range(10)]       # shared 10-token prefix run
+    x = [f"x{i}" for i in range(8)]        # self-repeated 8-gram
+    fill = [f"f{i}" for i in range(9)]     # unique separators
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "text": [" ".join(t),              # dup windows pos 0,1 -> cut [0,9)
+                 " ".join(t[:9]),          # whole doc covered -> ''
+                 " ".join(x + fill + x),   # cut [0,8) + [17,25)
+                 "s1 s2 s3 s4 s5",         # below width: untouched ...
+                 "s1 s2 s3 s4 s5",         # ... though duplicated
+                 ""]})                     # empty doc
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    got = doc_dup_apply(str(tmp_path)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    want = pd.DataFrame({
+        "doc_id":    pd.Series([1, 2, 3, 4, 5, 6], dtype="int64"),
+        "n_tokens":  pd.Series([10, 9, 25, 5, 5, 0], dtype="int64"),
+        "n_removed": pd.Series([9, 9, 16, 0, 0, 0], dtype="int64"),
+        "clean_md5": ["t9", "", " ".join(fill),
+                      "s1 s2 s3 s4 s5", "s1 s2 s3 s4 s5", ""]})
+    want["clean_md5"] = want["clean_md5"].map(h)
+    pd.testing.assert_frame_equal(got, want)

@@ -1596,3 +1596,122 @@ def doc_dup_spans(sf_dir: str, width: int = 8):
         return out.astype("int64")
 
     return hash_bucket_combine(dups, ["doc_id"], spans)
+
+
+def doc_dup_apply(sf_dir: str, width: int = 8):
+    """APPLY the exact-substring-dedup cut list — the surgery pass of
+    Lee et al. (arXiv:2107.06499, public recipe) that
+    :func:`doc_dup_spans` only reports: every token covered by a
+    corpus-duplicated width-``width`` window is cut from its document,
+    and each doc emits (n_tokens, n_removed, clean_md5) where
+    ``clean_md5`` hashes the space-joined SURVIVING tokens (md5('')
+    when everything was cut).  Docs with no duplicated windows pass
+    through untouched (n_removed = 0) — the join-back is outer by
+    construction.
+
+    Scale shape: pass 1 is the same token-scale window-hash exchange
+    as doc_dup_spans (only corpus-count>=2 windows survive it); the
+    surgery co-locates each doc's TEXT with its cut positions through
+    ONE doc_id exchange of the union (text rows + tiny cut rows) —
+    the single full-text shuffle any rewrite pass needs (the reference
+    recipe's output pass pays the same).  Coverage is computed for a
+    whole bucket at once with a flat-token-space +1/-1 diff array
+    (cumsum > 0 == covered; a window never crosses its doc boundary,
+    so per-doc coverage needs no per-doc loop), and only the final
+    per-doc join+md5 touches Python — one call per DOC, not per
+    token."""
+    import hashlib
+
+    from ..stages.combine import hash_bucket_combine
+    from ..stages.tokenhash import batch_token_ids, to_int64, window_hashes
+
+    ds = _read(sf_dir, ["doc_id", "text"])
+
+    def rows(t: pa.Table) -> pa.Table:
+        # identical window extraction to doc_dup_spans (full-width
+        # windows only; short docs have nothing to cut)
+        texts = t["text"].to_pylist()
+        doc_ids = t["doc_id"].to_numpy()
+        flat, offs = batch_token_ids(texts)
+        wh, counts = window_hashes(flat, offs, width)
+        lens = np.diff(offs)
+        starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+        pos = np.arange(len(wh), dtype=np.int64) \
+            - np.repeat(starts, counts)
+        keep = np.repeat(lens >= width, counts)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(doc_ids, counts)[keep],
+                               type=pa.int64()),
+            "pos": pa.array(pos[keep], type=pa.int64()),
+            "wh": pa.array(to_int64(wh)[keep], type=pa.int64())})
+
+    def mark(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("wh")["wh"].transform("size")
+        return g.loc[tot >= 2, ["doc_id", "pos"]]
+
+    dups = hash_bucket_combine(
+        ds.map_batches(rows, batch_format="pyarrow"), ["wh"], mark)
+
+    # one schema for the doc_id exchange: text rows ride pos = -1,
+    # cut rows ride text = '' (tiny)
+    def as_text_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "pos": pa.array(np.full(n, -1, np.int64), pa.int64()),
+            "text": t["text"]})
+
+    def as_cut_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "pos": t["pos"].cast(pa.int64()),
+            "text": pa.array([""] * t.num_rows, pa.string())})
+
+    unioned = ds.map_batches(as_text_rows, batch_format="pyarrow").union(
+        dups.map_batches(as_cut_rows, batch_format="pyarrow"))
+
+    def surgery(g: pd.DataFrame) -> pd.DataFrame:
+        docs = g[g["pos"] < 0]
+        if not len(docs):
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "n_tokens": pd.Series([], dtype="int64"),
+                "n_removed": pd.Series([], dtype="int64"),
+                "clean_md5": pd.Series([], dtype="object")})
+        docs = docs.sort_values("doc_id")
+        toks = [t.split() for t in docs["text"]]
+        lens = np.fromiter((len(t) for t in toks), np.int64,
+                           count=len(toks))
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        total = int(offs[-1])
+        doc_ids = docs["doc_id"].to_numpy()
+
+        cuts = g[g["pos"] >= 0]
+        cover = np.zeros(total, dtype=bool)
+        if len(cuts) and total:
+            d_idx = np.searchsorted(doc_ids, cuts["doc_id"].to_numpy())
+            flat_pos = offs[d_idx] + cuts["pos"].to_numpy()
+            # +1 at span start, -1 past span end; windows are full
+            # width within their doc, so coverage returns to 0 at
+            # every doc boundary and one cumsum serves the whole
+            # bucket
+            delta = np.zeros(total + 1, np.int64)
+            np.add.at(delta, flat_pos, 1)
+            np.add.at(delta, flat_pos + width, -1)
+            cover = np.cumsum(delta)[:total] > 0
+        cum = np.concatenate([[0], np.cumsum(cover)])
+        removed = cum[offs[1:]] - cum[offs[:-1]]
+
+        out_md5 = []
+        for d, ts in enumerate(toks):
+            m = cover[offs[d]:offs[d + 1]]
+            kept = (" ".join(w for w, c in zip(ts, m) if not c)
+                    if removed[d] else " ".join(ts))
+            out_md5.append(hashlib.md5(kept.encode("utf-8")).hexdigest())
+        return pd.DataFrame({
+            "doc_id": doc_ids.astype("int64"),
+            "n_tokens": lens.astype("int64"),
+            "n_removed": removed.astype("int64"),
+            "clean_md5": out_md5})
+
+    return hash_bucket_combine(unioned, ["doc_id"], surgery)
