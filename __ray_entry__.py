@@ -326,6 +326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_signatures": documents.doc_signatures,
         "doc_repetition": documents.doc_repetition,
         "doc_source_mix": documents.doc_source_mix,
+        "doc_mixture_apply": documents.doc_mixture_apply,
         "doc_decontaminate": documents.doc_decontaminate,
         "doc_pii_redact": documents.doc_pii_redact,
         # dedup family
@@ -2361,6 +2362,23 @@ def oracle_sql(sf_tag: str = None) -> dict[str, str]:
                    (10000 * (SELECT MIN(n_tokens) FROM per))
                        // GREATEST(n_tokens, 1) AS keep_bp
             FROM per
+        """,
+        # the sampling pass: rates re-derived by the same window
+        # arithmetic, then the md5-31bit residue gate applied per doc
+        "doc_mixture_apply": f"""
+            WITH per AS (
+              SELECT source,
+                     CAST(SUM(len({_SPLIT_SQL})) AS BIGINT) AS n_tokens
+              FROM documents GROUP BY 1),
+            rates AS (
+              SELECT source,
+                     (10000 * (SELECT MIN(n_tokens) FROM per))
+                         // GREATEST(n_tokens, 1) AS keep_bp
+              FROM per)
+            SELECT d.doc_id, d.source, d.n_chars, r.keep_bp
+            FROM documents d JOIN rates r USING (source)
+            WHERE (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+                     ::BIGINT % 2147483647) % 10000 < r.keep_bp
         """,
         "doc_decontaminate": _decontaminate_sql(),
         "doc_pii_redact": _pii_redact_sql(),

@@ -311,6 +311,8 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
            lambda: consume(docs_p.doc_dup_spans(sf_dir)))
     timed5("doc_dup_apply",
            lambda: consume(docs_p.doc_dup_apply(sf_dir)))
+    timed5("doc_mixture_apply",
+           lambda: consume(docs_p.doc_mixture_apply(sf_dir)))
     return {
         "metric": "crawl+operator suite wall time",
         "value": total,
@@ -530,12 +532,27 @@ def run_frontier(num_cpus: int, num_hosts: int = 8192,
     seeds = web.all_page_urls()
     out_dir = f"/tmp/uniparser_ray_bench/frontier_{num_cpus}"
     shutil.rmtree(out_dir, ignore_errors=True)
-    cfg = CrawlConfig(web_config=web_cfg, out_dir=out_dir, seeds=seeds,
-                      max_rounds=1, per_host_budget=4,
-                      max_pending_per_host=8, fetch_batch_size=512,
-                      seen_shard_bits=5, seen_mode="bloom", skew_salts=8)
-    totals = run_crawl(cfg, web.rule_pack())
-    m = totals["per_round"][0]
+
+    # The north rule's metric is SUSTAINED frontier-ops/sec: a long
+    # crawl pays Ray's worker-pool ramp (process spawn + package
+    # imports, amplified by workers blocked in the seen stage's
+    # ray.get triggering replacement spawns) once across thousands of
+    # rounds, so the cold first round under-reports the engine.  Run
+    # the identical crawl twice in this session — fresh CrawlRun and
+    # out_dir each time (actor ramp is excluded by the readiness
+    # barrier inside CrawlRun.run()) — and report the steady second
+    # run, keeping the cold round for reference.
+    runs = []
+    for leg in ("cold", "steady"):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        cfg = CrawlConfig(web_config=web_cfg, out_dir=out_dir, seeds=seeds,
+                          max_rounds=1, per_host_budget=4,
+                          max_pending_per_host=8, fetch_batch_size=512,
+                          seen_shard_bits=5, seen_mode="bloom",
+                          skew_salts=8)
+        totals = run_crawl(cfg, web.rule_pack())
+        runs.append(totals["per_round"][0])
+    cold, m = runs
     sec = m["sec"]   # the round itself; driver-side seed write excluded
     return {
         "num_cpus": num_cpus,
@@ -546,6 +563,9 @@ def run_frontier(num_cpus: int, num_hosts: int = 8192,
         "sec": sec,
         "frontier_ops_per_sec": round(
             (m["candidates"] + m["next_frontier"]) / sec, 1),
+        "cold_round_sec": cold["sec"],
+        "cold_frontier_ops_per_sec": round(
+            (cold["candidates"] + cold["next_frontier"]) / cold["sec"], 1),
         "phases": m["phases"],
     }
 

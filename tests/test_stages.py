@@ -1483,3 +1483,42 @@ def test_doc_dup_apply_semantics(ray_session, tmp_path):
                       "s1 s2 s3 s4 s5", "s1 s2 s3 s4 s5", ""]})
     want["clean_md5"] = want["clean_md5"].map(h)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_doc_mixture_apply_semantics(ray_session, tmp_path):
+    """The sampler must keep exactly the docs whose md5-31bit residue
+    clears their source's keep_bp, with keep_bp == the doc_source_mix
+    rate — recomputed here independently with hashlib + a pandas
+    brute force over a deliberately unbalanced two-source corpus."""
+    import hashlib
+
+    from uniparser_ray.pipelines.documents import doc_mixture_apply
+
+    # source 'big' has 4x the token mass of 'small' -> keep_bp 2500
+    docs = pd.DataFrame({
+        "doc_id": np.arange(40, dtype="int64"),
+        "text": (["t1 t2 t3 t4 t5 t6 t7 t8"] * 20      # 8 tokens each
+                 + ["t1 t2"] * 20),                     # 2 tokens each
+        "lang": ["en"] * 40,
+        "source": ["big"] * 20 + ["small"] * 20,
+    })
+    docs["n_chars"] = docs["text"].str.len().astype("int64")
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    got = doc_mixture_apply(str(tmp_path)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    def h31(v):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16) \
+            % 2147483647
+
+    bp = {"big": (10000 * 40) // 160, "small": 10000}
+    want = docs.assign(
+        keep_bp=docs["source"].map(bp).astype("int64"))
+    want = want[[h31(d) % 10000 < b for d, b in
+                 zip(want["doc_id"], want["keep_bp"])]]
+    want = want[["doc_id", "source", "n_chars", "keep_bp"]] \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert bp["big"] == 2500                       # the unbalanced case
+    assert 0 < len(want) < 40                      # genuinely filters
+    pd.testing.assert_frame_equal(got, want)

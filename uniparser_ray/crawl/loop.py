@@ -384,6 +384,17 @@ class CrawlRun:
         else:
             self._seed_round0()
 
+        # actor-readiness barrier: the run's ~dozens of state-shard
+        # actors each ramp a fresh worker process (~3.5s total at 8
+        # cpus); a long-lived crawl pays that once, so force readiness
+        # HERE rather than letting round 1's first seen batch absorb it
+        # (per-round metrics then measure steady-state frontier cost)
+        ray.get([s.stats.remote() for s in
+                 (list(self.seen.shards) + list(self.img_seen.shards)
+                  + list(self.robots_shards))]
+                + [s.budget.remote("__warmup__")
+                   for s in self.politeness_shards])
+
         seen_stage = SeenRobotsStage(
             self.seen.shards, self.cfg.seen_shard_bits,
             self.robots_shards, len(self.robots_shards))
@@ -438,8 +449,11 @@ class CrawlRun:
             else:
                 n_blocks = max(1, min(4 * self.cfg.fetch_concurrency,
                                       (n_candidates + 63) // 64))
-                frontier = rd.read_parquet(str(fdir)) \
-                    .repartition(n_blocks)
+                # fan out at the READ (block splitting is free) instead
+                # of a separate repartition all-to-all — measured 15%
+                # off the warm grant phase at 255k candidates
+                frontier = rd.read_parquet(str(fdir),
+                                           override_num_blocks=n_blocks)
                 admitted = (
                     frontier
                     .map_batches(canonicalize_batch,
@@ -462,8 +476,17 @@ class CrawlRun:
                          % np.uint64(salts)).astype(np.int32)
                     return t.append_column("_salt", pa.array(s, pa.int32()))
 
+                # materialize the admitted frontier (tiny URL rows,
+                # object-store resident and spillable) before the grant
+                # shuffles: letting the streaming executor overlap the
+                # admit map chain with the sort all-to-all DOUBLES the
+                # grant phase (measured 7.0s -> 3.3s warm at 255k
+                # candidates, 8 cpus — the sort's map side contends
+                # with the RPC-blocking seen stage for workers)
+                salted = admitted.map_batches(
+                    add_salt, batch_format="pyarrow").materialize()
                 preclipped = hash_bucket_combine(
-                    admitted.map_batches(add_salt, batch_format="pyarrow"),
+                    salted,
                     ["host", "_salt"],
                     _make_preclipper(self.cfg.host_budgets,
                                      self.cfg.per_host_budget,
@@ -475,7 +498,8 @@ class CrawlRun:
                     num_buckets=64)
             else:
                 decided = hash_bucket_combine(
-                    admitted, ["host"], granter, num_buckets=64)
+                    admitted.materialize(), ["host"], granter,
+                    num_buckets=64)
             if not small_round:
                 # the grant ran in pandas batch_format: its Arrow
                 # blocks carry the unhashable 'pandas' schema-metadata

@@ -616,6 +616,41 @@ def doc_source_mix(sf_dir: str):
         preserve_index=False)
 
 
+def doc_mixture_apply(sf_dir: str):
+    """APPLY the source-balancing rates :func:`doc_source_mix` only
+    reports — the sampling pass of a Pile-style data-mix recompute
+    (public recipe): each source's keep rate (basis points of the
+    minimum source's token mass over its own) gates a deterministic
+    residue test on the md5-31bit doc_id hash, so the kept set
+    equalizes the EXPECTED token contribution of every source and the
+    decision is a pure function of the row — reproducible across
+    cluster sizes, retries and resumes, no RNG state or sampling
+    shuffle.  Emits every kept (doc_id, source, n_chars) with the
+    applied ``keep_bp`` riding along as the row's reweighting factor.
+
+    Scale shape: pass 1 is doc_source_mix's O(sources x batches)
+    partial-sum aggregate (the only pass that touches text); its
+    S-row rate table broadcasts as a closure constant and pass 2 is a
+    shuffle-free projection-pruned filter that never reads text —
+    at 100 TB the sampler costs one token-count pass plus a
+    metadata-column scan."""
+    from ..stages.sketches import hash31
+
+    rates = doc_source_mix(sf_dir).to_pandas()   # S rows (tiny)
+    bp = {s: int(b) for s, b in zip(rates["source"], rates["keep_bp"])}
+
+    ds = _read(sf_dir, ["doc_id", "source", "n_chars"])
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        h = hash31(df["doc_id"].to_numpy()).astype(np.int64)
+        k = df["source"].map(bp).fillna(0).to_numpy(np.int64)
+        out = df[(h % 10000) < k].copy()
+        out["keep_bp"] = k[(h % 10000) < k]
+        return out
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
 def doc_seq_pack(sf_dir: str, seq_len: int = 512, num_ranges: int = 32):
     """Pretraining sequence packing: documents concatenated in doc_id
     order (separator-free for the oracle's sake) and sliced into fixed

@@ -80,14 +80,16 @@ def canonicalize_batch(batch: pa.Table) -> pa.Table:
     return out.replace_schema_metadata(None)
 
 
-def _sharded_add_batch(shards: List, shard_bits: int,
-                       hashes: np.ndarray) -> np.ndarray:
-    """One test-and-set RPC per shard per batch, shard runs found by a
-    vectorized argsort over shard ids (no per-row Python grouping)."""
-    import ray
-    out = np.zeros(hashes.size, dtype=bool)
+def _sharded_add_futures(shards: List, shard_bits: int,
+                         hashes: np.ndarray):
+    """Launch one test-and-set RPC per shard for this batch (shard
+    runs found by a vectorized argsort — no per-row Python grouping)
+    WITHOUT blocking: returns (slices, futures) so the caller can
+    coalesce the wait with other RPC waves (every blocked ``ray.get``
+    inside a map task invites the raylet to spawn a replacement
+    worker — fewer, wider waits keep the pool stable)."""
     if not hashes.size:
-        return out
+        return [], []
     sids = (hashes >> np.uint64(64 - shard_bits)).astype(np.int64)
     order = np.argsort(sids, kind="stable")
     ssorted = sids[order]
@@ -97,6 +99,15 @@ def _sharded_add_batch(shards: List, shard_bits: int,
     slices = [order[s:e] for s, e in zip(starts, ends)]
     futures = [shards[int(ssorted[s])].add_batch.remote(
         hashes[idxs].tolist()) for s, idxs in zip(starts, slices)]
+    return slices, futures
+
+
+def _sharded_add_batch(shards: List, shard_bits: int,
+                       hashes: np.ndarray) -> np.ndarray:
+    """One test-and-set RPC per shard per batch (blocking form)."""
+    import ray
+    out = np.zeros(hashes.size, dtype=bool)
+    slices, futures = _sharded_add_futures(shards, shard_bits, hashes)
     for idxs, res in zip(slices, ray.get(futures)):
         out[idxs] = res
     return out
@@ -118,16 +129,11 @@ class SeenRobotsStage:
     def _seen_mask(self, hashes: np.ndarray) -> np.ndarray:
         return _sharded_add_batch(self.seen_shards, self.shard_bits, hashes)
 
-    def _robots_mask(self, hosts: List[str], urls: List[str]) \
-            -> tuple[np.ndarray, np.ndarray]:
-        """(allow mask, per-row robots Crawl-delay) — both served by
-        the SAME one-RPC-per-shard-per-batch round trip."""
-        import ray
+    def _robots_futures(self, hosts: List[str], urls: List[str]):
+        """Launch (allow mask, Crawl-delay) RPCs — one per shard per
+        batch — without blocking: returns (slices, futures)."""
         if not self.robots_shards or not urls:
-            return (np.ones(len(urls), dtype=bool),
-                    np.zeros(len(urls), dtype=np.float32))
-        out = np.ones(len(urls), dtype=bool)
-        delays = np.zeros(len(urls), dtype=np.float32)
+            return [], []
         # group by SHARD (one RPC per shard per batch) — the shard id
         # hash runs once per UNIQUE host, runs found by argsort
         paths = ["/" + u.split("/", 3)[3] if u.count("/") >= 3 else "/"
@@ -147,12 +153,23 @@ class SeenRobotsStage:
             self.robots_shards[int(ssorted[s])].allowed_delays_many.remote(
                 [(hosts[i], paths[i]) for i in idxs])
             for s, idxs in zip(starts, slices)]
+        return slices, futures
+
+    def _robots_mask(self, hosts: List[str], urls: List[str]) \
+            -> tuple[np.ndarray, np.ndarray]:
+        """(allow mask, per-row robots Crawl-delay) — both served by
+        the SAME one-RPC-per-shard-per-batch round trip."""
+        import ray
+        out = np.ones(len(urls), dtype=bool)
+        delays = np.zeros(len(urls), dtype=np.float32)
+        slices, futures = self._robots_futures(hosts, urls)
         for idxs, (mask, ds) in zip(slices, ray.get(futures)):
             out[idxs] = mask
             delays[idxs] = ds
         return out, delays
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
         if batch.num_rows == 0:
             # keep the output schema identical to the non-empty path
             return batch.append_column(
@@ -164,12 +181,30 @@ class SeenRobotsStage:
             bypass = np.zeros(len(hashes), dtype=bool)
         fresh = np.ones(len(hashes), dtype=bool)
         todo = ~bypass
-        if todo.any():
-            fresh[todo] = self._seen_mask(hashes[todo])
-        keep = fresh | bypass
         urls = batch["url"].to_pylist()
         hosts = batch["host"].to_pylist()
-        allowed, delays = self._robots_mask(hosts, urls)
+        # launch the seen test-and-set AND the robots lookups, then
+        # wait ONCE: a single coalesced ray.get per batch instead of
+        # two sequential waves — halves the blocked-worker windows
+        # that make the raylet spawn replacement workers, and overlaps
+        # the two RPC families' latencies
+        s_slices, s_futs = ([], [])
+        if todo.any():
+            s_slices, s_futs = _sharded_add_futures(
+                self.seen_shards, self.shard_bits, hashes[todo])
+        r_slices, r_futs = self._robots_futures(hosts, urls)
+        results = ray.get(list(s_futs) + list(r_futs))
+        if s_futs:
+            sub = np.zeros(int(todo.sum()), dtype=bool)
+            for idxs, res in zip(s_slices, results[:len(s_futs)]):
+                sub[idxs] = res
+            fresh[todo] = sub
+        keep = fresh | bypass
+        allowed = np.ones(len(urls), dtype=bool)
+        delays = np.zeros(len(urls), dtype=np.float32)
+        for idxs, (mask, ds) in zip(r_slices, results[len(s_futs):]):
+            allowed[idxs] = mask
+            delays[idxs] = ds
         keep &= allowed
         # the host's robots Crawl-delay rides the admitted rows so the
         # politeness granter can derive per-host budgets with NO extra
