@@ -1,6 +1,7 @@
 """State-layer units: cuckoo filter, seen-shard modes, politeness."""
 
 import numpy as np
+import pyarrow as pa
 import pytest
 
 from uniparser_ray.state.cuckoo import CuckooFilter
@@ -236,5 +237,51 @@ def test_canonicalize_url_idempotent_fuzz():
     def prop(u):
         once = c(u)
         assert c(once) == once
+
+    prop()
+
+
+def test_canonicalize_batch_fastpath_fuzz():
+    """The Arrow-regex fast path in canonicalize_batch is an
+    OPTIMIZATION, never a semantic change: for any URL mix the batch
+    output (canonical url, url_hash, host) must equal the pure per-row
+    slow path.  Drive it with (a) URLs synthesized FROM the fast-path
+    regex language itself — including \\t-free weirdness like unicode
+    paths and '.' hosts — and (b) hostile non-matching URLs (uppercase
+    hosts, ports, queries, fragments, \\t\\r\\n smuggling, garbage), so
+    both the fixed-point claim and the routing are pinned."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from uniparser_ray.rulevm.request import get_host
+    from uniparser_ray.rulevm.urlutil import canonicalize_url, url_hash64
+    from uniparser_ray.stages.crawl_stages import (_CANON_FAST_RE,
+                                                   canonicalize_batch)
+
+    fast_lang = st.from_regex(_CANON_FAST_RE)
+    hostile = st.one_of(
+        st.builds(lambda h, p, q, f: f"http://{h}:{p}/x?{q}#{f}",
+                  st.sampled_from(["H.TEST", "h.test", "h_t.test"]),
+                  st.sampled_from(["80", "8080"]),
+                  st.text(alphabet="a=&+%", max_size=6),
+                  st.text(max_size=3)),
+        st.sampled_from(["http://h.test", "HTTP://h.test/", "https://h/",
+                         "http://h.test/a\tb", "http://h.test/a\nb",
+                         "http://h.test/a\rb", "ftp://h/x", "", "::::"]),
+        st.text(max_size=30))
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.one_of(fast_lang, hostile), min_size=1,
+                    max_size=8))
+    def prop(urls):
+        batch = pa.table({
+            "url": pa.array(urls, pa.large_string()),
+            "depth": pa.array([0] * len(urls), pa.int32())})
+        got = canonicalize_batch(batch)
+        canon = [canonicalize_url(u) for u in urls]
+        assert got["url"].to_pylist() == canon
+        assert got["host"].to_pylist() == [get_host(c, "") for c in canon]
+        assert [int(h) for h in got["url_hash"].to_pylist()] \
+            == [url_hash64(c) for c in canon]
 
     prop()

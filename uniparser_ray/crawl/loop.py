@@ -483,14 +483,23 @@ class CrawlRun:
                 # grant phase (measured 7.0s -> 3.3s warm at 255k
                 # candidates, 8 cpus — the sort's map side contends
                 # with the RPC-blocking seen stage for workers)
+                preclip_fn = _make_preclipper(
+                    self.cfg.host_budgets, self.cfg.per_host_budget,
+                    self.cfg.max_pending_per_host, salts)
+                # block-local combiner BEFORE the shuffle: the same
+                # per-(host,_salt) top-(budget+pending) clip applied to
+                # each block is exact (every row of a group's global
+                # top survives its block's clip) and frontier
+                # checkpoints are host-clustered, so the clip removes
+                # most of a hot host's rows before they ever move —
+                # the shuffle then carries only plausible grantees
                 salted = admitted.map_batches(
-                    add_salt, batch_format="pyarrow").materialize()
+                    add_salt, batch_format="pyarrow").map_batches(
+                    preclip_fn, batch_format="pandas").materialize()
                 preclipped = hash_bucket_combine(
                     salted,
                     ["host", "_salt"],
-                    _make_preclipper(self.cfg.host_budgets,
-                                     self.cfg.per_host_budget,
-                                     self.cfg.max_pending_per_host, salts),
+                    preclip_fn,
                     num_buckets=64)
                 decided = hash_bucket_combine(
                     preclipped, ["host"],

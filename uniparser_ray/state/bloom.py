@@ -45,6 +45,30 @@ class BloomFilter:
     def add_batch(self, hashes) -> list:
         return [self.add(int(h)) for h in hashes]
 
+    def add_batch_unique(self, hashes: np.ndarray) -> np.ndarray:
+        """Vectorized test-and-set over a batch of DISTINCT keys:
+        all probe bits are read before any is set, so a key is "new"
+        iff any of its probes was unset at batch START.  For distinct
+        keys this differs from the sequential loop only when two keys
+        in one batch collide on probe bits (false-positive-rate-level
+        odds) — and errs on the PERMISSIVE side (a key is never
+        wrongly dropped as seen).  ~50x the per-key Python loop; the
+        caller (SeenShard.add_batch) dedups first so within-batch
+        duplicate semantics stay exact."""
+        h = np.asarray(hashes, dtype=np.uint64)
+        if not h.size:
+            return np.zeros(0, dtype=bool)
+        h1 = h & np.uint64(0xFFFFFFFF)
+        h2 = (h >> np.uint64(32)) | np.uint64(1)
+        i = np.arange(self.probes, dtype=np.uint64)[:, None]
+        pos = (h1[None, :] + i * h2[None, :]) % np.uint64(self.num_bits)
+        byte = (pos >> np.uint64(3)).astype(np.int64)
+        bit = (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))
+        unset = (self.bits[byte] & bit) == 0          # (probes, n)
+        new = unset.any(axis=0)
+        np.bitwise_or.at(self.bits, byte.ravel(), bit.ravel())
+        return new
+
     @property
     def approx_bytes(self) -> int:
         return self.bits.nbytes

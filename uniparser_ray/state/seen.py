@@ -47,26 +47,45 @@ class SeenShard:
         self.divergences = 0
         self.added = 0
 
-    def add_batch(self, hashes: Sequence[int]) -> List[bool]:
-        """Test-and-set: True = newly seen (caller should fetch)."""
-        out = []
-        for h in hashes:
-            h = int(h)
-            if self.exact is not None:
-                new_exact = h not in self.exact
-                if new_exact:
-                    self.exact.add(h)
-                if self.bloom is not None:
-                    new_bloom = self.bloom.add(h)
-                    if new_bloom != new_exact:
-                        self.divergences += 1
-                new = new_exact
-            else:
-                new = self.bloom.add(h)
-            if new:
-                self.added += 1
-            out.append(new)
-        return out
+    def add_batch(self, hashes: Sequence[int]):
+        """Test-and-set: True = newly seen (caller should fetch).
+
+        Accepts a list or a numpy uint64 array (workers ship arrays —
+        zero-copy through the object store) and returns a numpy bool
+        array.  Within-batch DUPLICATES keep exact sequential
+        semantics at every mode: the batch dedups first (np.unique),
+        only the first occurrence can be new.  Pure-bloom mode rides
+        the vectorized test-and-set (BloomFilter.add_batch_unique);
+        cuckoo keeps its per-key loop (stateful eviction)."""
+        h = np.asarray(hashes, dtype=np.uint64)
+        if not h.size:
+            return np.zeros(0, dtype=bool)
+        uniq, first_idx, inv = np.unique(
+            h, return_index=True, return_inverse=True)
+        use_vec_bloom = (self.bloom is not None
+                         and isinstance(self.bloom, BloomFilter))
+        if self.exact is not None:
+            ex = self.exact
+            new_uniq = np.fromiter((int(u) not in ex for u in uniq),
+                                   dtype=bool, count=uniq.size)
+            ex.update(int(u) for u in uniq[new_uniq])
+            if self.bloom is not None:
+                if use_vec_bloom:
+                    bl = self.bloom.add_batch_unique(uniq)
+                else:
+                    bl = np.fromiter((self.bloom.add(int(u)) for u in uniq),
+                                     dtype=bool, count=uniq.size)
+                self.divergences += int((bl != new_uniq).sum())
+        elif use_vec_bloom:
+            new_uniq = self.bloom.add_batch_unique(uniq)
+        else:
+            new_uniq = np.fromiter((self.bloom.add(int(u)) for u in uniq),
+                                   dtype=bool, count=uniq.size)
+        self.added += int(new_uniq.sum())
+        # only the FIRST occurrence of a duplicated key may be new
+        first_mask = np.zeros(h.size, dtype=bool)
+        first_mask[first_idx] = True
+        return new_uniq[inv] & first_mask
 
     def contains_batch(self, hashes: Sequence[int]) -> List[bool]:
         if self.exact is not None:
@@ -108,8 +127,7 @@ class SeenFilter:
             groups[int(sid)].append(idx)
         futures = {}
         for sid, idxs in groups.items():
-            futures[sid] = self.shards[sid].add_batch.remote(
-                arr[idxs].tolist())
+            futures[sid] = self.shards[sid].add_batch.remote(arr[idxs])
         out = np.zeros(arr.size, dtype=bool)
         for sid, idxs in groups.items():
             res = ray.get(futures[sid])
