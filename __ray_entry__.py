@@ -327,6 +327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": documents.doc_repetition,
         "doc_source_mix": documents.doc_source_mix,
         "doc_mixture_apply": documents.doc_mixture_apply,
+        "doc_curriculum_rank": documents.doc_curriculum_rank,
         "doc_decontaminate": documents.doc_decontaminate,
         "doc_pii_redact": documents.doc_pii_redact,
         # dedup family
@@ -2314,6 +2315,34 @@ def oracle_sql(sf_tag: str = None) -> dict[str, str]:
                          + 0.3 * (1.0 - LEAST(ABS(mwl - 5.0), 5.0) / 5.0)
                        AS quality_score
             FROM base
+        """,
+        # same score CTE as doc_quality, then the window total order
+        # the range-partitioned pipeline must reproduce exactly
+        "doc_curriculum_rank": rf"""
+            WITH base AS (
+              SELECT doc_id,
+                     length(regexp_extract_all(text, '[A-Za-z]')) * 1.0
+                       / GREATEST(length(text), 1) AS alpha_raw,
+                     length(list_filter(regexp_extract_all(lower(text), '\w+'),
+                         w -> w IN ({_STOPWORDS_SQL}))) * 1.0
+                       / GREATEST(length(regexp_extract_all(text, '\w+')), 1)
+                       AS stop_raw,
+                     COALESCE(list_aggregate(
+                         list_transform(regexp_extract_all(text, '\w+'),
+                                        w -> length(w) * 1.0), 'avg'), 0.0)
+                       AS mwl
+              FROM documents),
+            scored AS (
+              SELECT doc_id,
+                     0.4 * LEAST(stop_raw, 0.5) / 0.5
+                       + 0.3 * alpha_raw
+                       + 0.3 * (1.0 - LEAST(ABS(mwl - 5.0), 5.0) / 5.0)
+                         AS quality_score
+              FROM base)
+            SELECT doc_id, quality_score,
+                   ROW_NUMBER() OVER (ORDER BY quality_score DESC, doc_id)
+                       AS curriculum_rank
+            FROM scored
         """,
         "doc_fingerprint":
             "SELECT doc_id, md5(text) AS fp_md5 FROM documents",

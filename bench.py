@@ -313,6 +313,8 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
            lambda: consume(docs_p.doc_dup_apply(sf_dir)))
     timed5("doc_mixture_apply",
            lambda: consume(docs_p.doc_mixture_apply(sf_dir)))
+    timed5("doc_curriculum_rank",
+           lambda: consume(docs_p.doc_curriculum_rank(sf_dir)))
     return {
         "metric": "crawl+operator suite wall time",
         "value": total,

@@ -1522,3 +1522,36 @@ def test_doc_mixture_apply_semantics(ray_session, tmp_path):
     assert bp["big"] == 2500                       # the unbalanced case
     assert 0 < len(want) < 40                      # genuinely filters
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_doc_curriculum_rank_semantics(ray_session, tmp_path):
+    """Exact total order under range partitioning: duplicate texts
+    (equal scores) must tie-break by doc_id WITHIN one score class
+    even when num_ranges forces many cuts, and ranks must be the
+    dense 1..N permutation of (score desc, doc_id asc) — recomputed
+    here independently with pandas sorting on the pipeline's own
+    scores."""
+    from uniparser_ray.pipelines.documents import doc_curriculum_rank
+
+    texts = (["the quick brown fox jumps"] * 7       # one big tie class
+             + [f"word{i} " * (i + 1) for i in range(9)]   # spread
+             + ["", "Zz", "the the the"])
+    docs = pd.DataFrame({
+        "doc_id": np.arange(len(texts), dtype="int64")[::-1],  # shuffled ids
+        "text": texts})
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    got = doc_curriculum_rank(str(tmp_path), num_ranges=5).to_pandas() \
+        .sort_values("curriculum_rank").reset_index(drop=True)
+
+    # independent recompute: stable sort of the returned scores
+    want = got.sort_values(["quality_score", "doc_id"],
+                           ascending=[False, True], kind="mergesort") \
+        .reset_index(drop=True)
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    assert list(got["curriculum_rank"]) == list(range(1, len(texts) + 1))
+    # every tie class is ordered by doc_id ascending
+    dup_rows = got[got.duplicated("quality_score", keep=False)]
+    assert len(dup_rows) >= 7          # the duplicate-text class is real
+    for _, grp in dup_rows.groupby("quality_score"):
+        assert list(grp["doc_id"]) == sorted(grp["doc_id"])

@@ -616,6 +616,86 @@ def doc_source_mix(sf_dir: str):
         preserve_index=False)
 
 
+def doc_curriculum_rank(sf_dir: str, num_ranges: int = 32):
+    """Exact GLOBAL rank of every document by (quality_score DESC,
+    doc_id ASC) — curriculum ordering / data-pruning order, the
+    distributed total-order primitive (TeraSort-style range
+    partition, public recipe).  Emits (doc_id, quality_score,
+    curriculum_rank) with ranks 1..N and no ties by construction.
+
+    Scale shape: ONE text pass computes scores (doc_quality's exact
+    arithmetic), materialized as tiny (doc_id, double) rows; pass A
+    folds an exact histogram over the 4097 representable buckets
+    floor(score*4096) (partial-sum fast path — bucket edges k/2^12
+    are exact doubles, equal scores always share a bucket); the
+    driver cuts ~num_ranges contiguous bucket ranges and computes
+    each range's exact rank offset from the histogram alone; pass B
+    is the single heavy exchange — rows route to their score range
+    (searchsorted against the broadcast cuts) and each range sorts
+    locally and adds its offset.  No global sort barrier, no
+    driver-side data pass; ranks are exact because ranges are
+    disjoint in score and a range holds every row of its buckets."""
+    from ..stages.combine import grouped_aggregate, hash_bucket_combine
+    from ..stages.text import quality_batch
+
+    ds = _read(sf_dir, ["doc_id", "text"])
+    scored = ds.map_batches(quality_batch, batch_format="pandas") \
+        .map_batches(lambda df: df[["doc_id", "quality_score"]],
+                     batch_format="pandas").materialize()
+
+    def bucketed(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"qb": np.floor(
+            df["quality_score"].to_numpy() * 4096.0).astype(np.int64)})
+
+    hist = grouped_aggregate(
+        scored.map_batches(bucketed, batch_format="pandas"), ["qb"],
+        {"n": ("qb", "count")}, driver_limit_rows=100_000).to_pandas()
+    hist = hist.sort_values("qb", ascending=False).reset_index(drop=True)
+    counts = hist["n"].to_numpy(np.int64)
+    total = int(counts.sum())
+    target = max(1, -(-total // num_ranges))
+    # greedy contiguous ranges over DESC buckets; offset = rows above
+    range_of_qb, offsets, run, rid, off, off_next = {}, {}, 0, 0, 0, 0
+    for qb, n in zip(hist["qb"], counts):
+        if run >= target:
+            rid, off, run = rid + 1, off_next, 0
+        range_of_qb[int(qb)] = rid
+        offsets[rid] = off
+        run += int(n)
+        off_next = off + run
+
+    qb_keys = np.array(sorted(range_of_qb), dtype=np.int64)
+    qb_rids = np.array([range_of_qb[int(k)] for k in qb_keys],
+                       dtype=np.int64)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        qb = np.floor(df["quality_score"].to_numpy() * 4096.0) \
+            .astype(np.int64)
+        # every qb seen here exists in the histogram (same data), so
+        # the searchsorted hit is exact — vectorized, no dict per row
+        return df.assign(_range=qb_rids[np.searchsorted(qb_keys, qb)])
+
+    def rank_range(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for rid, sub in g.groupby("_range", sort=False):
+            sub = sub.sort_values(["quality_score", "doc_id"],
+                                  ascending=[False, True],
+                                  kind="mergesort")
+            out.append(pd.DataFrame({
+                "doc_id": sub["doc_id"].to_numpy(),
+                "quality_score": sub["quality_score"].to_numpy(),
+                "curriculum_rank": offsets[int(rid)]
+                + np.arange(1, len(sub) + 1, dtype=np.int64)}))
+        return pd.concat(out) if out else pd.DataFrame({
+            "doc_id": pd.Series([], dtype="int64"),
+            "quality_score": pd.Series([], dtype="float64"),
+            "curriculum_rank": pd.Series([], dtype="int64")})
+
+    return hash_bucket_combine(
+        scored.map_batches(assign, batch_format="pandas"),
+        ["_range"], rank_range, num_buckets=num_ranges)
+
+
 def doc_mixture_apply(sf_dir: str):
     """APPLY the source-balancing rates :func:`doc_source_mix` only
     reports — the sampling pass of a Pile-style data-mix recompute
