@@ -384,16 +384,20 @@ class CrawlRun:
         else:
             self._seed_round0()
 
-        # actor-readiness barrier: the run's ~dozens of state-shard
+        # actor-readiness pings: the run's ~dozens of state-shard
         # actors each ramp a fresh worker process (~3.5s total at 8
-        # cpus); a long-lived crawl pays that once, so force readiness
-        # HERE rather than letting round 1's first seen batch absorb it
-        # (per-round metrics then measure steady-state frontier cost)
-        ray.get([s.stats.remote() for s in
-                 (list(self.seen.shards) + list(self.img_seen.shards)
-                  + list(self.robots_shards))]
-                + [s.budget.remote("__warmup__")
-                   for s in self.politeness_shards])
+        # cpus); a long-lived crawl pays that once, so start the ramp
+        # NOW (fire the pings) but only BLOCK on it right before the
+        # first distributed round — per-round metrics then measure
+        # steady-state frontier cost, while short all-driver-path
+        # crawls (tests, tiny resumes) never stall on actors their
+        # rounds barely touch
+        ready_futures = ([s.stats.remote() for s in
+                          (list(self.seen.shards)
+                           + list(self.img_seen.shards)
+                           + list(self.robots_shards))]
+                         + [s.budget.remote("__warmup__")
+                            for s in self.politeness_shards])
 
         seen_stage = SeenRobotsStage(
             self.seen.shards, self.cfg.seen_shard_bits,
@@ -406,6 +410,22 @@ class CrawlRun:
                                                else 0.0))
 
         for r in range(start_round, self.cfg.max_rounds):
+            fdir = self.frontier_dir / f"round={r}"
+            if not fdir.exists() or not list(fdir.glob("*.parquet")):
+                break
+            # a checkpoint file is one block; split it so every stage
+            # of the round fans out across the pool (a single-block
+            # frontier serializes the whole round through one task)
+            n_candidates = sum(pq.read_metadata(f).num_rows
+                               for f in fdir.glob("*.parquet"))
+            small_round = (n_candidates
+                           <= self.cfg.small_grant_threshold)
+            if not small_round and ready_futures:
+                # first distributed round: block on the actor ramp
+                # OUTSIDE the round clock (a long crawl pays it once)
+                ray.get(ready_futures)
+                ready_futures = []
+
             t0 = time.perf_counter()
             phase_t: Dict[str, float] = {}
 
@@ -414,19 +434,8 @@ class CrawlRun:
                 phase_t[name] = round(now - _last[0], 3)
                 _last[0] = now
 
-            fdir = self.frontier_dir / f"round={r}"
-            if not fdir.exists() or not list(fdir.glob("*.parquet")):
-                break
-
             # -- admit + politeness grant (the round's one shuffle) ----
             from ..stages.combine import hash_bucket_combine
-            # a checkpoint file is one block; split it so every stage
-            # of the round fans out across the pool (a single-block
-            # frontier serializes the whole round through one task)
-            n_candidates = sum(pq.read_metadata(f).num_rows
-                               for f in fdir.glob("*.parquet"))
-            small_round = (n_candidates
-                           <= self.cfg.small_grant_threshold)
             if small_round:
                 # adaptive fast path: below the threshold the whole
                 # admit+grant runs ON THE DRIVER with the exact same
