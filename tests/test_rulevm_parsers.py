@@ -305,3 +305,65 @@ def test_md5():
     from uniparser_ray.rulevm.parsers import md5
     assert md5(1, 10) == "923820dcc5"
     assert md5("test") == "098f6bcd4621d373cade4e832627b4f6"
+
+
+def test_fast_html_scanner_equals_stdlib_fuzz():
+    """parse_html's fast scanner is an optimization, never a semantic
+    change: for ANY markup the produced tree must equal the stdlib
+    html.parser build — structured generators cover the fast-path
+    grammar (nested tags, bare/valued attrs, self-close, voids,
+    implied closes) while hostile cases (entities, comments, doctype,
+    script-with-'<', unquoted attrs, spaces around '=', '>' in text
+    and attr values, uppercase, garbage) must BAIL to stdlib and so
+    agree trivially."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from uniparser_ray.rulevm.dom import _HtmlTreeBuilder, parse_html
+
+    def std_tree(markup):
+        b = _HtmlTreeBuilder()
+        b.feed(markup)
+        b.close()
+        return b.root
+
+    def eq(a, b):
+        return (a.kind == b.kind and a.tag == b.tag
+                and getattr(a, "attrs", None) == getattr(b, "attrs", None)
+                and getattr(a, "data", None) == getattr(b, "data", None)
+                and len(a.children) == len(b.children)
+                and all(eq(x, y) for x, y in zip(a.children, b.children)))
+
+    tags = st.sampled_from(["a", "p", "li", "DIV", "br", "td", "tr",
+                            "span", "img"])
+    attr = st.sampled_from(['', ' class="x y"', ' href="/a?b=c"',
+                            ' data-i="3"', ' checked', ' SRC="u" alt=""',
+                            ' title="a>b"', " style='q'", ' a = "b"'])
+    text = st.sampled_from(["", "hi", "a > b", "x & y", "5 < 6", "  ",
+                            "café", "&amp;"])
+
+    def elem(children):
+        return st.builds(
+            lambda t, a, c, sc: (f"<{t}{a}/>" if sc
+                                 else f"<{t}{a}>" + "".join(c) + f"</{t}>"),
+            tags, attr, children, st.booleans())
+
+    frag = st.recursive(text, lambda ch:
+                        st.one_of(elem(st.lists(ch, max_size=3)), ch),
+                        max_leaves=12)
+    hostile = st.sampled_from([
+        "<!DOCTYPE html><p>x</p>", "<!-- c --><b>y</b>",
+        "<script>if (a<b) f()</script>", "<p>unclosed",
+        "</p>stray", "<p a=b>unquoted</p>", "<p><![CDATA[z]]></p>",
+        "<?pi ?><i>j</i>", "<a href=\"x\" <b>>nest</b>",
+        "<td>c1<td>c2<tr><td>r2</tr>", "<li>i1<li>i2",
+    ])
+    anything = st.text(alphabet="<>ab/\"'=& \n", max_size=30)
+
+    @settings(max_examples=250, deadline=None)
+    @given(st.lists(st.one_of(frag, hostile, anything),
+                    min_size=1, max_size=4).map("".join))
+    def prop(markup):
+        assert eq(parse_html(markup), std_tree(markup)), repr(markup)
+
+    prop()

@@ -236,10 +236,67 @@ class _HtmlTreeBuilder(_StdHTMLParser):
         self.stack[-1].append(Node(COMMENT, data=data))
 
 
+# Fast scanner for PLAIN html — the validate-then-replay twin of the
+# stdlib tokenizer (html.parser's goahead/parse_starttag machinery is
+# ~60% of fetch-stage CPU).  The scanner only accepts markup it can
+# tokenize with EXACTLY html.parser's semantics: tags of the strict
+# form <name attr="v" bare>, </name>, <name/>, no entities (&), no
+# single quotes, no comments/doctype/PI (any '<'/'>' left in a text
+# gap means the tag regex failed to consume something → bail), so
+# rawtext elements (script/style) with '<' inside, spaces around '=',
+# unquoted values, '>' inside attr values etc. all fall back to the
+# stdlib path untouched.  Tag/attr names are lowercased exactly like
+# html.parser; duplicate attrs keep the last occurrence via the same
+# dict construction; <x/> replays as startendtag.  Differential fuzz
+# (tests/test_rulevm_parsers.py) pins fast-tree == stdlib-tree.
+_FAST_TAG = re.compile(
+    r'<(/?)([a-zA-Z][a-zA-Z0-9-]*)'
+    r'((?:\s+[a-zA-Z_:][-a-zA-Z0-9_:.]*(?:="[^"<>]*")?)*)\s*(/?)>')
+_FAST_ATTR = re.compile(
+    r'([a-zA-Z_:][-a-zA-Z0-9_:.]*)(?:="([^"<>]*)")?')
+
+
+def _fast_build(markup: str, builder: "_HtmlTreeBuilder") -> bool:
+    if "&" in markup or "'" in markup:
+        return False
+    events = []
+    pos = 0
+    for m in _FAST_TAG.finditer(markup):
+        gap = markup[pos:m.start()]
+        if "<" in gap or ">" in gap:
+            return False
+        if gap:
+            events.append((builder.handle_data, gap))
+        closing, tag, rawattrs, selfclose = m.groups()
+        tag = tag.lower()
+        if closing:
+            if rawattrs or selfclose:   # </a b> / </a/> — let stdlib rule
+                return False
+            events.append((builder.handle_endtag, tag))
+        else:
+            attrs = [(a.group(1).lower(), a.group(2))
+                     for a in _FAST_ATTR.finditer(rawattrs)]
+            if selfclose:
+                events.append((builder.handle_startendtag, tag, attrs))
+            else:
+                events.append((builder.handle_starttag, tag, attrs))
+        pos = m.end()
+    tail = markup[pos:]
+    if "<" in tail or ">" in tail:
+        return False
+    if tail:
+        events.append((builder.handle_data, tail))
+    for fn, *args in events:
+        fn(*args)
+    return True
+
+
 def parse_html(markup: str) -> Node:
     builder = _HtmlTreeBuilder()
-    builder.feed(markup)
-    builder.close()
+    if not _fast_build(markup, builder):
+        builder = _HtmlTreeBuilder()
+        builder.feed(markup)
+        builder.close()
     return builder.root
 
 
