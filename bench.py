@@ -402,7 +402,14 @@ def run_steady(num_cpus: int, politeness: bool = False) -> dict:
     # throttles buffered disk writes to ~60-80 MB/s, a machine-level
     # constant that would otherwise dominate both runs equally and
     # mask the compute scaling being measured (see BASELINE.md)
-    web_cfg = dict(num_hosts=768, base_pages=4000, fanout=8,
+    # STEADY_SCALE multiplies the universe (efficiency measurements
+    # want rounds big enough that fixed per-round costs — grant,
+    # barriers, straggler tail, ~8-10s at 32 cpus — amortize the way
+    # they would in a real 10^10-URL crawl's far larger rounds; at
+    # the default 320k-page universe they are ~20% of a wide leg but
+    # ~5% of a narrow one, which reads as false inefficiency)
+    scale = int(os.environ.get("STEADY_SCALE", "1"))
+    web_cfg = dict(num_hosts=768, base_pages=4000 * scale, fanout=8,
                    hot_factor=8.0, page_weight=60, image_rate=0.1)
     web = SynthWeb(**web_cfg)
     seeds = web.all_page_urls()
