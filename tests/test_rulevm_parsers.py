@@ -335,7 +335,7 @@ def test_fast_html_scanner_equals_stdlib_fuzz():
                 and all(eq(x, y) for x, y in zip(a.children, b.children)))
 
     tags = st.sampled_from(["a", "p", "li", "DIV", "br", "td", "tr",
-                            "span", "img"])
+                            "span", "img", "script", "style", "SCRIPT"])
     attr = st.sampled_from(['', ' class="x y"', ' href="/a?b=c"',
                             ' data-i="3"', ' checked', ' SRC="u" alt=""',
                             ' title="a>b"', " style='q'", ' a = "b"'])
@@ -354,6 +354,9 @@ def test_fast_html_scanner_equals_stdlib_fuzz():
     hostile = st.sampled_from([
         "<!DOCTYPE html><p>x</p>", "<!-- c --><b>y</b>",
         "<script>if (a<b) f()</script>", "<p>unclosed",
+        "<script><b>x</b></script>", "<style><i>.c{}</i></style>",
+        '<script>document.write("<a href=\\"u\\">t</a>")</script>',
+        "<SCRIPT src=\"j\"><td>q</td></SCRIPT>", "<script/>after<b>z</b>",
         "</p>stray", "<p a=b>unquoted</p>", "<p><![CDATA[z]]></p>",
         "<?pi ?><i>j</i>", "<a href=\"x\" <b>>nest</b>",
         "<td>c1<td>c2<tr><td>r2</tr>", "<li>i1<li>i2",

@@ -85,6 +85,15 @@ def test_seen_shard_cuckoo_modes_agree():
             assert shard.stats()["divergences"] == 0
 
 
+def test_seen_shard_within_batch_duplicates():
+    # Repeats INSIDE one batch: only the first occurrence may be new.
+    h, g = [int(x) for x in _hashes(2, seed=11)]
+    for mode in ("exact", "bloom", "cuckoo", "tandem", "tandem_cuckoo"):
+        shard = SeenShard(mode=mode, capacity=1000)
+        out = list(shard.add_batch([h, h, g, h]))
+        assert out == [True, False, True, False], (mode, out)
+
+
 def test_politeness_virtual_budget():
     shard = PolitenessShard()
     shard.set_rule("a.test", 2, 1.0)  # 2 per second

@@ -242,10 +242,11 @@ class _HtmlTreeBuilder(_StdHTMLParser):
 # tokenize with EXACTLY html.parser's semantics: tags of the strict
 # form <name attr="v" bare>, </name>, <name/>, no entities (&), no
 # single quotes, no comments/doctype/PI (any '<'/'>' left in a text
-# gap means the tag regex failed to consume something → bail), so
-# rawtext elements (script/style) with '<' inside, spaces around '=',
-# unquoted values, '>' inside attr values etc. all fall back to the
-# stdlib path untouched.  Tag/attr names are lowercased exactly like
+# gap means the tag regex failed to consume something → bail), and no
+# CDATA mode (ANY opened <script>/<style> bails — stdlib treats their
+# content as raw text, the scanner would tokenize it as markup), so
+# rawtext elements, spaces around '=', unquoted values, '>' inside
+# attr values etc. all fall back to the stdlib path untouched.  Tag/attr names are lowercased exactly like
 # html.parser; duplicate attrs keep the last occurrence via the same
 # dict construction; <x/> replays as startendtag.  Differential fuzz
 # (tests/test_rulevm_parsers.py) pins fast-tree == stdlib-tree.
@@ -254,6 +255,8 @@ _FAST_TAG = re.compile(
     r'((?:\s+[a-zA-Z_:][-a-zA-Z0-9_:.]*(?:="[^"<>]*")?)*)\s*(/?)>')
 _FAST_ATTR = re.compile(
     r'([a-zA-Z_:][-a-zA-Z0-9_:.]*)(?:="([^"<>]*)")?')
+# html.parser.HTMLParser.CDATA_CONTENT_ELEMENTS
+_CDATA_CONTENT = frozenset(("script", "style"))
 
 
 def _fast_build(markup: str, builder: "_HtmlTreeBuilder") -> bool:
@@ -279,6 +282,13 @@ def _fast_build(markup: str, builder: "_HtmlTreeBuilder") -> bool:
             if selfclose:
                 events.append((builder.handle_startendtag, tag, attrs))
             else:
+                if tag in _CDATA_CONTENT:
+                    # html.parser enters CDATA mode after <script>/<style>
+                    # (but NOT after <script/>): everything up to the next
+                    # </script is raw text, never markup.  The scanner has
+                    # no CDATA state, so any opened rawtext element routes
+                    # the whole document to the stdlib path.
+                    return False
                 events.append((builder.handle_starttag, tag, attrs))
         pos = m.end()
     tail = markup[pos:]

@@ -130,19 +130,23 @@ class BaseParser:
 # never alias (the memoized string stays alive while memoized) and
 # equal-but-distinct strings just miss — a miss is only the old cost.
 # The DOM is read-only under select, so sharing the tree is safe.
-_dom_memo_str = None
-_dom_memo_node = None
+# The (markup, node) pair lives in ONE global so both read and publish
+# are single atomic reference ops under the GIL — two separate globals
+# could tear under threaded use (async UDF helper threads) and pair one
+# page's string with another page's tree.
+_dom_memo = (None, None)
 
 
 def _ensure_html_node(input_object):
-    global _dom_memo_str, _dom_memo_node
+    global _dom_memo
     if isinstance(input_object, dom.Node):
         return input_object
-    if input_object is _dom_memo_str:
-        return _dom_memo_node
+    memo_str, memo_node = _dom_memo
+    if input_object is memo_str:
+        return memo_node
     node = dom.parse_html(input_object)
     if isinstance(input_object, str):
-        _dom_memo_str, _dom_memo_node = input_object, node
+        _dom_memo = (input_object, node)
     return node
 
 
