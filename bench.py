@@ -705,6 +705,13 @@ def main():
         return
 
     result = run_suite(sf_dir, num_cpus)
+    # The driver captures a bounded TAIL of stdout and parses the last
+    # line: keep that line compact (BENCH_r03's single giant line got
+    # its head truncated → parsed:null).  Full ops detail goes on its
+    # own prior line; the final line is the headline summary only.
+    ops_detail = {k: result.pop(k) for k in ("ops_r3", "ops_r4", "ops_r5")
+                  if k in result}
+    print(json.dumps({"ops_detail": ops_detail}))
     print(json.dumps(result))
     import ray
     ray.shutdown()

@@ -315,47 +315,61 @@ class CrawlRun:
     def _reseed_filters(self, upto_round: int):
         """Rebuild seen state from committed checkpoints (resume).
 
-        The page checkpoints are the bulk of the state, so their
-        hashes are replayed task-parallel (read in tasks, pushed to
-        the shard actors in batches) — the driver never holds them."""
+        ALL replayed state streams task-parallel: parquet fragments are
+        read in tasks and their hashes pushed to the shard actors in
+        batches via the vectorized argsort grouping
+        (``_sharded_add_futures``) — the driver never materializes a
+        column.  At 10^10-URL scale a resume replays billions of page
+        hashes and image URLs; any ``to_table()`` here would be a
+        driver OOM."""
         import ray.data as rd
+        from ..stages.crawl_stages import _sharded_add_futures
+
+        def replay(files, columns, make_hashes, seen):
+            shards, bits = seen.shards, seen.shard_bits
+
+            def push(t: pa.Table) -> pa.Table:
+                import ray as _ray
+                hashes = make_hashes(t)
+                _slices, futs = _sharded_add_futures(shards, bits, hashes)
+                if futs:
+                    _ray.get(futs)
+                return pa.table({"n": pa.array([t.num_rows], pa.int64())})
+
+            rd.read_parquet(files, columns=columns) \
+                .map_batches(push, batch_format="pyarrow",
+                             batch_size=16384).count()
+
         page_dirs = [str(f) for r in range(upto_round)
                      for f in sorted(
                          (self.pages_dir / f"round={r}").glob("*.parquet"))
                      if (self.pages_dir / f"round={r}").exists()]
         if page_dirs:
-            shards = self.seen.shards
-            bits = self.seen.shard_bits
-
-            def push(t: pa.Table) -> pa.Table:
-                import ray as _ray
-                from collections import defaultdict
-                hashes = t["url_hash"].to_numpy(zero_copy_only=False) \
-                    .astype(np.uint64)
-                groups = defaultdict(list)
-                for h in hashes.tolist():
-                    groups[h >> (64 - bits)].append(h)
-                _ray.get([shards[sid].add_batch.remote(hs)
-                          for sid, hs in groups.items()])
-                return pa.table({"n": pa.array([t.num_rows], pa.int64())})
-
-            rd.read_parquet(page_dirs, columns=["url_hash"]) \
-                .map_batches(push, batch_format="pyarrow",
-                             batch_size=16384).count()
+            replay(page_dirs, ["url_hash"],
+                   lambda t: t["url_hash"].to_numpy(zero_copy_only=False)
+                   .astype(np.uint64),
+                   self.seen)
         if self.images.exists():
-            t = self.images.to_table(columns=["src_url"])
-            if t.num_rows:
-                self.img_seen.add_batch(
-                    [url_hash64("img|" + u) for u in t["src_url"].to_pylist()])
+            frag_files = self.images.fragment_files()
+            if frag_files:
+                def img_hashes(t: pa.Table) -> np.ndarray:
+                    col = t.column("src_url").to_pylist()
+                    return np.fromiter(
+                        (url_hash64("img|" + u) for u in col),
+                        dtype=np.uint64, count=len(col))
+                replay(frag_files, ["src_url"], img_hashes, self.img_seen)
         # frontier seen_ok rows were already admitted
         d = self.frontier_dir / f"round={upto_round}"
         if d.exists():
-            for f in sorted(d.glob("*.parquet")):
-                t = pq.read_table(f, columns=["url", "seen_ok"])
-                mask = [bool(s) for s in t["seen_ok"].to_pylist()]
-                urls = [u for u, m in zip(t["url"].to_pylist(), mask) if m]
-                if urls:
-                    self.seen.add_batch([url_hash64(u) for u in urls])
+            def frontier_hashes(t: pa.Table) -> np.ndarray:
+                ok = t.column("seen_ok").to_numpy(zero_copy_only=False) \
+                    .astype(bool)
+                urls = [u for u, m
+                        in zip(t.column("url").to_pylist(), ok) if m]
+                return np.fromiter((url_hash64(u) for u in urls),
+                                   dtype=np.uint64, count=len(urls))
+            replay([str(f) for f in sorted(d.glob("*.parquet"))],
+                   ["url", "seen_ok"], frontier_hashes, self.seen)
 
     # -- rounds ------------------------------------------------------------
     def _write_frontier(self, table: pa.Table, round_idx: int):

@@ -60,17 +60,16 @@ def _variants(df: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
-class CanonStage:
-    """Actor-pool canonicalization — the same per-URL code the crawl's
-    AnnotateStage runs on every frontier row."""
-
-    def __init__(self):
-        from ..rulevm.urlutil import canonicalize_url
-        self._canon = canonicalize_url
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        canon = [self._canon(m) for m in t["messy_url"].to_pylist()]
-        return t.append_column("canon_url", pa.array(canon, pa.string()))
+def _canon_stage(t: pa.Table) -> pa.Table:
+    """Canonicalization — the same per-URL code the crawl's
+    AnnotateStage runs on every frontier row.  Stateless (the
+    canonicalizer is a pure function, no model/index to load), so a
+    plain task-based map_batches beats an actor pool: no actor ramp,
+    and no 'constructor arguments in the object store' restart hazard
+    the fused actor form warned about."""
+    from ..rulevm.urlutil import canonicalize_url
+    canon = [canonicalize_url(m) for m in t["messy_url"].to_pylist()]
+    return t.append_column("canon_url", pa.array(canon, pa.string()))
 
 
 _RESUME_RUNS: dict = {}
@@ -165,5 +164,4 @@ def crawl_url_canon(sf_dir: str):
     out, _totals = _ensure_crawl(tag)
     ds = read_parquet_clean(f"{out}/pages", columns=["url"])
     return (ds.map_batches(_variants, batch_format="pandas")
-              .map_batches(CanonStage, concurrency=2,
-                           batch_format="pyarrow"))
+              .map_batches(_canon_stage, batch_format="pyarrow"))
