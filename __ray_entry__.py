@@ -334,6 +334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dedup_exact": documents.doc_dedup_exact,
         "doc_dedup_jaccard": documents.doc_dedup_jaccard,
         "doc_dedup_minhash": documents.doc_dedup_minhash,
+        "doc_minhash_recall": documents.doc_minhash_recall,
         "doc_dedup_clusters": documents.doc_dedup_clusters,
         "doc_dedup_simhash": documents.doc_dedup_simhash,
         "embedding_neardup": vectors.embedding_neardup,
@@ -383,6 +384,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_pagerank": graph.web_pagerank,
         "web_hits": graph.web_hits,
         "web_components": graph.web_components,
+        "web_triangles": graph.web_triangles,
         "web_host_degrees": graph.web_host_degrees,
         "web_seed_hops": graph.web_seed_hops,
     }
@@ -631,6 +633,9 @@ def _expected_table(kind: str, tag: str) -> pa.Table:
         return expected_hits(tag)
     if kind == "components":
         return expected_components(tag)
+    if kind == "triangles":
+        from uniparser_ray.pipelines.graph import expected_triangles
+        return expected_triangles(tag)
     if kind == "hostdeg":
         return expected_host_degrees(tag)
     if kind == "seedhops":
@@ -967,6 +972,11 @@ def _multimodal_oracle_thunks(tag: str) -> dict:
         "web_components": lambda: f"""
             WITH {_values_cte('e', _expected_table('components', tag))}
             SELECT component, n_pages FROM e
+        """,
+        "web_triangles": lambda: f"""
+            WITH {_values_cte('e', _expected_table('triangles', tag))}
+            SELECT n_nodes, n_edges, n_wedges, n_triangles, transitivity
+            FROM e
         """,
         "web_host_degrees": lambda: f"""
             WITH {_values_cte('e', _expected_table('hostdeg', tag))}
@@ -2426,6 +2436,20 @@ def oracle_sql(sf_tag: str = None) -> dict[str, str]:
         "doc_signatures": _signatures_sql(),
         "doc_dedup_simhash": _simhash_pairs_sql(max_hamming=6),
         "doc_dedup_minhash": _minhash_pairs_sql(threshold=0.6),
+        "doc_minhash_recall": f"""
+            WITH ex AS ({_jaccard_sql(threshold=0.6)}),
+            lsh AS ({_minhash_pairs_sql(threshold=0.6)}),
+            merged AS (
+              SELECT e.jaccard_sim,
+                     CASE WHEN l.doc_a IS NULL THEN 0 ELSE 1 END AS hit
+              FROM ex e LEFT JOIN lsh l
+                ON l.doc_a = e.doc_a AND l.doc_b = e.doc_b)
+            SELECT CAST(floor(jaccard_sim * 10) AS BIGINT) AS sim_bucket,
+                   COUNT(*) AS n_exact,
+                   CAST(SUM(hit) AS BIGINT) AS n_lsh_hit,
+                   CAST(SUM(hit) AS DOUBLE) / COUNT(*) AS recall
+            FROM merged GROUP BY 1
+        """,
         "doc_dedup_clusters": f"""
             WITH RECURSIVE pairs AS ({_minhash_pairs_sql(threshold=0.6)}),
             und AS (SELECT doc_a AS x, doc_b AS y FROM pairs

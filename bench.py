@@ -315,6 +315,22 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
            lambda: consume(docs_p.doc_mixture_apply(sf_dir)))
     timed5("doc_curriculum_rank",
            lambda: consume(docs_p.doc_curriculum_rank(sf_dir)))
+    # round-4/6 operators, timed OUTSIDE `value` (same comparability
+    # rule): the LSH recall audit and the BSP triangle census
+    from uniparser_ray.pipelines import graph as graph_p6
+    ops_r6: dict = {}
+
+    def timed6(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        ops_r6[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    timed6("doc_minhash_recall",
+           lambda: consume(documents.doc_minhash_recall(sf_dir)))
+    timed6("web_triangles",
+           lambda: graph_p6.web_triangles(sf_dir).num_rows)
+
     return {
         "metric": "crawl+operator suite wall time",
         "value": total,
@@ -330,6 +346,7 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         "ops_r3": ops_r3,
         "ops_r4": ops_r4,
         "ops_r5": ops_r5,
+        "ops_r6": ops_r6,
     }
 
 
@@ -709,7 +726,8 @@ def main():
     # line: keep that line compact (BENCH_r03's single giant line got
     # its head truncated → parsed:null).  Full ops detail goes on its
     # own prior line; the final line is the headline summary only.
-    ops_detail = {k: result.pop(k) for k in ("ops_r3", "ops_r4", "ops_r5")
+    ops_detail = {k: result.pop(k)
+                  for k in ("ops_r3", "ops_r4", "ops_r5", "ops_r6")
                   if k in result}
     print(json.dumps({"ops_detail": ops_detail}))
     print(json.dumps(result))

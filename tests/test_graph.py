@@ -244,3 +244,59 @@ def test_doc_curation_composes_components(ray_session):
     assert got["viol"].tolist() == want.tolist()
     assert (got["keep"] == (got["viol"] == 0).astype("int64")).all()
     assert 0 < got["keep"].sum() < len(got)
+
+
+def test_triangles_match_expected(ray_session):
+    from uniparser_ray.pipelines.graph import (expected_triangles,
+                                               web_triangles)
+    assert web_triangles(SF).equals(expected_triangles(TAG))
+
+
+def test_triangles_dense_random_graph(ray_session):
+    """The census on a graph where triangles are actually abundant
+    (the synthetic web is tree-like): random G(n, p) with planted hub
+    skew, BSP result vs brute-force over the same edge set, at 1 and
+    4 shards."""
+    import hashlib
+    from collections import defaultdict
+
+    from uniparser_ray.stages import graph_bsp
+
+    rng = np.random.default_rng(7)
+    n = 120
+    names = [f"http://g.test/{i}" for i in range(n)]
+    hashes = np.fromiter(
+        (int.from_bytes(hashlib.blake2b(u.encode(), digest_size=8)
+                        .digest(), "big") for u in names),
+        dtype=np.uint64)
+    pairs = set()
+    for _ in range(900):
+        a, b = rng.integers(0, n, 2)
+        if a != b:
+            pairs.add((int(a), int(b)))
+    # planted hub: node 0 links to the first 40 nodes (degree skew)
+    for b in range(1, 41):
+        pairs.add((0, b))
+    adj = defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    n_edges = sum(len(v) for v in adj.values()) // 2
+    n_wedges = sum(len(v) * (len(v) - 1) // 2 for v in adj.values())
+    tri3 = sum(len(adj[a] & adj[b]) for a in adj for b in adj[a] if a < b)
+    expected = (n, n_edges, n_wedges, tri3 // 3)
+
+    src = np.array([hashes[a] for a, _ in pairs], np.uint64)
+    dst = np.array([hashes[b] for _, b in pairs], np.uint64)
+    import ray
+    for B in (1, 4):
+        shards = graph_bsp.build_shards(B)
+        ray.get(graph_bsp.ingest_nodes(shards, hashes, names))
+        ray.get(graph_bsp.ingest_edge_batch(shards, src, dst))
+        ray.get([s.seal.remote() for s in shards])
+        got = graph_bsp.triangles(shards).to_pydict()
+        assert (got["n_nodes"][0], got["n_edges"][0],
+                got["n_wedges"][0], got["n_triangles"][0]) == expected, B
+        assert got["n_triangles"][0] > 100  # the graph is actually dense
+        for s in shards:
+            ray.kill(s, no_restart=True)

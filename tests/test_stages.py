@@ -1555,3 +1555,56 @@ def test_doc_curriculum_rank_semantics(ray_session, tmp_path):
     assert len(dup_rows) >= 7          # the duplicate-text class is real
     for _, grp in dup_rows.groupby("quality_score"):
         assert list(grp["doc_id"]) == sorted(grp["doc_id"])
+
+
+def test_minhash_recall_audit(ray_session, tmp_path):
+    """doc_minhash_recall on a crafted borderline corpus: n_exact per
+    decile must equal the brute-force exact-jaccard census, hits never
+    exceed exacts, and the borderline deciles actually exercise the
+    S-curve (pairs at j ~ 0.5-0.7 exist where banding CAN miss)."""
+    import itertools
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from uniparser_ray.pipelines.documents import doc_minhash_recall
+    from uniparser_ray.stages.dedup import jaccard
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i:03d}" for i in range(400)]
+    texts = []
+    for i in range(24):
+        base = list(rng.choice(vocab, 40, replace=False))
+        texts.append(" ".join(base))
+        # one sibling with a controlled fraction of words replaced:
+        # yields pairs spread across jaccard ~0.3-0.95
+        sib = base.copy()
+        n_swap = int(rng.integers(2, 14))
+        idxs = rng.choice(40, n_swap, replace=False)
+        repl = rng.choice(vocab, n_swap, replace=False)
+        for j, r in zip(idxs, repl):
+            sib[j] = r
+        texts.append(" ".join(sib))
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+
+    got = doc_minhash_recall(str(tmp_path), threshold=0.5) \
+        .to_pandas().sort_values("sim_bucket").reset_index(drop=True)
+
+    # brute-force exact census over the same 3-shingle jaccard
+    from collections import Counter
+    exp = Counter()
+    for a, b in itertools.combinations(range(len(texts)), 2):
+        j = jaccard(texts[a], texts[b], k=3)
+        if j >= 0.5:
+            exp[int(np.floor(j * 10))] += 1
+    assert dict(zip(got["sim_bucket"], got["n_exact"])) == dict(exp)
+    assert (got["n_lsh_hit"] <= got["n_exact"]).all()
+    assert ((got["recall"] >= 0) & (got["recall"] <= 1)).all()
+    assert got["n_exact"].sum() >= 10          # corpus produced pairs
+    assert (got["sim_bucket"] < 8).any()       # borderline deciles exist
+    expected_recall = got["n_lsh_hit"] / got["n_exact"]
+    pd.testing.assert_series_equal(got["recall"], expected_recall,
+                                   check_names=False)

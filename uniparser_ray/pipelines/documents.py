@@ -92,6 +92,71 @@ def doc_dedup_minhash(sf_dir: str, threshold: float = 0.6):
                                  driver_limit_rows=driver_limit)
 
 
+def doc_minhash_recall(sf_dir: str, threshold: float = 0.6):
+    """Recall audit of the MinHash+LSH stage against the exact
+    n-gram-Jaccard ground truth: one row per jaccard decile,
+    (sim_bucket, n_exact, n_lsh_hit, recall) — the measured S-curve of
+    the banding scheme (16 bands of 4 over 64 perms).  Every
+    LSH-verified pair is exact-verified at the same threshold, so
+    n_lsh_hit <= n_exact per bucket and misses are pure banding
+    misses.
+
+    Scale shape: both inputs are pair tables (tiny relative to the
+    corpus — near-dup pairs above threshold are rare by definition);
+    the audit adds one grouped combine over pair keys and a
+    dimension-sized bucket aggregate.  No new pass over text."""
+    import numpy as np
+
+    from ..stages.combine import grouped_aggregate
+
+    import ray.data as rd
+
+    def _as_ds(x):
+        # the minhash pipeline's small-corpus fast path returns a
+        # materialized arrow table
+        return rd.from_arrow(x) if isinstance(x, pa.Table) else x
+
+    exact = _as_ds(doc_dedup_jaccard(sf_dir, threshold=threshold))
+    lsh = _as_ds(doc_dedup_minhash(sf_dir, threshold=threshold))
+
+    def mark(hit: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_a": t["doc_a"].cast(pa.int64()),
+                "doc_b": t["doc_b"].cast(pa.int64()),
+                "jaccard_sim": t["jaccard_sim"].cast(pa.float64()),
+                "hit": pa.array(
+                    np.full(t.num_rows, hit, np.int64), pa.int64()),
+            })
+        return fn
+
+    both = exact.map_batches(mark(0), batch_format="pyarrow") \
+        .union(lsh.map_batches(mark(1), batch_format="pyarrow"))
+    pairs = grouped_aggregate(both, ["doc_a", "doc_b"],
+                              {"jaccard_sim": ("jaccard_sim", "max"),
+                               "hit": ("hit", "max")})
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame()
+        out["sim_bucket"] = np.floor(
+            df["jaccard_sim"] * 10).astype("int64")
+        out["one"] = np.int64(1)
+        out["hit"] = df["hit"].astype("int64")
+        return out
+
+    agg = grouped_aggregate(
+        pairs.map_batches(bucket, batch_format="pandas"),
+        ["sim_bucket"],
+        {"n_exact": ("one", "sum"), "n_lsh_hit": ("hit", "sum")},
+        driver_limit_rows=4096)   # <= 11 decile rows: no shuffle
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["recall"] = df["n_lsh_hit"] / df["n_exact"]
+        return df[["sim_bucket", "n_exact", "n_lsh_hit", "recall"]]
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
 def doc_dedup_simhash(sf_dir: str, max_hamming: int = 6):
     from ..stages.dedup import simhash_neardup_pairs
     out = simhash_neardup_pairs(_read(sf_dir, ["doc_id", "text"]),

@@ -248,6 +248,17 @@ def web_hits(sf_dir: str) -> pa.Table:
                           top_k=HITS_TOP_K)
 
 
+def web_triangles(sf_dir: str) -> pa.Table:
+    """Triangle census of the undirected link graph: one row
+    (n_nodes, n_edges, n_wedges, n_triangles, transitivity) — the
+    clustering signal of the crawled web.  Runs on the SAME pinned BSP
+    shards as pagerank/components (degree-oriented wedge existence
+    queries, three bounded exchanges — stages/graph_bsp.py
+    triangles)."""
+    shards = _sealed_shards(sf_dir)
+    return graph_bsp.triangles(shards)
+
+
 def web_host_degrees(sf_dir: str) -> pa.Table:
     """Per-host degree stats over the DISTINCT edge set: fetched-ok
     page count, out-edges, in-edges, distinct cross-host out-edges.
@@ -321,6 +332,36 @@ def structural_edges(web) -> List[tuple]:
                 edges.add((u, cross))
             # the self-link is a self-loop: dropped by spec
     return sorted(edges)
+
+
+def expected_triangles(tag: str) -> pa.Table:
+    """Single-process set-based triangle census over the structural
+    edge set — deliberately orientation-free (T = sum over undirected
+    edges of |N(u) & N(v)| / 3), so it shares NO code shape with the
+    BSP degree-oriented wedge algorithm it checks."""
+    from collections import defaultdict
+
+    web = _web_for(tag)
+    n_nodes = sum(web.pages_of_host[h] for h in range(web.num_hosts))
+    adj = defaultdict(set)
+    for a, b in structural_edges(web):
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    n_edges = sum(len(v) for v in adj.values()) // 2
+    n_wedges = sum(len(v) * (len(v) - 1) // 2 for v in adj.values())
+    # per-edge common-neighbor counts: every triangle is seen once per
+    # of its 3 edges in the a<b sweep
+    tri3 = sum(len(adj[a] & adj[b]) for a in adj for b in adj[a] if a < b)
+    n_tri = tri3 // 3
+    trans = (3.0 * n_tri / n_wedges) if n_wedges else 0.0
+    return pa.table({
+        "n_nodes": pa.array([n_nodes], pa.int64()),
+        "n_edges": pa.array([n_edges], pa.int64()),
+        "n_wedges": pa.array([n_wedges], pa.int64()),
+        "n_triangles": pa.array([n_tri], pa.int64()),
+        "transitivity": pa.array([trans], pa.float64()),
+    })
 
 
 def expected_pagerank(tag: str) -> pa.Table:

@@ -453,6 +453,122 @@ class GraphShard:
         self.label = new
         return changed
 
+    # -- triangle counting (degree-oriented wedge check) --------------------
+    def _cc_undirected_pairs(self):
+        """Reconstruct the distinct undirected (owned_idx, neighbor)
+        pairs from the sealed components plan — the seal keeps only the
+        permuted message plan, so invert it: dst per ordered edge is
+        ``repeat(uniq_dst, segment_lengths)`` scattered back through
+        ``cc_order``.  No extra seal-time memory for shards that never
+        run triangles."""
+        n = len(self.cc_order)
+        if not n:
+            return np.empty(0, np.int64), np.empty(0, np.uint64)
+        seg_len = np.diff(np.r_[self.cc_segs, n])
+        dst = np.empty(n, np.uint64)
+        dst[self.cc_order] = np.repeat(self.cc_uniq_dst, seg_len)
+        return self.cc_src_idx, dst
+
+    def tri_degrees(self):
+        """Phase 1: undirected degree of every owned vertex; returns
+        the shard's (half_edge_count, wedge_count) partials — wedges =
+        sum C(deg, 2) over owned vertices (each undirected edge is
+        counted once per endpoint owner, so edges = global sum / 2)."""
+        src_idx, dst = self._cc_undirected_pairs()
+        deg = np.zeros(len(self.nodes), np.int64)
+        np.add.at(deg, src_idx, 1)
+        self.tri_deg = deg
+        self._tri_pairs = (src_idx, dst)
+        return len(src_idx), int((deg * (deg - 1) // 2).sum())
+
+    def tri_deg_requests(self):
+        """Distinct neighbor hashes routed to their owner shards."""
+        uniq = np.unique(self._tri_pairs[1])
+        shard_of = (uniq % np.uint64(self.B)).astype(np.int64)
+        out = [uniq[shard_of == s] for s in range(self.B)]
+        return tuple(out) if self.B > 1 else out[0]
+
+    def tri_deg_answer(self, wanted: np.ndarray):
+        idx = np.searchsorted(self.nodes, wanted)
+        return wanted, self.tri_deg[idx]
+
+    def tri_orient(self, *answers) -> int:
+        """Phase 2: orient each undirected edge from lower to higher
+        (deg, hash) rank — the classic degree orientation, so every
+        out-list is O(sqrt(m)) and total wedge work is O(m^1.5) even
+        on hub-skewed graphs.  Out-lists are stored rank-sorted within
+        each owned source."""
+        keys = [a[0] for a in answers if a is not None and len(a[0])]
+        vals = [a[1] for a in answers if a is not None and len(a[0])]
+        src_idx, dst = self._tri_pairs
+        if not keys or not len(src_idx):
+            self._tri_osrc = np.empty(0, np.int64)
+            self._tri_odst = np.empty(0, np.uint64)
+            return 0
+        keys, vals = np.concatenate(keys), np.concatenate(vals)
+        order = np.argsort(keys)
+        keys, vals = keys[order], vals[order]
+        ddeg = vals[np.searchsorted(keys, dst)]
+        sdeg = self.tri_deg[src_idx]
+        shash = self.nodes[src_idx]
+        keep = (ddeg > sdeg) | ((ddeg == sdeg) & (dst > shash))
+        src_idx, dst, ddeg = src_idx[keep], dst[keep], ddeg[keep]
+        order = np.lexsort((dst, ddeg, src_idx))
+        self._tri_osrc = src_idx[order]
+        self._tri_odst = dst[order]
+        return len(src_idx)
+
+    def tri_wedges(self):
+        """Phase 3 send: every rank-ordered pair (v, w) within an owned
+        out-list is a wedge; the closing-edge existence query (v, w)
+        routes to owner(v).  Vectorized all-pairs-within-segments via
+        the concatenated-arange construction.  Partitioning assumption:
+        a shard materializes its own wedge set at once — at extreme
+        scale this send would batch over source-index ranges (the
+        construction is embarrassingly sliceable by owned u)."""
+        src, dst = self._tri_osrc, self._tri_odst
+        n = len(src)
+        empty = (np.empty(0, np.uint64), np.empty(0, np.uint64))
+        if not n:
+            out = [empty for _ in range(self.B)]
+            return tuple(out) if self.B > 1 else out[0]
+        new_seg = np.r_[True, src[1:] != src[:-1]]
+        seg_starts = np.flatnonzero(new_seg)
+        seg_id = np.cumsum(new_seg) - 1
+        pos = np.arange(n) - seg_starts[seg_id]       # local index in out-list
+        j_idx = np.repeat(np.arange(n), pos)          # later element of pair
+        csum = np.r_[0, np.cumsum(pos)]
+        i_idx = (np.arange(csum[-1]) - np.repeat(csum[:-1], pos)
+                 + np.repeat(seg_starts[seg_id], pos))
+        v, w = dst[i_idx], dst[j_idx]
+        shard_of = (v % np.uint64(self.B)).astype(np.int64)
+        out = []
+        for s in range(self.B):
+            m = shard_of == s
+            out.append((v[m], w[m]))
+        return tuple(out) if self.B > 1 else out[0]
+
+    def tri_count(self, *payloads) -> int:
+        """Phase 3 receive: how many queried wedges (v, w) close — i.e.
+        exist in this shard's oriented out-edges of owned v.  Exact
+        membership via 32-bit co-domain codes packed with the owned
+        index into one uint64 key (no hash collisions: codes come from
+        np.unique over both sides' actual values)."""
+        qs = [p for p in payloads if p is not None and len(p[0])]
+        if not qs:
+            return 0
+        qv = np.concatenate([p[0] for p in qs])
+        qw = np.concatenate([p[1] for p in qs])
+        ne = len(self._tri_odst)
+        combined = np.concatenate([self._tri_odst, qw])
+        _, inv = np.unique(combined, return_inverse=True)
+        inv = inv.astype(np.uint64)
+        ekeys = ((self._tri_osrc.astype(np.uint64) << np.uint64(32))
+                 | inv[:ne])
+        v_idx = np.searchsorted(self.nodes, qv).astype(np.uint64)
+        qkeys = (v_idx << np.uint64(32)) | inv[ne:]
+        return int(np.isin(qkeys, ekeys).sum())
+
     def cc_partials(self) -> pd.DataFrame:
         """Per-shard partial per-component aggregate: (label, n owned
         members, lexicographic min member url).  Component count <<
@@ -613,6 +729,50 @@ def connected_components(shards, max_rounds: int = 200) -> pa.Table:
         ["n_pages", "component"], ascending=[False, True])
     return table_from_pandas(out.reset_index(drop=True),
                                 preserve_index=False)
+
+
+def triangles(shards) -> pa.Table:
+    """Global triangle census over the sealed undirected graph: one
+    row (n_nodes, n_edges, n_wedges, n_triangles, transitivity).
+
+    Three bounded exchanges, no shuffle: (1) owned degrees + wedge
+    partials, (2) neighbor-degree lookup (request/answer like
+    ``_cc_jump``), (3) degree-oriented wedge existence queries, each
+    answered by owner(v) against its own oriented out-lists.  Degree
+    orientation bounds every out-list at O(sqrt(m)), so hub skew can
+    not blow up the wedge volume.  transitivity = 3T / W (exact-int
+    double division, identical on the oracle side)."""
+    B = len(shards)
+    parts = ray.get([s.tri_degrees.remote() for s in shards])
+    n_nodes = sum(ray.get([s.owned_count.remote() for s in shards]))
+    n_edges = sum(p[0] for p in parts) // 2
+    n_wedges = sum(p[1] for p in parts)
+    if B == 1:
+        req = shards[0].tri_deg_requests.remote()
+        ans = shards[0].tri_deg_answer.remote(req)
+        ray.get(shards[0].tri_orient.remote(ans))
+        wref = shards[0].tri_wedges.remote()
+        n_tri = ray.get(shards[0].tri_count.remote(wref))
+    else:
+        reqs = [s.tri_deg_requests.options(num_returns=B).remote()
+                for s in shards]
+        answers = [[shards[j].tri_deg_answer.remote(reqs[i][j])
+                    for j in range(B)] for i in range(B)]
+        ray.get([shards[i].tri_orient.remote(*answers[i])
+                 for i in range(B)])
+        wrefs = [s.tri_wedges.options(num_returns=B).remote()
+                 for s in shards]
+        n_tri = sum(ray.get(
+            [shards[j].tri_count.remote(*[wrefs[i][j] for i in range(B)])
+             for j in range(B)]))
+    trans = (3.0 * n_tri / n_wedges) if n_wedges else 0.0
+    return pa.table({
+        "n_nodes": pa.array([n_nodes], pa.int64()),
+        "n_edges": pa.array([n_edges], pa.int64()),
+        "n_wedges": pa.array([n_wedges], pa.int64()),
+        "n_triangles": pa.array([n_tri], pa.int64()),
+        "transitivity": pa.array([trans], pa.float64()),
+    })
 
 
 def component_assignments(shards, max_rounds: int = 200) -> pa.Table:
