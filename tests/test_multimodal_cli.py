@@ -317,3 +317,67 @@ def test_audio_vad_segments(ray_session):
     with _pytest.raises(NotImplementedError):
         AudioVadStage(strict=True)(batch)
     assert AudioVadStage(strict=False)(batch).num_rows >= 1
+
+
+def test_http_console_html_page():
+    """Browser workflow (reference webui.py:101-134 serves an HTML
+    form): GET / with Accept: text/html returns the self-contained
+    page wired to the same endpoints; the JSON registry stays the
+    default for API clients; the page's fetch targets actually work
+    (drive /request then /parse exactly as the inline JS does)."""
+    import threading
+    import urllib.request
+
+    from uniparser_ray.rulevm.transport import SyntheticWebAdapter
+    from uniparser_ray.webconsole import make_server
+
+    class DictWeb:
+        def get(self, url):
+            return 200, {}, b"<html><title>H</title><p>v=7</p></html>"
+
+    server = make_server(port=0,
+                         request_adapter=SyntheticWebAdapter(DictWeb()))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    def get(path, accept=None):
+        req = urllib.request.Request(f"http://127.0.0.1:{port}{path}")
+        if accept:
+            req.add_header("Accept", accept)
+        with urllib.request.urlopen(req, timeout=10) as resp:
+            return resp.headers.get("Content-Type", ""), resp.read().decode()
+
+    def post(path, data):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}",
+            data=json.dumps(data).encode(), method="POST")
+        with urllib.request.urlopen(req, timeout=10) as resp:
+            return json.loads(resp.read().decode())
+
+    try:
+        ctype, page = get("/", accept="text/html,application/xhtml+xml")
+        assert ctype.startswith("text/html")
+        for target in ("/request", "/parse", "/curl_parse", "css"):
+            assert target in page
+        # API clients still get the JSON registry
+        ctype2, body = get("/")
+        assert ctype2.startswith("application/json")
+        assert "css" in json.loads(body)["parsers"]
+        # the page's download-once / parse-many loop end-to-end
+        rule = {"name": "page",
+                "request_args": {"url": "http://synth.test/x",
+                                 "method": "get"},
+                "parse_rules": [
+                    {"name": "num",
+                     "chain_rules": [["re", r"v=(\d+)", "$1"],
+                                     ["python", "getitem", "[0]"]],
+                     "child_rules": []}],
+                "regex": "https?://synth.test/.*"}
+        got = post("/request", rule)
+        assert got["ok"] and "v=7" in got["text"]
+        parsed = post("/parse", {"input_object": got["text"],
+                                 "rule": json.dumps(rule)})
+        assert json.loads(parsed["json"]) == {"page": {"num": "7"}}
+    finally:
+        server.shutdown()
+        server.server_close()

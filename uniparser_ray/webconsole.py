@@ -105,8 +105,91 @@ class ConsoleState:
                 "cb_names": " | ".join(InputCallbacks._CALLBACKS)}
 
 
+# The reference serves an interactive page + /static assets
+# (reference: webui.py:101-134, templates/index.html); here the page is
+# one self-contained document (inline CSS/JS, no asset routes) driving
+# the same three endpoints — the download-once / parse-many loop from a
+# browser.  GET / content-negotiates: browsers (Accept: text/html) get
+# the page, API clients keep the JSON parser registry.
+_INDEX_HTML = """<!doctype html>
+<html><head><meta charset="utf-8"><title>uniparser_ray console</title>
+<style>
+ body {{ font-family: monospace; margin: 1.5em; max-width: 70em; }}
+ textarea, input[type=text] {{ width: 100%; font-family: monospace; }}
+ pre {{ background: #f4f4f4; padding: .6em; white-space: pre-wrap; }}
+ button {{ margin: .3em .5em .8em 0; }}
+ details {{ margin-bottom: 1em; }}
+</style></head><body>
+<h2>uniparser_ray rule console</h2>
+<p>download once (<code>/request</code>), parse many
+(<code>/parse</code>) against the sticky context; convert curl
+commands (<code>/curl_parse</code>).</p>
+<details><summary>parser registry ({n_parsers} parsers;
+input callbacks: {cb_names})</summary><pre>{registry}</pre></details>
+<label>CrawlerRule JSON</label>
+<textarea id="rule" rows="12">{example}</textarea>
+<button onclick="doRequest()">Download (/request)</button>
+<button onclick="doParse()">Parse (/parse)</button>
+<label>input_object (filled by Download; editable)</label>
+<textarea id="input" rows="6"></textarea>
+<label>curl command</label>
+<input type="text" id="curl" value="curl http://example.com/">
+<button onclick="doCurl()">Convert (/curl_parse)</button>
+<h3>result</h3><pre id="out"></pre>
+<script>
+const out = (o) => document.getElementById('out').textContent =
+    typeof o === 'string' ? o : JSON.stringify(o, null, 2);
+async function post(path, body, raw) {{
+  const resp = await fetch(path, {{method: 'POST',
+      body: raw ? body : JSON.stringify(body)}});
+  return resp.json();
+}}
+async function doRequest() {{
+  try {{
+    const r = await post('/request',
+        JSON.parse(document.getElementById('rule').value));
+    if (typeof r.text === 'string')
+      document.getElementById('input').value = r.text;
+    out(r);
+  }} catch (e) {{ out(String(e)); }}
+}}
+async function doParse() {{
+  try {{
+    out(await post('/parse', {{
+        input_object: document.getElementById('input').value,
+        rule: document.getElementById('rule').value}}));
+  }} catch (e) {{ out(String(e)); }}
+}}
+async function doCurl() {{
+  try {{
+    out(await post('/curl_parse',
+        document.getElementById('curl').value, true));
+  }} catch (e) {{ out(String(e)); }}
+}}
+</script></body></html>"""
+
+_EXAMPLE_RULE = {
+    "name": "example",
+    "request_args": {"url": "http://example.com/", "method": "get"},
+    "parse_rules": [
+        {"name": "title",
+         "chain_rules": [["css", "title", "$text"],
+                         ["python", "getitem", "[0]"]],
+         "child_rules": []}],
+    "regex": "^http://example.com/",
+}
+
+
 class _Handler(BaseHTTPRequestHandler):
     state: ConsoleState = None  # injected by make_server
+
+    def _reply_html(self, html: str, code=200):
+        body = html.encode("utf-8")
+        self.send_response(code)
+        self.send_header("Content-Type", "text/html; charset=utf-8")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
 
     def _reply(self, obj, code=200):
         body = json.dumps(obj, default=repr, ensure_ascii=False).encode()
@@ -122,7 +205,21 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_GET(self):
         if self.path.rstrip("/") in ("", "/"):
-            self._reply(self.state.do_index())
+            accept = self.headers.get("Accept", "")
+            if "text/html" in accept:
+                idx = self.state.do_index()
+                registry = "\n".join(
+                    f"{name}: {idx['docs'][name].splitlines()[0] if idx['docs'][name] else ''}"
+                    for name in idx["parsers"])
+                self._reply_html(_INDEX_HTML.format(
+                    n_parsers=len(idx["parsers"]),
+                    cb_names=idx["cb_names"],
+                    registry=registry.replace("&", "&amp;")
+                    .replace("<", "&lt;"),
+                    example=json.dumps(_EXAMPLE_RULE, indent=1)
+                    .replace("&", "&amp;").replace("<", "&lt;")))
+            else:
+                self._reply(self.state.do_index())
         else:
             self._reply({"error": f"unknown path {self.path!r}"}, 404)
 
