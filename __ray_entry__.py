@@ -369,6 +369,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_wet_roundtrip": images_q.crawl_wet_roundtrip,
         "images_wds_roundtrip": images_q.images_wds_roundtrip,
         "crawl_url_canon": crawl_q.crawl_url_canon,
+        "crawl_sitemap_ingest": crawl_q.crawl_sitemap_ingest,
         "crawl_resume_roundtrip": crawl_q.crawl_resume_roundtrip,
         "audio_features": images_q.audio_features_q,
         "video_frames": images_q.video_frames_q,
@@ -623,6 +624,9 @@ def _expected_table(kind: str, tag: str) -> pa.Table:
     if kind == "sizes":
         from uniparser_ray.pipelines.images_q import expected_images_sizes
         return expected_images_sizes(tag)
+    if kind == "sitemap":
+        from uniparser_ray.pipelines.crawl_q import expected_sitemap_rows
+        return expected_sitemap_rows(tag)
     from uniparser_ray.pipelines.graph import (expected_components,
                                                expected_host_degrees,
                                                expected_pagerank)
@@ -848,6 +852,10 @@ def _multimodal_oracle_thunks(tag: str) -> dict:
             UNION ALL
             SELECT url, 4, 'http://' || host, url FROM hp
             WHERE path = '/'
+        """,
+        "crawl_sitemap_ingest": lambda: f"""
+            WITH {_values_cte('e', _expected_table('sitemap', tag))}
+            SELECT host, sitemap_url, url, lastmod, priority_bp FROM e
         """,
         "images_wds_roundtrip": lambda: f"""
             SELECT image_id, md5(hex(bytes)) AS bytes_md5h,

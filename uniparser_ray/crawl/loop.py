@@ -126,6 +126,19 @@ class CrawlConfig:
     # Opt-in to keep the default grant bit-identical to round-2 runs.
     robots_delay_budget: bool = False
     round_seconds: float = 60.0
+    # sitemap-seeded frontier: round 0 additionally ingests every seed
+    # host's advertised sitemap (robots.txt ``Sitemap:`` discovery,
+    # <sitemapindex> chunk files followed) DISTRIBUTED — one task per
+    # host batch, rows written task-parallel into the round-0 frontier
+    # checkpoint.  Advertised URLs enter at depth 0 with priority
+    # (0, 1) mapped from the sitemap's <priority> (crawl/sitemap.py
+    # seed_priority): after the explicit seeds (0.0), before any
+    # discovered link (>= 1.0).  URLs that are ALSO explicit seeds are
+    # dropped at ingest so lineage stays deterministic (otherwise the
+    # seen test-and-set would pick an arbitrary one of the two rows).
+    # The conformance oracle models the same seeding (sitemap_seeds=
+    # True on BFSOracle.run).
+    sitemap_seeds: bool = False
 
 
 def _frontier_table(urls: List[str], parents: List[str], depths: List[int],
@@ -382,6 +395,45 @@ class CrawlRun:
         self._write_frontier(_frontier_table(
             seeds, [""] * len(seeds), [0] * len(seeds),
             [0.0] * len(seeds), [0] * len(seeds)), 0)
+        if self.cfg.sitemap_seeds:
+            self._seed_sitemaps(seeds)
+
+    def _seed_sitemaps(self, seeds: List[str]):
+        """Distributed sitemap ingest of the seed hosts -> extra
+        round-0 frontier rows, written task-parallel alongside the
+        driver's seed file (the round read globs the directory)."""
+        import ray
+        import ray.data as rd
+
+        from ..rulevm.request import get_host
+        from ..rulevm.urlutil import canonicalize_url
+        from .sitemap import make_ingest_stage, seed_priority
+
+        hosts = sorted({get_host(canonicalize_url(u), "")
+                        for u in seeds} - {""})
+        if not hosts:
+            return
+        seed_canon_ref = ray.put(
+            frozenset(canonicalize_url(u) for u in seeds))
+        web_cfg = dict(self.cfg.web_config)
+        ingest = make_ingest_stage(web_cfg)
+
+        def to_frontier(t: pa.Table) -> pa.Table:
+            seed_canon = ray.get(seed_canon_ref)
+            urls, parents, prios = [], [], []
+            for row in ingest(t).to_pylist():
+                if canonicalize_url(row["url"]) in seed_canon:
+                    continue
+                urls.append(row["url"])
+                parents.append(row["sitemap_url"])
+                prios.append(seed_priority(row["priority_bp"]))
+            n = len(urls)
+            return _frontier_table(urls, parents, [0] * n, prios, [0] * n)
+
+        (rd.from_items([{"host": h} for h in hosts],
+                       override_num_blocks=min(len(hosts), 16))
+           .map_batches(to_frontier, batch_format="pyarrow", batch_size=4)
+           .write_parquet(str(self.frontier_dir / "round=0")))
 
     def run(self, rule_pack: dict, resume: bool = True) -> dict:
         import ray

@@ -125,7 +125,8 @@ class BFSOracle:
                 k = min(k, max(1, int(self.round_seconds // delay)))
         return k
 
-    def run(self, seeds, max_rounds: int = 20) -> dict:
+    def run(self, seeds, max_rounds: int = 20,
+            sitemap_seeds: bool = False) -> dict:
         from collections import defaultdict
         from ..rulevm.urlutil import canonicalize_url, url_hash64
         from ..rulevm.request import get_host
@@ -139,6 +140,22 @@ class BFSOracle:
         parents = {}         # url -> fetching parent url ("" for seeds)
         rule_names = {}      # url -> crawler rule name
         candidates = [(u, "", 0, 0.0, False) for u in seeds]
+        if sitemap_seeds:
+            # mirror of CrawlRun._seed_sitemaps: every seed host's
+            # advertised sitemap enters round 0 at depth 0 with
+            # priority seed_priority(bp); URLs that are also explicit
+            # seeds are dropped (deterministic lineage)
+            from .sitemap import ingest_host, seed_priority
+            seed_canon = {canonicalize_url(u) for u in seeds}
+            hosts = sorted({get_host(canonicalize_url(u), "")
+                            for u in seeds} - {""})
+            for host in hosts:
+                for row in ingest_host(self.web, host):
+                    if canonicalize_url(row["url"]) in seed_canon:
+                        continue
+                    candidates.append(
+                        (row["url"], row["sitemap_url"], 0,
+                         seed_priority(row["priority_bp"]), False))
         for r in range(max_rounds):
             if not candidates:
                 break

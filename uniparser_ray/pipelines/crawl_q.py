@@ -165,3 +165,60 @@ def crawl_url_canon(sf_dir: str):
     ds = read_parquet_clean(f"{out}/pages", columns=["url"])
     return (ds.map_batches(_variants, batch_format="pandas")
               .map_batches(_canon_stage, batch_format="pyarrow"))
+
+
+def crawl_sitemap_ingest(sf_dir: str):
+    """Sitemap discovery + ingest as a distributed pipeline: every
+    host of the crawl's web fans out as a Dataset row, each task runs
+    robots.txt discovery -> sitemap fetch (following <sitemapindex>
+    chunk files on big hosts) -> one regex sweep per XML blob, and
+    emits (host, sitemap_url, url, lastmod, priority_bp) rows.
+
+    Oracle: expected rows come from the generator's PURE entry list
+    (sources/synthweb.sitemap_entries — no XML involved), so the value
+    compare proves the whole render -> robots-discovery -> chunked
+    fetch -> parse chain, including lastmod/priority defaults for
+    entries whose optional tags are omitted."""
+    import ray.data as rd
+
+    from ..crawl.sitemap import make_ingest_stage
+    from .images_q import _CRAWL_BY_SF
+
+    from ..sources.synthweb import SynthWeb
+
+    tag = _sf_tag(sf_dir)
+    web_cfg = _CRAWL_BY_SF.get(tag, _CRAWL_BY_SF["sf0.01"])
+    n_hosts = web_cfg["num_hosts"]
+    names = SynthWeb(**web_cfg)
+    hosts = rd.from_items([{"host": names.host_name(h)}
+                           for h in range(n_hosts)],
+                          override_num_blocks=min(n_hosts, 16))
+    return hosts.map_batches(make_ingest_stage(web_cfg),
+                             batch_format="pyarrow", batch_size=4)
+
+
+def expected_sitemap_rows(tag: str):
+    """Generator-side twin for the crawl_sitemap_ingest oracle: the
+    same rows from sitemap_entries() directly (never rendered to XML),
+    with sitemap_url derived from the chunk layout arithmetic."""
+    import pyarrow as _pa
+
+    from ..sources.synthweb import SynthWeb
+    from .images_q import _CRAWL_BY_SF
+
+    web_cfg = _CRAWL_BY_SF.get(tag, _CRAWL_BY_SF["sf0.01"])
+    web = SynthWeb(**web_cfg)
+    rows = []
+    for h in range(web.num_hosts):
+        entries = web.sitemap_entries(h)
+        host = web.host_name(h)
+        chunked = len(entries) > web.SITEMAP_CHUNK
+        for i, (url, lastmod, prio_bp) in enumerate(entries):
+            sm = (f"http://{host}/sitemap-{i // web.SITEMAP_CHUNK}.xml"
+                  if chunked else f"http://{host}/sitemap.xml")
+            rows.append({"host": host, "sitemap_url": sm, "url": url,
+                         "lastmod": lastmod, "priority_bp": prio_bp})
+    return _pa.Table.from_pylist(rows, schema=_pa.schema([
+        ("host", _pa.string()), ("sitemap_url", _pa.string()),
+        ("url", _pa.string()), ("lastmod", _pa.string()),
+        ("priority_bp", _pa.int64())]))

@@ -127,12 +127,83 @@ class SynthWeb:
 
     def robots_txt(self, h: int) -> str:
         if h % 5 == 0:
-            return "User-agent: *\nDisallow: /page/13\nDisallow: /private/\n"
-        if h % 5 == 3:
+            base = "User-agent: *\nDisallow: /page/13\nDisallow: /private/\n"
+        elif h % 5 == 3:
             # polite host: Crawl-delay throttles the per-round budget
             # when CrawlConfig.robots_delay_budget is on
-            return "User-agent: *\nCrawl-delay: 20\nDisallow:\n"
-        return "User-agent: *\nDisallow:\n"
+            base = "User-agent: *\nCrawl-delay: 20\nDisallow:\n"
+        else:
+            base = "User-agent: *\nDisallow:\n"
+        # standard sitemap discovery: advertising hosts carry a
+        # ``Sitemap:`` line (outside any user-agent group, per spec)
+        if self.has_sitemap(h):
+            base += f"Sitemap: http://{self.host_name(h)}/sitemap.xml\n"
+        return base
+
+    # -- sitemaps ----------------------------------------------------------
+    # chunk size for big hosts: a real sitemap caps at 50k URLs and hot
+    # hosts serve a <sitemapindex> of chunk files — modeled here with a
+    # small cap so the index path is exercised at test scale
+    SITEMAP_CHUNK = 32
+
+    def has_sitemap(self, h: int) -> bool:
+        # ~2/3 of hosts advertise a sitemap; the rest 404 on it (the
+        # discovery path must tolerate absence)
+        return h % 3 != 2
+
+    def sitemap_entries(self, h: int) -> List[Tuple[str, str, int]]:
+        """(url, lastmod, priority_bp) rows host ``h`` advertises —
+        a deterministic ~75% subset of its real pages.  lastmod may be
+        "" and priority_bp may be the spec default 5000 (the rendered
+        XML omits those tags), so parser defaults are value-checked.
+        Pure function of (h, seed): any worker and the oracle agree."""
+        if not self.has_sitemap(h):
+            return []
+        out = []
+        for p in range(self.pages_of_host[h]):
+            m = _mix(h * 1_000_003 + p, self.seed + 23)
+            if m % 4 == 0:
+                continue   # pages the host does not advertise
+            prio_bp = 5000 if m % 5 == 0 else 1000 + (m >> 8) % 9000
+            lastmod = "" if m % 7 == 0 else \
+                f"2026-{1 + (m >> 16) % 12:02d}-{1 + (m >> 20) % 28:02d}"
+            out.append((self.page_url(h, p), lastmod, prio_bp))
+        return out
+
+    def _sitemap_urlset_xml(self, entries) -> str:
+        parts = ['<?xml version="1.0" encoding="UTF-8"?>',
+                 '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">']
+        for url, lastmod, prio_bp in entries:
+            row = [f"<url><loc>{url}</loc>"]
+            if lastmod:
+                row.append(f"<lastmod>{lastmod}</lastmod>")
+            if prio_bp != 5000:   # 0.5 is the spec default — omit it
+                row.append(f"<priority>{prio_bp / 10000:.4f}</priority>")
+            row.append("</url>")
+            parts.append("".join(row))
+        parts.append("</urlset>")
+        return "\n".join(parts)
+
+    def sitemap_xml(self, h: int, chunk: int = -1) -> str:
+        """``/sitemap.xml`` (chunk=-1) or ``/sitemap-{k}.xml``.  Hosts
+        whose entry count exceeds SITEMAP_CHUNK serve a <sitemapindex>
+        of chunk files at the root slot — the standard layout for big
+        hosts — and the chunks hold the entries."""
+        entries = self.sitemap_entries(h)
+        host = self.host_name(h)
+        if chunk < 0 and len(entries) > self.SITEMAP_CHUNK:
+            n_chunks = -(-len(entries) // self.SITEMAP_CHUNK)
+            parts = ['<?xml version="1.0" encoding="UTF-8"?>',
+                     '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">']
+            for k in range(n_chunks):
+                parts.append(f"<sitemap><loc>http://{host}/sitemap-{k}.xml"
+                             f"</loc></sitemap>")
+            parts.append("</sitemapindex>")
+            return "\n".join(parts)
+        if chunk >= 0:
+            entries = entries[chunk * self.SITEMAP_CHUNK:
+                              (chunk + 1) * self.SITEMAP_CHUNK]
+        return self._sitemap_urlset_xml(entries)
 
     # -- the server --------------------------------------------------------
     def get(self, url: str, attempt: int = 0) -> Tuple[int, dict, bytes]:
@@ -145,6 +216,13 @@ class SynthWeb:
         path = m.group(2) or "/"
         if path == "/robots.txt":
             return 200, {"Content-Type": "text/plain"}, self.robots_txt(h).encode()
+        sm = re.fullmatch(r"/sitemap(?:-(\d+))?\.xml", path)
+        if sm:
+            if not self.has_sitemap(h):
+                return 404, {"Content-Type": "text/html"}, b"<h1>404</h1>"
+            chunk = -1 if sm.group(1) is None else int(sm.group(1))
+            return 200, {"Content-Type": "application/xml"}, \
+                self.sitemap_xml(h, chunk).encode()
         img = re.fullmatch(r"/img/(\d+)\.(ppm|bmp|png)", path)
         if img:
             return 200, {"Content-Type": "application/octet-stream"}, \
