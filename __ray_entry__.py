@@ -371,6 +371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_url_canon": crawl_q.crawl_url_canon,
         "crawl_sitemap_ingest": crawl_q.crawl_sitemap_ingest,
         "crawl_resume_roundtrip": crawl_q.crawl_resume_roundtrip,
+        "crawl_redirects": crawl_q.crawl_redirects,
         "audio_features": images_q.audio_features_q,
         "video_frames": images_q.video_frames_q,
         "video_shot_boundaries": images_q.video_shot_boundaries,
@@ -627,6 +628,9 @@ def _expected_table(kind: str, tag: str) -> pa.Table:
     if kind == "sitemap":
         from uniparser_ray.pipelines.crawl_q import expected_sitemap_rows
         return expected_sitemap_rows(tag)
+    if kind == "redirects":
+        from uniparser_ray.pipelines.crawl_q import expected_crawl_redirects
+        return expected_crawl_redirects(tag)
     from uniparser_ray.pipelines.graph import (expected_components,
                                                expected_host_degrees,
                                                expected_pagerank)
@@ -826,6 +830,14 @@ def _multimodal_oracle_thunks(tag: str) -> dict:
                    md5(COALESCE(result_json, '')) AS content_md5
             FROM read_parquet('{_crawl_pages_glob(tag)}',
                               hive_partitioning = 1)
+        """,
+        # twin = the sequential BFSOracle's redirect model of the same
+        # web (inline 301/302 chains, canonical-final dedup, loop -2,
+        # robots-blocked hop -3) embedded as VALUES
+        "crawl_redirects": lambda: f"""
+            WITH {_values_cte('e', _expected_table('redirects', tag))}
+            SELECT url, round, status, final_url, redirects, is_dup
+            FROM e
         """,
         "crawl_url_canon": lambda: f"""
             WITH src AS (

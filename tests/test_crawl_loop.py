@@ -489,3 +489,178 @@ def test_crawl_resume_after_midround_crash(ray_session, tmp_path, ray_crawl,
     assert images.latest_version() > v_before
     assert all("crashed-attempt" not in f
                for f in images.fragment_files())
+
+
+REDIRECT_CFG = dict(num_hosts=4, base_pages=14, fanout=2, hot_factor=4.0,
+                    redirect_rate=0.5)
+
+
+@pytest.fixture(scope="module")
+def redirect_oracle():
+    """Redirect-enabled web + sitemap seeds: the sitemaps advertise
+    CANONICAL /page/{p} URLs while links use legacy /old*/{p} forms,
+    so the alias-vs-direct collision (RedirectDuplicate) is exercised
+    alongside chains and the /loopx <-> /loopy cycle."""
+    web = SynthWeb(**REDIRECT_CFG)
+    oracle = BFSOracle(web, web.rule_pack(), per_host_budget=3)
+    return oracle.run(web.seed_urls(), max_rounds=30, sitemap_seeds=True)
+
+
+def _redirect_page_rows(out_dir):
+    rows = {}
+    for r_dir in sorted((out_dir / "pages").glob("round=*")):
+        for f in sorted(r_dir.glob("*.parquet")):
+            t = pq.read_table(f, columns=["url", "status", "result_json",
+                                          "error", "final_url",
+                                          "redirects"])
+            for row in t.to_pylist():
+                rows[row["url"]] = row
+    return rows
+
+
+def test_crawl_redirects_match_oracle(ray_session, tmp_path,
+                                      redirect_oracle):
+    """3xx semantics vs the sequential oracle: identical per-round
+    fetch sets, final-URL mapping (relative 301 + absolute 302 chains),
+    RedirectDuplicate set, loop pages (-2), parsed values and URL-seen
+    set (which includes the canonical finals)."""
+    web = SynthWeb(**REDIRECT_CFG)
+    out = tmp_path / "crawl_redir"
+    cfg = CrawlConfig(web_config=REDIRECT_CFG, out_dir=str(out),
+                      seeds=web.seed_urls(), max_rounds=30,
+                      per_host_budget=3, fetch_concurrency=2,
+                      seen_shard_bits=2, sitemap_seeds=True)
+    totals = run_crawl(cfg, web.rule_pack())
+
+    assert _ray_rounds(out) == [r["fetched"]
+                                for r in redirect_oracle["rounds"]]
+    rows = _redirect_page_rows(out)
+    # finals carry ("", hops) for failed chains (loop / blocked hop)
+    finals = {u: (r["final_url"], r["redirects"])
+              for u, r in rows.items() if r["redirects"]}
+    assert finals == redirect_oracle["finals"]
+    # the web must actually exercise single hops AND two-hop chains
+    hop_counts = {h for _f, h in finals.values()}
+    assert {1, 2} <= hop_counts
+    dups = {u for u, r in rows.items() if r["error"] == "RedirectDuplicate"}
+    assert dups == redirect_oracle["redirect_dups"] and dups
+    loops = {u for u, r in rows.items() if r["status"] == -2}
+    assert loops == {u for u, (s, _b) in redirect_oracle["pages"].items()
+                     if s == -2} and loops
+    # redirects onto robots-disallowed targets terminate as -3 (a 301
+    # chain must not smuggle a disallowed page past admission)
+    blocked = {u for u, r in rows.items() if r["status"] == -3}
+    assert blocked == {u for u, (s, _b) in redirect_oracle["pages"].items()
+                       if s == -3} and blocked
+    # seen-set equality INCLUDING the canonical finals added mid-fetch
+    assert totals["seen"]["added"] == len(redirect_oracle["seen"])
+    assert totals["seen"]["divergences"] == 0
+    for u, r in rows.items():
+        o_status, o_body = redirect_oracle["pages"][u]
+        assert r["status"] == o_status
+        if o_status == 200 and u not in dups:
+            assert json.loads(r["result_json"])["title"] == o_body["title"]
+
+
+def test_crawl_redirect_resume_replays_finals(ray_session, tmp_path,
+                                              redirect_oracle):
+    """Resume must replay final_hash into the seen shards: interrupt a
+    redirect-heavy crawl after 2 rounds, resume, and require the clean
+    run's per-round schedule — if finals were NOT reseeded, a post-
+    resume alias hop would re-extract an already-crawled page and the
+    fetch sets would diverge."""
+    web = SynthWeb(**REDIRECT_CFG)
+    out = tmp_path / "crawl_redir_resume"
+    base = dict(web_config=REDIRECT_CFG, out_dir=str(out),
+                seeds=web.seed_urls(), per_host_budget=3,
+                fetch_concurrency=2, seen_shard_bits=2,
+                sitemap_seeds=True)
+    run_crawl(CrawlConfig(max_rounds=2, **base), web.rule_pack())
+    totals = run_crawl(CrawlConfig(max_rounds=30, **base),
+                       web.rule_pack(), resume=True)
+    assert _ray_rounds(out) == [r["fetched"]
+                                for r in redirect_oracle["rounds"]]
+    # seen counts may undershoot the clean run by the few hashes whose
+    # admission was robots-REJECTED pre-interrupt (they're deliberately
+    # not checkpointed — the per-hop robots check makes them
+    # behaviorally irrelevant, as the round equality above proves)
+    assert 0 <= len(redirect_oracle["seen"]) - totals["seen"]["added"] <= 3
+    rows = _redirect_page_rows(out)
+    dups = {u for u, r in rows.items() if r["error"] == "RedirectDuplicate"}
+    assert dups == redirect_oracle["redirect_dups"]
+
+
+def test_redirect_rate_zero_web_unchanged():
+    """redirect_rate=0 (the default) must leave the web byte-identical
+    to the historic model — every existing fixture and embedded oracle
+    depends on it."""
+    base = SynthWeb(num_hosts=3, base_pages=10, fanout=2, hot_factor=4.0)
+    tagged = SynthWeb(num_hosts=3, base_pages=10, fanout=2, hot_factor=4.0,
+                      redirect_rate=0.0)
+    for h in range(3):
+        for p in range(base.pages_of_host[h]):
+            assert base.get(base.page_url(h, p)) == \
+                tagged.get(tagged.page_url(h, p))
+        assert base.robots_txt(h) == tagged.robots_txt(h)
+
+
+def test_follow_fetch_units():
+    """Hostile 3xx shapes against FetchParseStage._follow_fetch: a 3xx
+    without Location is terminal (not followed), relative and absolute
+    Location both resolve, hop budget and loop detection land -2."""
+    from uniparser_ray.stages.crawl_stages import FetchParseStage
+
+    class OddWeb:
+        def get(self, url, attempt=0):
+            path = url.split(".test", 1)[1] or "/"
+            if path == "/noloc":
+                return 301, {}, b"<html>no location</html>"
+            if path == "/rel":
+                return 302, {"Location": "/target"}, b""
+            if path == "/abs":
+                return 301, {"Location": "http://host-0000.test/target"}, b""
+            if path.startswith("/hop/"):
+                n = int(path.rsplit("/", 1)[1])
+                return 301, {"Location": f"/hop/{n + 1}"}, b""
+            if path == "/self":
+                return 302, {"Location": "/self"}, b""
+            return 200, {"Content-Type": "text/html"}, \
+                b"<html><h1 class='page-title'>T</h1></html>"
+
+    pack = {"host-0000.test": {
+        "host": "host-0000.test",
+        "crawler_rules": {"page": {
+            "name": "page",
+            "request_args": {"method": "get",
+                             "url": "http://host-0000.test/"},
+            "parse_rules": [{"name": "title",
+                             "chain_rules": [["css", "h1.page-title",
+                                              "$text"],
+                                             ["py", "getitem", "[0]"]],
+                             "child_rules": []}],
+            "regex": "^http://host-0000\\.test/.*$"}}}}
+    stage = FetchParseStage(rule_pack=pack, web_config={},
+                            max_redirects=3)
+    stage.web = OddWeb()
+    from uniparser_ray.rulevm.transport import SyntheticWebAdapter
+    stage.adapter = SyntheticWebAdapter(stage.web)
+    rule = stage._find_rule("http://host-0000.test/rel")
+
+    # 3xx without Location: terminal, status preserved, no hops
+    _t, _r, status, final, hops, err = stage._follow_fetch(
+        rule, "http://host-0000.test/noloc", 0)
+    assert (status, final, hops, err) == (301, "", 0, None)
+    # relative + absolute Location resolve to the canonical target
+    for path in ("/rel", "/abs"):
+        _t, _r, status, final, hops, _e = stage._follow_fetch(
+            rule, f"http://host-0000.test{path}", 0)
+        assert status == 200 and hops == 1
+        assert final == "http://host-0000.test/target"
+    # unbounded chain: -2 TooManyRedirects at the hop budget
+    _t, _r, status, final, hops, err = stage._follow_fetch(
+        rule, "http://host-0000.test/hop/0", 0)
+    assert status == -2 and "TooManyRedirects" in err
+    # self-redirect: -2 RedirectLoop on the first revisit
+    _t, _r, status, _f, hops, err = stage._follow_fetch(
+        rule, "http://host-0000.test/self", 0)
+    assert status == -2 and "RedirectLoop" in err and hops == 1

@@ -139,6 +139,17 @@ class CrawlConfig:
     # The conformance oracle models the same seeding (sitemap_seeds=
     # True on BFSOracle.run).
     sitemap_seeds: bool = False
+    # 3xx handling: redirects are followed INLINE by the fetch stage
+    # (requests semantics — one politeness token per granted URL no
+    # matter the hops, bounded by max_redirects; loops/exhaustion land
+    # as status -2, permanent).  The canonical FINAL URL is
+    # test-and-set against the URL-seen shards from inside the fetch
+    # workers (the shards are atomic), so a page reachable both via a
+    # legacy URL and its canonical URL extracts once and later direct
+    # links to the canonical form dedup at admission.  final_url /
+    # final_hash / redirects ride the page checkpoint rows (resume
+    # replays final_hash into the seen shards).
+    max_redirects: int = 5
 
 
 def _frontier_table(urls: List[str], parents: List[str], depths: List[int],
@@ -358,9 +369,15 @@ class CrawlRun:
                          (self.pages_dir / f"round={r}").glob("*.parquet"))
                      if (self.pages_dir / f"round={r}").exists()]
         if page_dirs:
-            replay(page_dirs, ["url_hash"],
-                   lambda t: t["url_hash"].to_numpy(zero_copy_only=False)
-                   .astype(np.uint64),
+            def page_hashes(t: pa.Table) -> np.ndarray:
+                uh = t["url_hash"].to_numpy(zero_copy_only=False) \
+                    .astype(np.uint64)
+                # redirect finals were test-and-set during the fetch —
+                # replay the nonzero ones alongside the requested URLs
+                fh = t["final_hash"].to_numpy(zero_copy_only=False) \
+                    .astype(np.uint64)
+                return np.concatenate([uh, fh[fh != 0]])
+            replay(page_dirs, ["url_hash", "final_hash"], page_hashes,
                    self.seen)
         if self.images.exists():
             frag_files = self.images.fragment_files()
@@ -622,7 +639,11 @@ class CrawlRun:
             # worker concurrency) --------------------------------------
             from ..stages.taskcache import cached_stage
             fetch_kwargs = dict(rule_pack_ref=self.rule_pack_ref,
-                                web_config=self.cfg.web_config)
+                                web_config=self.cfg.web_config,
+                                max_redirects=self.cfg.max_redirects,
+                                seen_shards=self.seen.shards,
+                                seen_shard_bits=self.seen.shard_bits,
+                                robots_shards=self.robots_shards)
             if self.politeness_shards:
                 fetch_kwargs.update(
                     politeness_shards=self.politeness_shards,

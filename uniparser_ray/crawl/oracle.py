@@ -79,7 +79,7 @@ class BFSOracle:
     def __init__(self, web, rule_pack: dict, per_host_budget: int = 8,
                  max_pending_per_host: int = 1000, use_robots: bool = True,
                  host_budgets: dict = None, robots_delay_budget: bool = False,
-                 round_seconds: float = 60.0):
+                 round_seconds: float = 60.0, max_redirects: int = 5):
         from ..rulevm.transport import SyntheticWebAdapter
         from .storage import JSONRuleStorage
         from ..state.robots import parse_crawl_delay, parse_robots
@@ -94,6 +94,7 @@ class BFSOracle:
         self.use_robots = use_robots
         self.robots_delay_budget = robots_delay_budget
         self.round_seconds = round_seconds
+        self.max_redirects = max_redirects
         self._parse_robots = parse_robots
         self._parse_delay = parse_crawl_delay
         self._robots_cache: dict = {}
@@ -139,6 +140,8 @@ class BFSOracle:
         image_round = {}     # image_id -> round first seen (lineage)
         parents = {}         # url -> fetching parent url ("" for seeds)
         rule_names = {}      # url -> crawler rule name
+        finals = {}          # url -> (final_canon_url, hops) when 3xx'd
+        redirect_dups = set()  # urls whose final landed on a seen page
         candidates = [(u, "", 0, 0.0, False) for u in seeds]
         if sitemap_seeds:
             # mirror of CrawlRun._seed_sitemaps: every seed host's
@@ -193,11 +196,54 @@ class BFSOracle:
                 if rule is None:
                     pages[url] = (0, None)
                     continue
-                text, resp = self.adapter.request(**dict(rule.get_request(url=url)))
-                if isinstance(resp, Exception):
-                    pages[url] = (-1, None)
+                # inline 3xx following — the sequential mirror of
+                # FetchParseStage._follow_fetch (hop bound, loop
+                # detection, canonical-final seen dedup)
+                from urllib.parse import urljoin
+                cur, hops, visited = url, 0, {url}
+                text = resp = None
+                status = -2
+                while True:
+                    text, resp = self.adapter.request(
+                        **dict(rule.get_request(url=cur)))
+                    if isinstance(resp, Exception):
+                        status = -1
+                        break
+                    status = resp.status_code
+                    if status in (301, 302, 303, 307, 308):
+                        loc = (resp.headers.get("Location")
+                               or resp.headers.get("location"))
+                        if loc:
+                            nxt = urljoin(cur, loc)
+                            hops += 1
+                            if hops > self.max_redirects or nxt in visited:
+                                status = -2
+                                break
+                            # robots applies to redirect TARGETS too —
+                            # a 301 chain must not smuggle a disallowed
+                            # page past the admission filter
+                            if not self._allowed(get_host(nxt, ""), nxt):
+                                status = -3
+                                break
+                            visited.add(nxt)
+                            cur = nxt
+                            continue
+                    break
+                if status in (-1, -2, -3):
+                    if hops:   # failed chains keep their hop count
+                        finals[url] = ("", hops)
+                    pages[url] = (status, None)
                     continue
-                status = resp.status_code
+                if hops:
+                    fc = canonicalize_url(cur)
+                    finals[url] = (fc, hops)
+                    if status == 200 and fc != url:
+                        fh = url_hash64(fc)
+                        if fh in seen:
+                            redirect_dups.add(url)
+                            pages[url] = (status, None)
+                            continue
+                        seen.add(fh)
                 if status != 200:
                     pages[url] = (status, None)
                     continue
@@ -247,7 +293,8 @@ class BFSOracle:
             candidates = next_candidates
         return {"rounds": rounds, "pages": pages, "images": images,
                 "image_round": image_round,
-                "seen": seen, "parents": parents, "rule_names": rule_names}
+                "seen": seen, "parents": parents, "rule_names": rule_names,
+                "finals": finals, "redirect_dups": redirect_dups}
 
 
 def assemble_oracle_trees(result: dict) -> dict:

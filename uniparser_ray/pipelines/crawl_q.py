@@ -153,6 +153,114 @@ def crawl_resume_roundtrip(sf_dir: str):
     return _read_pages_hashed(f"{out}/pages")
 
 
+_REDIRECT_RUNS: dict = {}
+# alias density for the redirect fixture web: high enough that single
+# hops, two-hop chains, RedirectDuplicates (sitemap-advertised
+# canonical vs legacy link), robots-blocked hops and the /loopx cycle
+# ALL occur at every sf
+_REDIRECT_RATE = 0.4
+
+
+def _redirect_web_cfg(tag: str) -> dict:
+    from .images_q import _CRAWL_BY_SF
+    return dict(_CRAWL_BY_SF.get(tag, _CRAWL_BY_SF["sf0.01"]),
+                redirect_rate=_REDIRECT_RATE)
+
+
+def _ensure_redirect_crawl(tag: str) -> str:
+    """One redirect-enabled crawl per (process, tag): same sf-scaled
+    web as the harness crawl but with legacy-URL aliases on
+    (sources/synthweb.py redirect model) and sitemap seeding (the
+    sitemaps advertise CANONICAL URLs while links use legacy forms —
+    the alias-vs-direct RedirectDuplicate path needs both)."""
+    if tag in _REDIRECT_RUNS:
+        return _REDIRECT_RUNS[tag]
+    from ..crawl.loop import CrawlConfig, run_crawl
+    from ..sources.synthweb import SynthWeb
+    from .images_q import _CRAWL_BUDGET, _CRAWL_ROUNDS
+
+    web_cfg = _redirect_web_cfg(tag)
+    web = SynthWeb(**web_cfg)
+    out = f"/tmp/uniparser_ray_cache/crawl_redirect_{tag}"
+    shutil.rmtree(out, ignore_errors=True)
+    cfg = CrawlConfig(web_config=web_cfg, out_dir=out,
+                      seeds=web.seed_urls(), max_rounds=_CRAWL_ROUNDS,
+                      per_host_budget=_CRAWL_BUDGET, fetch_concurrency=4,
+                      seen_shard_bits=3, sitemap_seeds=True)
+    run_crawl(cfg, web.rule_pack())
+    _REDIRECT_RUNS[tag] = out
+    return out
+
+
+def crawl_redirects(sf_dir: str):
+    """3xx semantics under a value oracle: a redirect-enabled crawl's
+    per-page (url, round, status, final_url, redirects, is_dup) rows —
+    covering inline 301/302 chains (relative + absolute Location),
+    canonical-final seen dedup (is_dup marks the losing legacy fetch),
+    redirect loops (-2) and robots-blocked hops (-3) — must equal the
+    sequential conformance crawler's model of the same web.  One
+    projection-pruned task-parallel read of the pages checkpoints; the
+    round rides the compare so redirect handling that shifts WHEN a
+    page is fetched goes red too."""
+    import ray.data as rd
+
+    tag = _sf_tag(sf_dir)
+    out = _ensure_redirect_crawl(tag)
+    rows = [{"path": str(f), "round": int(f.parent.name.split("=")[1])}
+            for f in sorted(Path(out, "pages").glob("round=*/*.parquet"))]
+
+    def read_pages(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+        parts = []
+        for row in batch.to_pylist():
+            t = pq.read_table(row["path"],
+                              columns=["url", "status", "final_url",
+                                       "redirects", "error"])
+            err = t["error"].to_pylist()
+            parts.append(pa.table({
+                "url": t["url"].cast(pa.string()),
+                "round": pa.array([row["round"]] * t.num_rows, pa.int64()),
+                "status": t["status"].cast(pa.int64()),
+                "final_url": t["final_url"].cast(pa.string()),
+                "redirects": t["redirects"].cast(pa.int64()),
+                "is_dup": pa.array(
+                    [1 if e == "RedirectDuplicate" else 0 for e in err],
+                    pa.int64())}))
+        return pa.concat_tables(parts)
+
+    return rd.from_items(rows).map_batches(read_pages,
+                                           batch_format="pyarrow",
+                                           batch_size=4)
+
+
+def expected_crawl_redirects(tag: str) -> pa.Table:
+    """Generator-side twin: the single-process BFSOracle (an
+    independent sequential implementation of the same crawl + redirect
+    semantics) run over the identical web/config."""
+    from ..crawl.oracle import BFSOracle
+    from ..sources.synthweb import SynthWeb
+    from .images_q import _CRAWL_BUDGET, _CRAWL_ROUNDS
+
+    web_cfg = _redirect_web_cfg(tag)
+    web = SynthWeb(**web_cfg)
+    oracle = BFSOracle(SynthWeb(**web_cfg), web.rule_pack(),
+                       per_host_budget=_CRAWL_BUDGET)
+    res = oracle.run(web.seed_urls(), max_rounds=_CRAWL_ROUNDS,
+                     sitemap_seeds=True)
+    url_round = {u: r["round"] for r in res["rounds"] for u in r["fetched"]}
+    rows = []
+    for url, (status, _body) in res["pages"].items():
+        fc, hops = res["finals"].get(url, ("", 0))
+        rows.append({"url": url, "round": url_round[url],
+                     "status": status, "final_url": fc,
+                     "redirects": hops,
+                     "is_dup": 1 if url in res["redirect_dups"] else 0})
+    return pa.Table.from_pylist(rows, schema=pa.schema([
+        ("url", pa.string()), ("round", pa.int64()),
+        ("status", pa.int64()), ("final_url", pa.string()),
+        ("redirects", pa.int64()), ("is_dup", pa.int64())]))
+
+
 def crawl_url_canon(sf_dir: str):
     """Value-check the frontier's URL canonicalizer: messy variants of
     every fetched URL must canonicalize back to the SQL-predicted

@@ -34,7 +34,8 @@ class SynthWeb:
     def __init__(self, num_hosts: int = 50, base_pages: int = 40,
                  fanout: int = 3, hot_factor: float = 25.0, seed: int = 42,
                  page_weight: int = 0, image_rate: float = 1.0,
-                 flaky_mod: int = 0, flaky_attempts: int = 1):
+                 flaky_mod: int = 0, flaky_attempts: int = 1,
+                 redirect_rate: float = 0.0):
         self.num_hosts = num_hosts
         self.base_pages = base_pages
         self.fanout = fanout
@@ -54,6 +55,20 @@ class SynthWeb:
         # flaky_mod=0) sees the same web
         self.flaky_mod = flaky_mod
         self.flaky_attempts = flaky_attempts
+        # legacy-URL redirect model (off by default — byte-identical
+        # web when 0): a deterministic ~redirect_rate fraction of
+        # non-root pages are "moved" — every link to such a page is
+        # emitted in its LEGACY form (/old/{p}, or /old2/{p} for a
+        # sub-slice that chains two hops) and the legacy paths answer
+        # 301 (relative Location) / 302 (absolute Location) toward the
+        # canonical /page/{p}.  The alias form is a pure function of
+        # the TARGET (h, p), so the whole web agrees on one alias per
+        # page — at most one legacy URL ever maps to a canonical URL,
+        # which keeps redirect dedup deterministic under any fetch
+        # order.  Hosts h % 7 == 1 additionally link a 2-cycle
+        # redirect loop (/loopx <-> /loopy) from their root page —
+        # the TooManyRedirects path.
+        self.redirect_rate = redirect_rate
         # Zipf-ish page budget: rank-0 host has hot_factor * base pages
         self.pages_of_host = [
             max(3, int(base_pages * (hot_factor / (h + 1) ** 0.9)))
@@ -95,6 +110,31 @@ class SynthWeb:
                 return self.page_url(target, 0)
         return ""
 
+    # -- redirects ----------------------------------------------------------
+    def alias_kind(self, h: int, p: int) -> int:
+        """0 = page linked directly; 1 = linked as /old/{p} (one 301
+        hop); 2 = linked as /old2/{p} (302 -> /old/{p} -> 301 ->
+        /page/{p}, a two-hop chain).  Pure function of the target."""
+        if self.redirect_rate <= 0 or p == 0:
+            return 0
+        m = _mix(h * 1_000_003 + p, self.seed + 29)
+        if m % 1000 >= self.redirect_rate * 1000:
+            return 0
+        return 2 if m % 5 == 0 else 1
+
+    def link_url(self, h: int, p: int) -> str:
+        """The URL the rest of the web uses to link to page (h, p) —
+        the legacy form when the page is 'moved'."""
+        kind = self.alias_kind(h, p)
+        if kind == 1:
+            return f"http://{self.host_name(h)}/old/{p}"
+        if kind == 2:
+            return f"http://{self.host_name(h)}/old2/{p}"
+        return self.page_url(h, p)
+
+    def has_redirect_loop(self, h: int) -> bool:
+        return self.redirect_rate > 0 and h % 7 == 1
+
     def num_images(self, h: int, p: int) -> int:
         m = _mix(h * 1_000_003 + p, self.seed + 13)
         if self.image_rate < 1.0 and (m >> 8) % 1000 >= self.image_rate * 1000:
@@ -110,7 +150,11 @@ class SynthWeb:
             parts.append(
                 f'<img class="photo" src="/img/{idx}.{fmt}" alt="{caption_for(idx)}"/>')
         for child in self.child_pages(h, p):
-            parts.append(f'<a class="nav" href="/page/{child}">child {child}</a>')
+            href = self.link_url(h, child).split(".test", 1)[1] \
+                if self.redirect_rate > 0 else f"/page/{child}"
+            parts.append(f'<a class="nav" href="{href}">child {child}</a>')
+        if p == 0 and self.has_redirect_loop(h):
+            parts.append('<a class="nav" href="/loopx">legacy index</a>')
         # duplicate link (dedup work for the seen filter)
         parts.append(f'<a class="nav" href="{self.page_url(h, p)}">self</a>')
         cross = self.cross_link(h, p)
@@ -223,6 +267,23 @@ class SynthWeb:
             chunk = -1 if sm.group(1) is None else int(sm.group(1))
             return 200, {"Content-Type": "application/xml"}, \
                 self.sitemap_xml(h, chunk).encode()
+        if self.redirect_rate > 0:
+            # legacy paths answer redirects toward the canonical page:
+            # /old2/{p} -> 302 absolute -> /old/{p} -> 301 relative ->
+            # /page/{p}; /loopx <-> /loopy is a 2-cycle (never lands)
+            old = re.fullmatch(r"/old(2?)/(\d+)", path)
+            if old:
+                p = int(old.group(2))
+                if old.group(1):
+                    loc = f"http://{self.host_name(h)}/old/{p}"
+                    return 302, {"Content-Type": "text/html",
+                                 "Location": loc}, b""
+                return 301, {"Content-Type": "text/html",
+                             "Location": f"/page/{p}"}, b""
+            if path in ("/loopx", "/loopy"):
+                loc = "/loopy" if path == "/loopx" else "/loopx"
+                return 302, {"Content-Type": "text/html",
+                             "Location": loc}, b""
         img = re.fullmatch(r"/img/(\d+)\.(ppm|bmp|png)", path)
         if img:
             return 200, {"Content-Type": "application/octet-stream"}, \
@@ -290,7 +351,12 @@ class SynthWeb:
                                   "context['req']['url'].split('/', 3)[2] + i "
                                   "for i in obj]", ""]],
                              "child_rules": []}],
-                        "regex": f"^http://{re.escape(host)}(/|/page/\\d+)?$",
+                        # legacy /old*//loop* paths match too so the
+                        # fetch-time rule lookup resolves for redirect
+                        # entry URLs (no-op when redirect_rate == 0:
+                        # such URLs never occur)
+                        "regex": (f"^http://{re.escape(host)}"
+                                  "(/|/page/\\d+|/old2?/\\d+|/loop[xy])?$"),
                     }
                 },
             }

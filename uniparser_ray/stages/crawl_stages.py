@@ -49,7 +49,16 @@ _PAGE_SCHEMA = pa.schema([
     ("img_srcs", pa.list_(pa.large_string())),
     ("img_captions", pa.list_(pa.large_string())),
     ("error", pa.string()),
+    # redirect lineage: canonical post-redirect URL ("" when the fetch
+    # did not redirect), its 64-bit hash (0 when ""), and the hop count
+    ("final_url", pa.large_string()),
+    ("final_hash", pa.uint64()),
+    ("redirects", pa.int32()),
 ])
+
+# 3xx statuses the fetcher follows (requests' default semantics — the
+# reference's downloader follows redirects transparently)
+_REDIRECT_STATUSES = frozenset((301, 302, 303, 307, 308))
 
 IMAGE_ROW_SCHEMA = pa.schema([
     ("image_id", pa.string()),
@@ -266,7 +275,9 @@ class FetchParseStage:
                  rule_pack: dict = None, politeness_shards: List = None,
                  politeness_num: int = 0, sleep_fn=None,
                  image_data_dir: str = None, image_seen_shards: List = None,
-                 image_shard_bits: int = 0, image_batch_size: int = 128):
+                 image_shard_bits: int = 0, image_batch_size: int = 128,
+                 max_redirects: int = 5, seen_shards: List = None,
+                 seen_shard_bits: int = 0, robots_shards: List = None):
         import ray
         from ..crawl.storage import JSONRuleStorage
         from ..rulevm.transport import SyntheticWebAdapter
@@ -307,6 +318,30 @@ class FetchParseStage:
         import time as _time
         self._sleep = sleep_fn or _time.sleep
         self._now = _time.monotonic
+        # 3xx handling: hops are followed INLINE (requests semantics —
+        # the reference's transports follow redirects transparently,
+        # so a granted URL costs one politeness token regardless of
+        # hops).  The canonical FINAL URL is test-and-set against the
+        # URL-seen shards so (a) a page reachable both by a legacy URL
+        # and its canonical URL is extracted once — whichever arrives
+        # first wins, the loser keeps its status/lineage but parses
+        # nothing (error=RedirectDuplicate) — and (b) later direct
+        # links to the canonical URL dedup at admission.  A chain that
+        # exceeds max_redirects or revisits a URL lands as status -2
+        # (permanent: never requeued by the retry path, which only
+        # takes -1/5xx).
+        self.max_redirects = max_redirects
+        self.seen_shards = seen_shards or []
+        self.seen_shard_bits = seen_shard_bits
+        # robots on redirect TARGETS: admission only vets the requested
+        # URL, so without a per-hop check a 301 chain would smuggle a
+        # disallowed page past robots.  A disallowed hop terminates the
+        # chain as status -3 (permanent).  This also keeps redirect
+        # dedup independent of admission-time seen side effects: a
+        # disallowed canonical URL is stopped by THIS check, never by
+        # the (resume-unreplayable) hash its rejected admission left in
+        # the seen shards.  RPCs happen only on actual 3xx hops.
+        self.robots_shards = robots_shards or []
 
     def _politeness_targets(self, hosts: List[str]):
         """Acquire wall-clock delay schedules host-by-host and return
@@ -364,6 +399,59 @@ class FetchParseStage:
                 return rule
         return None
 
+    def _hop_allowed(self, url: str) -> bool:
+        """robots check for one redirect target (rare: one RPC per
+        actual 3xx hop; the requested URL was vetted at admission)."""
+        if not self.robots_shards:
+            return True
+        import ray
+        host = get_host(url, "")
+        path = "/" + url.split("/", 3)[3] if url.count("/") >= 3 else "/"
+        shard = self.robots_shards[
+            url_hash64(host) % len(self.robots_shards)]
+        mask, _delays = ray.get(
+            shard.allowed_delays_many.remote([(host, path)]))
+        return bool(mask[0])
+
+    def _follow_fetch(self, rule, url: str, attempt: int):
+        """One logical fetch with inline 3xx following (bounded by
+        ``max_redirects``; a chain that revisits a URL is a loop).
+        Returns (text, resp|None, status, final_canon_url, hops, err) —
+        final_canon_url is "" when the fetch never redirected."""
+        from urllib.parse import urljoin
+
+        cur, hops, visited = url, 0, {url}
+        while True:
+            args = dict(rule.get_request(url=cur))
+            # attempt number reaches the (synthetic) web so transient
+            # failures can be deterministic per (url, attempt)
+            args["attempt"] = attempt
+            text, resp = self.adapter.request(**args)
+            if isinstance(resp, Exception):
+                return "", None, -1, "", hops, \
+                    f"{type(resp).__name__}: {resp}"
+            status = getattr(resp, "status_code", 200)
+            if status in _REDIRECT_STATUSES:
+                loc = (resp.headers.get("Location")
+                       or resp.headers.get("location"))
+                if loc:
+                    nxt = urljoin(cur, loc)
+                    hops += 1
+                    if hops > self.max_redirects or nxt in visited:
+                        reason = ("RedirectLoop" if nxt in visited
+                                  else "TooManyRedirects")
+                        return "", None, -2, "", hops, \
+                            f"{reason}: {url} -> {nxt}"
+                    if not self._hop_allowed(nxt):
+                        return "", None, -3, "", hops, \
+                            f"RedirectDisallowed: {url} -> {nxt}"
+                    visited.add(nxt)
+                    cur = nxt
+                    continue
+                # 3xx without Location is terminal — fall through
+            final = canonicalize_url(cur) if hops else ""
+            return text, resp, status, final, hops, None
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
         hashes = batch["url_hash"].to_pylist()
@@ -374,8 +462,10 @@ class FetchParseStage:
         parents = batch["parent"].to_pylist()
         retries = (batch["retries"].to_pylist()
                    if "retries" in batch.column_names else [0] * len(urls))
-        out = {k: [] for k in ("status", "rule_name", "result_json", "links",
-                               "img_srcs", "img_captions", "error")}
+        # pass 1 — fetch (with pacing + redirect following); parse is
+        # deferred so redirected rows can be dedup-checked in ONE
+        # sharded RPC wave before any content is parsed
+        fetched = []
         for i, url in enumerate(urls):
             if pacing is not None:
                 t0, targets = pacing
@@ -383,6 +473,34 @@ class FetchParseStage:
                 if wait > 0:
                     self._sleep(wait)
             rule = self._find_rule(url)
+            if rule is None:
+                fetched.append((None, "", None, 0, "", 0,
+                                "RuleNotFoundError"))
+                continue
+            text, resp, status, final, hops, err = \
+                self._follow_fetch(rule, url, retries[i])
+            fetched.append((rule, text, resp, status, final, hops, err))
+        # batched final-URL test-and-set: a redirected 200 row extracts
+        # only if its canonical final URL is NEW to the seen set (the
+        # requested URL's own hash was added at admission)
+        redirected = [i for i, f in enumerate(fetched)
+                      if f[3] == 200 and f[4] and f[4] != urls[i]]
+        fresh_final = {i: True for i in redirected}
+        if redirected and self.seen_shards:
+            fh = np.fromiter((url_hash64(fetched[i][4]) for i in redirected),
+                             dtype=np.uint64, count=len(redirected))
+            ok = _sharded_add_batch(self.seen_shards, self.seen_shard_bits,
+                                    fh)
+            fresh_final = {i: bool(o) for i, o in zip(redirected, ok)}
+        out = {k: [] for k in ("status", "rule_name", "result_json", "links",
+                               "img_srcs", "img_captions", "error",
+                               "final_url", "final_hash", "redirects")}
+        # pass 2 — parse the survivors
+        for i, (rule, text, resp, status, final, hops, err) in \
+                enumerate(fetched):
+            out["final_url"].append(final)
+            out["final_hash"].append(url_hash64(final) if final else 0)
+            out["redirects"].append(hops)
             if rule is None:
                 out["status"].append(0)
                 out["rule_name"].append("")
@@ -392,30 +510,16 @@ class FetchParseStage:
                 out["img_captions"].append([])
                 out["error"].append("RuleNotFoundError")
                 continue
-            args = dict(rule.get_request(url=url))
-            # attempt number reaches the (synthetic) web so transient
-            # failures can be deterministic per (url, attempt)
-            args["attempt"] = retries[i]
-            text, resp = self.adapter.request(**args)
-            if isinstance(resp, Exception):
-                out["status"].append(-1)
-                out["rule_name"].append(rule["name"])
-                out["result_json"].append("")
-                out["links"].append([])
-                out["img_srcs"].append([])
-                out["img_captions"].append([])
-                out["error"].append(f"{type(resp).__name__}: {resp}")
-                continue
-            status = getattr(resp, "status_code", 200)
+            name = rule["name"]
             links: List[str] = []
             srcs: List[str] = []
             caps: List[str] = []
-            err = None
             result_json = ""
-            name = rule["name"]
-            if status == 200:
+            if status == 200 and not fresh_final.get(i, True):
+                err = "RedirectDuplicate"
+            elif status == 200:
                 context = {"resp": resp,
-                           "request_args": {"url": url, "method": "get"}}
+                           "request_args": {"url": urls[i], "method": "get"}}
                 try:
                     result = self.vm.parse(text, rule, context)
                     body = result.get(name, {})
@@ -428,7 +532,8 @@ class FetchParseStage:
                         if isinstance(img, dict) and img.get("src"):
                             srcs.append(img["src"])
                             caps.append(img.get("caption") or "")
-                    result_json = json.dumps(body, default=repr, sort_keys=False)
+                    result_json = json.dumps(body, default=repr,
+                                             sort_keys=False)
                 except Exception as e:  # InvalidSchema / Unknown parser etc.
                     err = f"{type(e).__name__}: {e}"
             out["status"].append(status)
@@ -487,6 +592,9 @@ class FetchParseStage:
             pa.array(out["img_srcs"], pa.list_(pa.large_string())),
             pa.array(out["img_captions"], pa.list_(pa.large_string())),
             pa.array(out["error"], pa.string()),
+            pa.array(out["final_url"], pa.large_string()),
+            pa.array(out["final_hash"], pa.uint64()),
+            pa.array(out["redirects"], pa.int32()),
         ], schema=_PAGE_SCHEMA)
 
 
