@@ -372,6 +372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_sitemap_ingest": crawl_q.crawl_sitemap_ingest,
         "crawl_resume_roundtrip": crawl_q.crawl_resume_roundtrip,
         "crawl_redirects": crawl_q.crawl_redirects,
+        "images_psnr_audit": images_q.images_psnr_audit,
         "audio_features": images_q.audio_features_q,
         "video_frames": images_q.video_frames_q,
         "video_shot_boundaries": images_q.video_shot_boundaries,
@@ -631,6 +632,9 @@ def _expected_table(kind: str, tag: str) -> pa.Table:
     if kind == "redirects":
         from uniparser_ray.pipelines.crawl_q import expected_crawl_redirects
         return expected_crawl_redirects(tag)
+    if kind == "psnr":
+        from uniparser_ray.pipelines.images_q import expected_images_psnr
+        return expected_images_psnr(tag)
     from uniparser_ray.pipelines.graph import (expected_components,
                                                expected_host_degrees,
                                                expected_pagerank)
@@ -830,6 +834,18 @@ def _multimodal_oracle_thunks(tag: str) -> dict:
                    md5(COALESCE(result_json, '')) AS content_md5
             FROM read_parquet('{_crawl_pages_glob(tag)}',
                               hive_partitioning = 1)
+        """,
+        # twin = per-sample 6-bit quantization error computed straight
+        # from the source pixels + framing arithmetic (independent of
+        # the codec's pack/unpack); the >=40dB verdict is exact integer
+        # cross-multiplication, derived in SQL
+        "images_psnr_audit": lambda: f"""
+            WITH {_values_cte('e', _expected_table('psnr', tag))}
+            SELECT image_id, w, h, nbytes, sse,
+                   CAST(65025 * CAST(w AS BIGINT) * h * 3
+                        >= 10000 * CAST(sse AS BIGINT) AS BIGINT)
+                       AS psnr_ge40
+            FROM e
         """,
         # twin = the sequential BFSOracle's redirect model of the same
         # web (inline 301/302 chains, canonical-final dedup, loop -2,

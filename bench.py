@@ -330,6 +330,12 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
            lambda: consume(documents.doc_minhash_recall(sf_dir)))
     timed6("web_triangles",
            lambda: graph_p6.web_triangles(sf_dir).num_rows)
+    from uniparser_ray.pipelines import crawl_q as crawl_q6
+    from uniparser_ray.pipelines import images_q as images_q6
+    timed6("crawl_redirects",
+           lambda: consume(crawl_q6.crawl_redirects(sf_dir)))
+    timed6("images_psnr_audit",
+           lambda: consume(images_q6.images_psnr_audit(sf_dir)))
 
     return {
         "metric": "crawl+operator suite wall time",

@@ -664,3 +664,69 @@ def test_follow_fetch_units():
     _t, _r, status, _f, hops, err = stage._follow_fetch(
         rule, "http://host-0000.test/self", 0)
     assert status == -2 and "RedirectLoop" in err and hops == 1
+
+
+def test_qpx_codec_units():
+    """QPX lossy codec: deterministic framing, idempotent quantization,
+    PSNR in the (40, inf) band — genuinely lossy yet above the north
+    rule's bar — across hostile shapes (1x1, padding remainders)."""
+    from uniparser_ray.sources.codecs import (decode_image, decode_qpx,
+                                              encode_qpx)
+    from uniparser_ray.sources.images import render_pixels
+
+    for shape in ((1, 1, 3), (3, 5, 3), (2, 2, 3), (7, 13, 3)):
+        rng = np.arange(np.prod(shape), dtype=np.uint8).reshape(shape)
+        blob = encode_qpx(rng)
+        assert len(blob) == 8 + 3 * ((rng.size + 3) // 4)
+        rec = decode_qpx(blob)
+        assert rec.shape == rng.shape
+        assert np.abs(rec.astype(int) - rng.astype(int)).max() <= 2
+        # quantization is idempotent: re-encoding the decode is stable
+        assert encode_qpx(rec) == blob
+        # magic dispatch
+        assert np.array_equal(decode_image(blob), rec)
+    px = render_pixels(7)
+    rec = decode_qpx(encode_qpx(px))
+    p = psnr(px, rec)
+    assert 40.0 <= p < float("inf"), p
+
+
+def test_crawl_lossy_web_matches_oracle(ray_session, tmp_path):
+    """Crawl over a web serving a deterministic QPX (lossy) slice of
+    its images: engine and oracle fetch byte-identical blobs (exact
+    pixel equality between them), and every lossy row clears the north
+    rule's PSNR>=40dB bound against the ORIGINAL source pixels while
+    being genuinely lossy (psnr < inf)."""
+    from uniparser_ray.sources.images import render_pixels
+
+    lossy_cfg = dict(WEB_CFG, lossy_rate=0.5)
+    web = SynthWeb(**lossy_cfg)
+    out = tmp_path / "crawl_lossy"
+    cfg = CrawlConfig(web_config=lossy_cfg, out_dir=str(out),
+                      seeds=web.seed_urls(), max_rounds=30,
+                      per_host_budget=3, fetch_concurrency=2,
+                      seen_shard_bits=2)
+    run_crawl(cfg, web.rule_pack())
+    oracle = BFSOracle(SynthWeb(**lossy_cfg), web.rule_pack(),
+                       per_host_budget=3)
+    want = oracle.run(web.seed_urls(), max_rounds=30)
+
+    images = LanceLayoutTable(str(out / "images_lance")).to_table()
+    got = {row["image_id"]: row for row in images.to_pylist()}
+    assert set(got) == set(want["images"])
+    lossy_seen = 0
+    for image_id, row in got.items():
+        blob, caption = want["images"][image_id]
+        assert row["bytes"] == blob      # engine & oracle byte-identical
+        assert row["caption"] == caption
+        px = decode_image(row["bytes"])
+        if row["fmt"] == "qpx":
+            lossy_seen += 1
+            src = render_pixels(int(image_id.split("-")[1]))
+            p = psnr(px, src)
+            assert 40.0 <= p < float("inf"), (image_id, p)
+            assert row["w"] == src.shape[1] and row["h"] == src.shape[0]
+        else:
+            src = render_pixels(int(image_id.split("-")[1]))
+            assert np.array_equal(px, src)
+    assert lossy_seen > 0, "lossy slice must be exercised"

@@ -270,7 +270,7 @@ class BFSOracle:
                     if s != 200:
                         continue
                     import re as _re
-                    m = _re.search(r"/img/(\d+)\.(?:ppm|bmp|png)$", img_url)
+                    m = _re.search(r"/img/(\d+)\.(?:ppm|bmp|png|qpx)$", img_url)
                     if m:
                         image_id = f"img-{int(m.group(1)):010d}"
                     else:

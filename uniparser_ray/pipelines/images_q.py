@@ -205,7 +205,8 @@ def _image_row_from_blob(image_id: str, blob: bytes, caption: str) -> dict:
     the oracle's expected rows; fmt is sniffed from the magic."""
     px = decode_image(blob)
     fmt = ("png" if blob.startswith(b"\x89PNG") else
-           "bmp" if blob.startswith(b"BM") else "ppm")
+           "bmp" if blob.startswith(b"BM") else
+           "qpx" if blob.startswith(b"QPX1") else "ppm")
     return {"image_id": image_id, "w": px.shape[1], "h": px.shape[0],
             "fmt": fmt, "caption": caption,
             "phash": average_hash64(px),
@@ -1388,3 +1389,79 @@ def images_hard_negatives(sf_dir: str, k: int = HARDNEG_K):
 
     return hash_bucket_combine(local, ["anchor_id"], merge,
                                driver_limit_rows=200_000)
+
+
+def images_psnr_audit(sf_dir: str):
+    """The north rule's LOSSY conformance bound ("decoded-pixel
+    allclose, PSNR>=40dB for lossy formats") as a VALUE check.  Every
+    image of the sf's table rides one distributed pass: each task
+    renders the deterministic source pixels, QPX-encodes (the 6-bit
+    lossy codec, sources/codecs.py), decodes the bytes back, and emits
+    the EXACT integer sum of squared errors plus the framing size and
+    the >=40dB verdict computed by integer cross-multiplication
+    (PSNR >= 40  <=>  255^2 * n_samples >= 10^4 * sse — no float in
+    the compare).
+
+    Twin: quantization arithmetic applied directly to the source
+    pixels — err = (v & 3) - 2 per sample, nbytes = 8 + 3*ceil(n/4) —
+    embedded as VALUES.  It never touches the codec's pack/unpack or
+    decode paths, so equality proves the encode->decode chain is
+    EXACTLY the 6-bit quantizer (any framing/packing bug changes sse
+    or nbytes).  Shuffle-free; pixels never leave the tasks."""
+    import ray.data as rd
+
+    from ..sources.codecs import decode_image, encode_qpx
+    from ..sources.images import render_pixels
+
+    tag = _sf_tag(sf_dir)
+    n = _n_images(tag)
+
+    def stage(batch: pa.Table) -> pa.Table:
+        ids, ws, hs, nb, sse, ge40 = [], [], [], [], [], []
+        for i in batch["id"].to_pylist():
+            px = render_pixels(i)
+            blob = encode_qpx(px)
+            rec = decode_image(blob)
+            d = px.astype(np.int64) - rec.astype(np.int64)
+            s = int((d * d).sum())
+            nsamp = px.size
+            ids.append(f"img-{i:010d}")
+            hs.append(px.shape[0])
+            ws.append(px.shape[1])
+            nb.append(len(blob))
+            sse.append(s)
+            ge40.append(1 if 65025 * nsamp >= 10000 * s else 0)
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "w": pa.array(ws, pa.int64()),
+            "h": pa.array(hs, pa.int64()),
+            "nbytes": pa.array(nb, pa.int64()),
+            "sse": pa.array(sse, pa.int64()),
+            "psnr_ge40": pa.array(ge40, pa.int64())})
+
+    return (rd.range(n, override_num_blocks=min(16, max(1, n // 64)))
+              .map_batches(stage, batch_format="pyarrow", batch_size=256))
+
+
+def expected_images_psnr(tag: str) -> pa.Table:
+    """Generator-side twin: per-sample quantization error computed
+    straight from the source pixels (err = (v & 3) - 2) and framing
+    size from arithmetic — independent of encode_qpx/decode_qpx."""
+    n = _n_images(tag)
+    ids, ws, hs, nb, sse = [], [], [], [], []
+    from ..sources.images import render_pixels
+    for i in range(n):
+        px = render_pixels(i)
+        err = (px.astype(np.int64) & 3) - 2
+        nsamp = px.size
+        ids.append(f"img-{i:010d}")
+        hs.append(px.shape[0])
+        ws.append(px.shape[1])
+        nb.append(8 + 3 * ((nsamp + 3) // 4))
+        sse.append(int((err * err).sum()))
+    return pa.table({
+        "image_id": pa.array(ids, pa.string()),
+        "w": pa.array(ws, pa.int64()),
+        "h": pa.array(hs, pa.int64()),
+        "nbytes": pa.array(nb, pa.int64()),
+        "sse": pa.array(sse, pa.int64())})

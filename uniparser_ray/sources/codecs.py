@@ -1,9 +1,13 @@
-"""Pure-stdlib image codecs: PPM (P6), BMP (24-bit), PNG (RGB8).
+"""Pure-stdlib image codecs: PPM (P6), BMP (24-bit), PNG (RGB8) — all
+lossless — plus QPX, a real LOSSY codec (6-bit quantization, 6:8
+packing).
 
 No PIL in the sandbox, so the multimodal column (``bytes`` holding an
-encoded image) is backed by these three lossless codecs.  Losslessness
-makes the per-row conformance invariant ("decoded-pixel allclose,
-PSNR>=40dB for lossy") hold as exact equality.
+encoded image) is backed by these codecs.  Losslessness makes the
+per-row conformance invariant ("decoded-pixel allclose, PSNR>=40dB for
+lossy") hold as exact equality for the default rotation; QPX exercises
+the PSNR>=40dB branch for real (images_psnr_audit + the lossy-web
+crawl conformance test).
 
 All codecs are numpy-vectorized: pixels are ``uint8`` arrays of shape
 (h, w, 3).  PNG uses zlib with filter type 0 on every scanline (we
@@ -170,12 +174,61 @@ def decode_png(data: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# QPX — the LOSSY codec (6-bit uniform quantization, 6:8 bit packing)
+# ---------------------------------------------------------------------------
+#
+# The conformance rule reads "decoded-pixel allclose, PSNR>=40dB for
+# LOSSY formats" — with only lossless codecs that clause is vacuous,
+# so QPX makes it real: each 8-bit sample is quantized to 6 bits
+# (step 4, midpoint reconstruction -> per-sample error in {-2..1},
+# MSE 1.5, PSNR ~46.4 dB — genuinely lossy yet above the 40 dB bar)
+# and four 6-bit samples pack into three bytes (a true 25% size cut).
+# Layout: b"QPX1" + >HH (w, h) + packed samples, zero-padded to a
+# multiple of 4 samples.  Deterministic: encode(decode(encode(px)))
+# == encode(px) (quantization is idempotent).
+
+_QPX_MAGIC = b"QPX1"
+
+
+def encode_qpx(pixels: np.ndarray) -> bytes:
+    h, w, _ = pixels.shape
+    flat = (pixels.reshape(-1).astype(np.uint32)) >> 2
+    pad = (-len(flat)) % 4
+    if pad:
+        flat = np.concatenate([flat, np.zeros(pad, np.uint32)])
+    g = flat.reshape(-1, 4)
+    word = (g[:, 0] << 18) | (g[:, 1] << 12) | (g[:, 2] << 6) | g[:, 3]
+    out = np.empty((len(word), 3), np.uint8)
+    out[:, 0] = word >> 16
+    out[:, 1] = (word >> 8) & 0xFF
+    out[:, 2] = word & 0xFF
+    return _QPX_MAGIC + struct.pack(">HH", w, h) + out.tobytes()
+
+
+def decode_qpx(data: bytes) -> np.ndarray:
+    if not data.startswith(_QPX_MAGIC):
+        raise ValueError("not a QPX image")
+    w, h = struct.unpack_from(">HH", data, 4)
+    n = w * h * 3
+    groups = -(-n // 4)
+    raw = np.frombuffer(data, np.uint8, count=groups * 3, offset=8) \
+        .reshape(groups, 3).astype(np.uint32)
+    word = (raw[:, 0] << 16) | (raw[:, 1] << 8) | raw[:, 2]
+    q = np.stack([(word >> 18) & 0x3F, (word >> 12) & 0x3F,
+                  (word >> 6) & 0x3F, word & 0x3F], axis=1).reshape(-1)[:n]
+    return ((q << 2) + 2).astype(np.uint8).reshape(h, w, 3).copy()
+
+
+# ---------------------------------------------------------------------------
 # dispatch + perceptual hash
 # ---------------------------------------------------------------------------
 
-_ENCODERS = {"ppm": encode_ppm, "bmp": encode_bmp, "png": encode_png}
-_DECODERS = {"ppm": decode_ppm, "bmp": decode_bmp, "png": decode_png}
-FORMATS = ("ppm", "bmp", "png")
+_ENCODERS = {"ppm": encode_ppm, "bmp": encode_bmp, "png": encode_png,
+             "qpx": encode_qpx}
+_DECODERS = {"ppm": decode_ppm, "bmp": decode_bmp, "png": decode_png,
+             "qpx": decode_qpx}
+FORMATS = ("ppm", "bmp", "png")     # the lossless rotation (image_spec)
+LOSSY_FORMATS = ("qpx",)
 
 
 def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
@@ -191,6 +244,8 @@ def decode_image(data: bytes, fmt: str = None) -> np.ndarray:
         return decode_bmp(data)
     if data.startswith(b"P6"):
         return decode_ppm(data)
+    if data.startswith(_QPX_MAGIC):
+        return decode_qpx(data)
     raise ValueError("unknown image format")
 
 

@@ -35,7 +35,7 @@ class SynthWeb:
                  fanout: int = 3, hot_factor: float = 25.0, seed: int = 42,
                  page_weight: int = 0, image_rate: float = 1.0,
                  flaky_mod: int = 0, flaky_attempts: int = 1,
-                 redirect_rate: float = 0.0):
+                 redirect_rate: float = 0.0, lossy_rate: float = 0.0):
         self.num_hosts = num_hosts
         self.base_pages = base_pages
         self.fanout = fanout
@@ -69,6 +69,15 @@ class SynthWeb:
         # redirect loop (/loopx <-> /loopy) from their root page —
         # the TooManyRedirects path.
         self.redirect_rate = redirect_rate
+        # lossy-image model (off by default): a deterministic
+        # ~lossy_rate fraction of image endpoints serve the SAME source
+        # pixels QPX-encoded (6-bit quantized — PSNR ~46 dB vs the
+        # render) instead of the lossless spec format.  Pure function
+        # of the image index, so the crawl engine and the oracle fetch
+        # identical bytes; the conformance bound for these rows is the
+        # north rule's "PSNR>=40dB for lossy", not bit equality with
+        # the source.
+        self.lossy_rate = lossy_rate
         # Zipf-ish page budget: rank-0 host has hot_factor * base pages
         self.pages_of_host = [
             max(3, int(base_pages * (hot_factor / (h + 1) ** 0.9)))
@@ -141,12 +150,20 @@ class SynthWeb:
             return 0
         return m % 4
 
+    def image_fmt(self, idx: int) -> str:
+        """Served format for image index idx: the lossless spec format,
+        or 'qpx' for the deterministic lossy slice."""
+        if self.lossy_rate > 0 and \
+                _mix(idx, self.seed + 31) % 1000 < self.lossy_rate * 1000:
+            return "qpx"
+        return image_spec(idx)[2]
+
     def render_page(self, h: int, p: int) -> str:
         parts = [f"<html><head><title>Host {h} Page {p}</title></head><body>",
                  f'<h1 class="page-title">Page {p} of host-{h:04d}</h1>']
         for k in range(self.num_images(h, p)):
             idx = self.image_index(h, p, k)
-            _w, _h, fmt = image_spec(idx)
+            fmt = self.image_fmt(idx)
             parts.append(
                 f'<img class="photo" src="/img/{idx}.{fmt}" alt="{caption_for(idx)}"/>')
         for child in self.child_pages(h, p):
@@ -284,10 +301,16 @@ class SynthWeb:
                 loc = "/loopy" if path == "/loopx" else "/loopx"
                 return 302, {"Content-Type": "text/html",
                              "Location": loc}, b""
-        img = re.fullmatch(r"/img/(\d+)\.(ppm|bmp|png)", path)
+        img = re.fullmatch(r"/img/(\d+)\.(ppm|bmp|png|qpx)", path)
         if img:
+            idx = int(img.group(1))
+            if img.group(2) == "qpx":
+                from .codecs import encode_qpx
+                from .images import render_pixels
+                return 200, {"Content-Type": "application/octet-stream"}, \
+                    encode_qpx(render_pixels(idx))
             return 200, {"Content-Type": "application/octet-stream"}, \
-                render_encoded(int(img.group(1)))
+                render_encoded(idx)
         page = re.fullmatch(r"/(?:page/(\d+))?", path)
         if not page:
             return 404, {"Content-Type": "text/html"}, b"<h1>404</h1>"

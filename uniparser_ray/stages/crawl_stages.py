@@ -623,7 +623,7 @@ def explode_images(batch: pa.Table) -> pa.Table:
     hashes = pa.array([url_hash64("img|" + u) for u in img_urls], pa.uint64())
     return t.append_column("url_hash", hashes)
 
-_IMG_ID_RE = re.compile(r"/img/(\d+)\.(?:ppm|bmp|png)$")
+_IMG_ID_RE = re.compile(r"/img/(\d+)\.(?:ppm|bmp|png|qpx)$")
 
 
 class ImageFetchStage:
