@@ -373,6 +373,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_resume_roundtrip": crawl_q.crawl_resume_roundtrip,
         "crawl_redirects": crawl_q.crawl_redirects,
         "images_psnr_audit": images_q.images_psnr_audit,
+        "crawl_recrawl_delta": crawl_q.crawl_recrawl_delta,
         "audio_features": images_q.audio_features_q,
         "video_frames": images_q.video_frames_q,
         "video_shot_boundaries": images_q.video_shot_boundaries,
@@ -635,6 +636,9 @@ def _expected_table(kind: str, tag: str) -> pa.Table:
     if kind == "psnr":
         from uniparser_ray.pipelines.images_q import expected_images_psnr
         return expected_images_psnr(tag)
+    if kind == "recrawl":
+        from uniparser_ray.pipelines.crawl_q import expected_recrawl_delta
+        return expected_recrawl_delta(tag)
     from uniparser_ray.pipelines.graph import (expected_components,
                                                expected_host_degrees,
                                                expected_pagerank)
@@ -845,6 +849,16 @@ def _multimodal_oracle_thunks(tag: str) -> dict:
                    CAST(65025 * CAST(w AS BIGINT) * h * 3
                         >= 10000 * CAST(sse AS BIGINT) AS BIGINT)
                        AS psnr_ge40
+            FROM e
+        """,
+        # twin = pure freshness arithmetic (which pages changed at
+        # epoch 1 is a deterministic function of (h, p)) + the epoch-1
+        # render hashed generator-side; what the compare tests is the
+        # conditional-GET chain: If-None-Match send, 304 vs 200
+        # branch, validator bump, body decode+hash
+        "crawl_recrawl_delta": lambda: f"""
+            WITH {_values_cte('e', _expected_table('recrawl', tag))}
+            SELECT url, recrawl_status, changed, new_etag, content_md5
             FROM e
         """,
         # twin = the sequential BFSOracle's redirect model of the same

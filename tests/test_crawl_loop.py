@@ -730,3 +730,52 @@ def test_crawl_lossy_web_matches_oracle(ray_session, tmp_path):
             src = render_pixels(int(image_id.split("-")[1]))
             assert np.array_equal(px, src)
     assert lossy_seen > 0, "lossy slice must be exercised"
+
+
+def test_freshness_epoch_model_units():
+    """Conditional-GET model: epoch 0 is byte-identical to the
+    historic web; at epoch 1 exactly the deterministic changed slice
+    re-renders (revision line + bumped ETag) while unchanged pages
+    stay byte-identical AND answer 304 to a matching If-None-Match."""
+    base = SynthWeb(**WEB_CFG)
+    e0 = SynthWeb(**WEB_CFG, epoch=0)
+    e1 = SynthWeb(**WEB_CFG, epoch=1)
+    changed = unchanged = 0
+    for h in range(e1.num_hosts):
+        for p in range(e1.pages_of_host[h]):
+            url = base.page_url(h, p)
+            assert base.get(url) == e0.get(url)   # epoch-0 identity
+            if base.page_status(h, p) != 200:
+                continue
+            old_etag = e0.page_etag(h, p)
+            s, hdr, body = e1.get(url, headers={"If-None-Match": old_etag})
+            if e1.page_rev(h, p):
+                changed += 1
+                assert s == 200 and b"revision 1" in body
+                assert hdr["ETag"] != old_etag
+                # new validator round-trips: matching it gives 304
+                s2, hdr2, body2 = e1.get(
+                    url, headers={"If-None-Match": hdr["ETag"]})
+                assert (s2, body2) == (304, b"")
+            else:
+                unchanged += 1
+                assert (s, body) == (304, b"")
+                assert hdr["ETag"] == old_etag
+                # unconditional fetch of an unchanged page: identical
+                assert e1.get(url) == e0.get(url)
+    assert changed > 0 and unchanged > 0
+
+
+def test_crawl_checkpoints_carry_etag(ray_crawl):
+    """Every 200-page row checkpoints the server's validator — the
+    recrawl scheduler's input."""
+    out, _ = ray_crawl
+    seen_any = False
+    for f in sorted((out / "pages").glob("round=*/*.parquet")):
+        t = pq.read_table(f, columns=["url", "status", "etag"])
+        for u, s, e in zip(t["url"].to_pylist(), t["status"].to_pylist(),
+                           t["etag"].to_pylist()):
+            if s == 200:
+                seen_any = True
+                assert e.startswith('W/"'), (u, e)
+    assert seen_any

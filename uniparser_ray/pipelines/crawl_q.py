@@ -330,3 +330,116 @@ def expected_sitemap_rows(tag: str):
         ("host", _pa.string()), ("sitemap_url", _pa.string()),
         ("url", _pa.string()), ("lastmod", _pa.string()),
         ("priority_bp", _pa.int64())]))
+
+
+class RecrawlStage:
+    """Conditional-GET delta fetch (task pool via cached_stage): each
+    row carries the page's stored ETag from the epoch-0 crawl; the
+    stage sends If-None-Match and emits the freshness verdict.  304 =
+    validator still good (empty body, nothing re-parsed); 200 = page
+    changed, new validator + content hash emitted.  At 10^10-URL scale
+    this is the recrawl scheduler's cheap path: unchanged pages cost a
+    header exchange, bytes only move for the changed slice."""
+
+    def __init__(self, web_config: dict = None):
+        from ..rulevm.transport import SyntheticWebAdapter
+        from ..sources.synthweb import SynthWeb
+        self.adapter = SyntheticWebAdapter(SynthWeb(**web_config))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib as _hl
+        urls = batch["url"].to_pylist()
+        etags = batch["etag"].to_pylist()
+        st, ch, ne, md = [], [], [], []
+        for url, etag in zip(urls, etags):
+            kwargs = {"url": url, "method": "get"}
+            if etag:
+                kwargs["headers"] = {"If-None-Match": etag}
+            text, resp = self.adapter.request(**kwargs)
+            if isinstance(resp, Exception):
+                st.append(-1)
+                ch.append(0)
+                ne.append("")
+                md.append("")
+                continue
+            status = getattr(resp, "status_code", 200)
+            st.append(status)
+            ch.append(1 if status == 200 else 0)
+            ne.append(resp.headers.get("ETag") or "")
+            md.append(_hl.md5(text.encode()).hexdigest()
+                      if status == 200 else "")
+        return pa.table({
+            "url": pa.array([str(u) for u in urls], pa.string()),
+            "recrawl_status": pa.array(st, pa.int64()),
+            "changed": pa.array(ch, pa.int64()),
+            "new_etag": pa.array(ne, pa.string()),
+            "content_md5": pa.array(md, pa.string())})
+
+
+def crawl_recrawl_delta(sf_dir: str):
+    """Freshness recrawl under a value oracle: every 200-page of the
+    epoch-0 harness crawl is conditionally re-fetched (If-None-Match
+    with the checkpointed ETag) against the SAME web at epoch 1, where
+    a deterministic ~25% slice of pages changed.  Unchanged pages must
+    come back 304 (no body), changed pages 200 with the bumped
+    validator and the new content hash.  One projection-pruned read of
+    the pages checkpoints -> task-pool conditional fetches; no
+    shuffle, bodies only exist inside tasks for the changed slice."""
+    from ..sources.parquet import read_parquet_clean
+    from ..stages.taskcache import cached_stage
+    from .images_q import _ensure_crawl
+
+    tag = _sf_tag(sf_dir)
+    out, _totals = _ensure_crawl(tag)
+    web_cfg = dict(_CRAWL_BY_SF_OF(tag), epoch=1)
+    ds = read_parquet_clean(f"{out}/pages", columns=["url", "status",
+                                                     "etag"])
+    return (ds.filter(expr="status == 200")
+              .map_batches(cached_stage(RecrawlStage, web_config=web_cfg),
+                           batch_format="pyarrow", batch_size=512))
+
+
+def _CRAWL_BY_SF_OF(tag: str) -> dict:
+    from .images_q import _CRAWL_BY_SF
+    return dict(_CRAWL_BY_SF.get(tag, _CRAWL_BY_SF["sf0.01"]))
+
+
+def expected_recrawl_delta(tag: str) -> pa.Table:
+    """Generator-side twin: which pages changed at epoch 1 is a pure
+    function of (h, p) (SynthWeb.page_rev), the new validator is the
+    rev arithmetic, and the changed content hash comes from rendering
+    the epoch-1 page directly — the conditional-GET chain (header
+    send, 304 vs 200 branch, body decode) is what the compare tests."""
+    import hashlib as _hl
+    import re as _re
+
+    from ..sources.synthweb import SynthWeb
+
+    web1 = SynthWeb(**dict(_CRAWL_BY_SF_OF(tag), epoch=1))
+    res = _harness_oracle(tag)
+    rows = []
+    for url, (status, _body) in res["pages"].items():
+        if status != 200:
+            continue
+        m = _re.fullmatch(r"http://host-(\d{4})\.test(?:/page/(\d+))?/?",
+                          url)
+        h, p = int(m.group(1)), int(m.group(2) or 0)
+        rev = web1.page_rev(h, p)
+        if rev:
+            rows.append({"url": url, "recrawl_status": 200, "changed": 1,
+                         "new_etag": web1.page_etag(h, p),
+                         "content_md5": _hl.md5(
+                             web1.render_page(h, p).encode()).hexdigest()})
+        else:
+            rows.append({"url": url, "recrawl_status": 304, "changed": 0,
+                         "new_etag": web1.page_etag(h, p),
+                         "content_md5": ""})
+    return pa.Table.from_pylist(rows, schema=pa.schema([
+        ("url", pa.string()), ("recrawl_status", pa.int64()),
+        ("changed", pa.int64()), ("new_etag", pa.string()),
+        ("content_md5", pa.string())]))
+
+
+def _harness_oracle(tag: str):
+    from .images_q import _oracle_result
+    return _oracle_result(tag)

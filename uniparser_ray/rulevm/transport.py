@@ -151,10 +151,12 @@ class SyntheticWebAdapter(TransportAdapter):
         import inspect
         self.web = web
         try:
-            self._takes_attempt = "attempt" in \
-                inspect.signature(web.get).parameters
+            params = inspect.signature(web.get).parameters
+            self._takes_attempt = "attempt" in params
+            self._takes_headers = "headers" in params
         except (TypeError, ValueError):
             self._takes_attempt = False
+            self._takes_headers = False
 
     def request(self, **request_args):
         url = request_args["url"]
@@ -162,14 +164,18 @@ class SyntheticWebAdapter(TransportAdapter):
         # crawl-loop requeue attempt number (frontier retries column);
         # forwarded only to webs that model per-attempt behavior
         attempt = request_args.pop("attempt", 0)
+        # request headers (e.g. If-None-Match conditional GETs) reach
+        # webs that model them; others ignore headers entirely
+        req_headers = request_args.pop("headers", None)
         error = None
         for _ in range(retry + 1):
             try:
+                kwargs = {}
                 if self._takes_attempt:
-                    status, headers, body = self.web.get(url,
-                                                         attempt=attempt)
-                else:
-                    status, headers, body = self.web.get(url)
+                    kwargs["attempt"] = attempt
+                if self._takes_headers and req_headers is not None:
+                    kwargs["headers"] = req_headers
+                status, headers, body = self.web.get(url, **kwargs)
                 resp = SyntheticResponse(url, status, body, headers)
                 return resp.text, resp
             except Exception as err:

@@ -35,7 +35,8 @@ class SynthWeb:
                  fanout: int = 3, hot_factor: float = 25.0, seed: int = 42,
                  page_weight: int = 0, image_rate: float = 1.0,
                  flaky_mod: int = 0, flaky_attempts: int = 1,
-                 redirect_rate: float = 0.0, lossy_rate: float = 0.0):
+                 redirect_rate: float = 0.0, lossy_rate: float = 0.0,
+                 epoch: int = 0, change_rate: float = 0.25):
         self.num_hosts = num_hosts
         self.base_pages = base_pages
         self.fanout = fanout
@@ -78,6 +79,15 @@ class SynthWeb:
         # north rule's "PSNR>=40dB for lossy", not bit equality with
         # the source.
         self.lossy_rate = lossy_rate
+        # freshness model (epoch 0 = the historic web, byte-identical):
+        # at each later epoch a deterministic ~change_rate slice of
+        # pages changes — its revision count bumps, the body gains a
+        # revision line, and the ETag (W/"h-p-rev", served on every
+        # page response) moves.  Conditional GETs (If-None-Match)
+        # answer 304 with an empty body when the tag still matches —
+        # the recrawl scheduler's delta-fetch path.
+        self.epoch = epoch
+        self.change_rate = change_rate
         # Zipf-ish page budget: rank-0 host has hot_factor * base pages
         self.pages_of_host = [
             max(3, int(base_pages * (hot_factor / (h + 1) ** 0.9)))
@@ -144,6 +154,21 @@ class SynthWeb:
     def has_redirect_loop(self, h: int) -> bool:
         return self.redirect_rate > 0 and h % 7 == 1
 
+    # -- freshness ----------------------------------------------------------
+    def page_rev(self, h: int, p: int) -> int:
+        """Revision count of page (h, p) at this web's epoch: +1 for
+        every epoch 1..self.epoch in which the page changed.  Pure
+        function of (h, p, epoch) — any worker and the oracle agree."""
+        rev = 0
+        for e in range(1, self.epoch + 1):
+            if _mix(h * 1_000_003 + p, self.seed + 37 * e) % 1000 \
+                    < self.change_rate * 1000:
+                rev += 1
+        return rev
+
+    def page_etag(self, h: int, p: int) -> str:
+        return f'W/"{h}-{p}-{self.page_rev(h, p)}"'
+
     def num_images(self, h: int, p: int) -> int:
         m = _mix(h * 1_000_003 + p, self.seed + 13)
         if self.image_rate < 1.0 and (m >> 8) % 1000 >= self.image_rate * 1000:
@@ -177,6 +202,9 @@ class SynthWeb:
         cross = self.cross_link(h, p)
         if cross:
             parts.append(f'<a class="nav" href="{cross}">cross</a>')
+        rev = self.page_rev(h, p)
+        if rev:   # epoch 0 stays byte-identical to the historic web
+            parts.append(f'<p class="rev">revision {rev}</p>')
         words = ("lorem ipsum dolor sit amet consectetur adipiscing elit "
                  "sed do eiusmod tempor incididunt ut labore").split()
         for i in range(self.page_weight):
@@ -267,7 +295,8 @@ class SynthWeb:
         return self._sitemap_urlset_xml(entries)
 
     # -- the server --------------------------------------------------------
-    def get(self, url: str, attempt: int = 0) -> Tuple[int, dict, bytes]:
+    def get(self, url: str, attempt: int = 0,
+            headers: dict = None) -> Tuple[int, dict, bytes]:
         m = _URL_RE.match(url)
         if not m:
             raise ValueError(f"DNS error: unknown host for {url}")
@@ -324,7 +353,11 @@ class SynthWeb:
         if status != 200:
             return status, {"Content-Type": "text/html"}, \
                 f"<h1>{status}</h1>".encode()
-        return 200, {"Content-Type": "text/html"}, self.render_page(h, p).encode()
+        etag = self.page_etag(h, p)
+        if headers and headers.get("If-None-Match") == etag:
+            return 304, {"Content-Type": "text/html", "ETag": etag}, b""
+        return 200, {"Content-Type": "text/html", "ETag": etag}, \
+            self.render_page(h, p).encode()
 
     # -- crawl inputs ------------------------------------------------------
     def seed_urls(self) -> List[str]:

@@ -54,6 +54,8 @@ _PAGE_SCHEMA = pa.schema([
     ("final_url", pa.large_string()),
     ("final_hash", pa.uint64()),
     ("redirects", pa.int32()),
+    # validator for conditional recrawl (If-None-Match), "" if absent
+    ("etag", pa.string()),
 ])
 
 # 3xx statuses the fetcher follows (requests' default semantics — the
@@ -494,13 +496,16 @@ class FetchParseStage:
             fresh_final = {i: bool(o) for i, o in zip(redirected, ok)}
         out = {k: [] for k in ("status", "rule_name", "result_json", "links",
                                "img_srcs", "img_captions", "error",
-                               "final_url", "final_hash", "redirects")}
+                               "final_url", "final_hash", "redirects",
+                               "etag")}
         # pass 2 — parse the survivors
         for i, (rule, text, resp, status, final, hops, err) in \
                 enumerate(fetched):
             out["final_url"].append(final)
             out["final_hash"].append(url_hash64(final) if final else 0)
             out["redirects"].append(hops)
+            out["etag"].append(
+                (resp.headers.get("ETag") or "") if resp is not None else "")
             if rule is None:
                 out["status"].append(0)
                 out["rule_name"].append("")
@@ -595,6 +600,7 @@ class FetchParseStage:
             pa.array(out["final_url"], pa.large_string()),
             pa.array(out["final_hash"], pa.uint64()),
             pa.array(out["redirects"], pa.int32()),
+            pa.array(out["etag"], pa.string()),
         ], schema=_PAGE_SCHEMA)
 
 
