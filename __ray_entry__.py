@@ -374,6 +374,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_redirects": crawl_q.crawl_redirects,
         "images_psnr_audit": images_q.images_psnr_audit,
         "crawl_recrawl_delta": crawl_q.crawl_recrawl_delta,
+        "crawl_trap_guard": crawl_q.crawl_trap_guard,
         "audio_features": images_q.audio_features_q,
         "video_frames": images_q.video_frames_q,
         "video_shot_boundaries": images_q.video_shot_boundaries,
@@ -639,6 +640,9 @@ def _expected_table(kind: str, tag: str) -> pa.Table:
     if kind == "recrawl":
         from uniparser_ray.pipelines.crawl_q import expected_recrawl_delta
         return expected_recrawl_delta(tag)
+    if kind == "trap":
+        from uniparser_ray.pipelines.crawl_q import expected_trap_guard
+        return expected_trap_guard(tag)
     from uniparser_ray.pipelines.graph import (expected_components,
                                                expected_host_degrees,
                                                expected_pagerank)
@@ -850,6 +854,14 @@ def _multimodal_oracle_thunks(tag: str) -> dict:
                         >= 10000 * CAST(sse AS BIGINT) AS BIGINT)
                        AS psnr_ge40
             FROM e
+        """,
+        # twin = the sequential BFSOracle with the same spider-trap
+        # guards (consecutive path-repeat bound): equality proves the
+        # /trap/x/x/... chain is cut exactly at the bound without
+        # perturbing the rest of the schedule
+        "crawl_trap_guard": lambda: f"""
+            WITH {_values_cte('e', _expected_table('trap', tag))}
+            SELECT url, round, depth, status FROM e
         """,
         # twin = pure freshness arithmetic (which pages changed at
         # epoch 1 is a deterministic function of (h, p)) + the epoch-1

@@ -338,6 +338,8 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
            lambda: consume(images_q6.images_psnr_audit(sf_dir)))
     timed6("crawl_recrawl_delta",
            lambda: consume(crawl_q6.crawl_recrawl_delta(sf_dir)))
+    timed6("crawl_trap_guard",
+           lambda: consume(crawl_q6.crawl_trap_guard(sf_dir)))
 
     return {
         "metric": "crawl+operator suite wall time",

@@ -779,3 +779,74 @@ def test_crawl_checkpoints_carry_etag(ray_crawl):
                 seen_any = True
                 assert e.startswith('W/"'), (u, e)
     assert seen_any
+
+
+def test_crawl_trap_guards_match_oracle(ray_session, tmp_path):
+    """Spider-trap guards: a web whose roots link an infinite
+    /trap/x/x/... chain would crawl forever (to max_rounds) without
+    guards; with max_path_repeats the chain is cut at the bound and
+    the whole crawl still matches the sequential oracle configured
+    the same way.  A depth-bound leg cross-checks max_depth."""
+    trap_cfg = dict(WEB_CFG, trap_links=True)
+    web = SynthWeb(**trap_cfg)
+
+    out = tmp_path / "crawl_trap"
+    cfg = CrawlConfig(web_config=trap_cfg, out_dir=str(out),
+                      seeds=web.seed_urls(), max_rounds=30,
+                      per_host_budget=3, fetch_concurrency=2,
+                      seen_shard_bits=2, max_path_repeats=2)
+    run_crawl(cfg, web.rule_pack())
+    oracle = BFSOracle(SynthWeb(**trap_cfg), web.rule_pack(),
+                       per_host_budget=3, max_path_repeats=2)
+    want = oracle.run(web.seed_urls(), max_rounds=30)
+    assert _ray_rounds(out) == [r["fetched"] for r in want["rounds"]]
+    fetched = {u for r in _ray_rounds(out) for u in r}
+    # the trap was entered (guards bound it, they don't blind the
+    # crawl) but never beyond 3 consecutive repeats
+    assert any("/trap/x" in u for u in fetched)
+    assert not any(u.endswith("/trap/x/x/x/x") for u in fetched)
+
+    # depth-bound leg: same web, max_depth=2 — identical to the
+    # depth-bounded oracle, and nothing deeper than 2 is fetched
+    out2 = tmp_path / "crawl_depth"
+    cfg2 = CrawlConfig(web_config=trap_cfg, out_dir=str(out2),
+                       seeds=web.seed_urls(), max_rounds=30,
+                       per_host_budget=3, fetch_concurrency=2,
+                       seen_shard_bits=2, max_depth=2)
+    run_crawl(cfg2, web.rule_pack())
+    oracle2 = BFSOracle(SynthWeb(**trap_cfg), web.rule_pack(),
+                        per_host_budget=3, max_depth=2)
+    want2 = oracle2.run(web.seed_urls(), max_rounds=30)
+    assert _ray_rounds(out2) == [r["fetched"] for r in want2["rounds"]]
+    depths = []
+    for f in sorted((out2 / "pages").glob("round=*/*.parquet")):
+        depths.extend(pq.read_table(f, columns=["depth"])
+                      ["depth"].to_pylist())
+    assert depths and max(depths) <= 2
+
+
+def test_trap_filter_units(ray_session):
+    """make_trap_filter edge cases: off-by-one at the repeat bound,
+    the vectorized prefilter not masking short URLs, URL length on
+    the canonical form, depth boundary inclusive."""
+    import pyarrow as pa
+
+    from uniparser_ray.stages.crawl_stages import make_trap_filter
+
+    def tbl(urls, depths):
+        return pa.table({"url": pa.array(urls, pa.large_string()),
+                         "depth": pa.array(depths, pa.int32())})
+
+    f = make_trap_filter(max_path_repeats=2)
+    t = tbl(["http://h.test/trap/x/x",        # 2 repeats: kept
+             "http://h.test/trap/x/x/x",      # 3 repeats: cut
+             "http://h.test/a/b/a/b/a/b/c",   # alternating: kept
+             "http://h.test/aa/aa/aa"],       # 3 repeats: cut
+            [1, 1, 1, 1])
+    assert f(t)["url"].to_pylist() == ["http://h.test/trap/x/x",
+                                       "http://h.test/a/b/a/b/a/b/c"]
+
+    f2 = make_trap_filter(max_depth=3, max_url_len=30)
+    t2 = tbl(["http://h.test/ok", "http://h.test/" + "y" * 40,
+              "http://h.test/deep"], [3, 1, 4])
+    assert f2(t2)["url"].to_pylist() == ["http://h.test/ok"]

@@ -150,6 +150,14 @@ class CrawlConfig:
     # final_hash / redirects ride the page checkpoint rows (resume
     # replays final_hash into the seen shards).
     max_redirects: int = 5
+    # spider-trap guards (0 = off), applied after canonicalization and
+    # BEFORE the seen test-and-set (a trapped candidate leaves no
+    # seen-set side effect; a later shallow rediscovery still fetches):
+    # BFS depth bound, canonical-URL byte bound, and a consecutive
+    # path-segment repeat bound (/x/x/x/... calendar traps)
+    max_depth: int = 0
+    max_url_len: int = 0
+    max_path_repeats: int = 0
 
 
 def _frontier_table(urls: List[str], parents: List[str], depths: List[int],
@@ -482,6 +490,12 @@ class CrawlRun:
                          + [s.budget.remote("__warmup__")
                             for s in self.politeness_shards])
 
+        from ..stages.crawl_stages import make_trap_filter
+        trap_filter = (make_trap_filter(self.cfg.max_depth,
+                                        self.cfg.max_url_len,
+                                        self.cfg.max_path_repeats)
+                       if (self.cfg.max_depth or self.cfg.max_url_len
+                           or self.cfg.max_path_repeats) else None)
         seen_stage = SeenRobotsStage(
             self.seen.shards, self.cfg.seen_shard_bits,
             self.robots_shards, len(self.robots_shards))
@@ -533,7 +547,10 @@ class CrawlRun:
                         for f in sorted(fdir.glob("*.parquet"))]
                 t = (pa.concat_tables(tbls, promote_options="default")
                      if len(tbls) > 1 else tbls[0])
-                t = seen_stage(canonicalize_batch(t))
+                t = canonicalize_batch(t)
+                if trap_filter is not None:
+                    t = trap_filter(t)
+                t = seen_stage(t)
                 dt = pa.Table.from_pandas(
                     granter(t.to_pandas()), preserve_index=False) \
                     .replace_schema_metadata(None)
@@ -546,13 +563,13 @@ class CrawlRun:
                 # off the warm grant phase at 255k candidates
                 frontier = rd.read_parquet(str(fdir),
                                            override_num_blocks=n_blocks)
-                admitted = (
-                    frontier
-                    .map_batches(canonicalize_batch,
-                                 batch_format="pyarrow")
-                    .map_batches(seen_stage, batch_format="pyarrow",
-                                 batch_size=4096)
-                )
+                admitted = frontier.map_batches(canonicalize_batch,
+                                                batch_format="pyarrow")
+                if trap_filter is not None:
+                    admitted = admitted.map_batches(
+                        trap_filter, batch_format="pyarrow")
+                admitted = admitted.map_batches(
+                    seen_stage, batch_format="pyarrow", batch_size=4096)
             # shuffle #1: the grant needs all of a host's pending rows
             # co-located — hosts hash into a bounded number of buckets
             # and the per-host top-k grant is vectorized per bucket.

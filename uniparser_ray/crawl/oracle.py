@@ -79,7 +79,9 @@ class BFSOracle:
     def __init__(self, web, rule_pack: dict, per_host_budget: int = 8,
                  max_pending_per_host: int = 1000, use_robots: bool = True,
                  host_budgets: dict = None, robots_delay_budget: bool = False,
-                 round_seconds: float = 60.0, max_redirects: int = 5):
+                 round_seconds: float = 60.0, max_redirects: int = 5,
+                 max_depth: int = 0, max_url_len: int = 0,
+                 max_path_repeats: int = 0):
         from ..rulevm.transport import SyntheticWebAdapter
         from .storage import JSONRuleStorage
         from ..state.robots import parse_crawl_delay, parse_robots
@@ -95,6 +97,15 @@ class BFSOracle:
         self.robots_delay_budget = robots_delay_budget
         self.round_seconds = round_seconds
         self.max_redirects = max_redirects
+        # spider-trap guards — the sequential mirror of the engine's
+        # make_trap_filter (depth bound, URL byte bound, consecutive
+        # path-segment repeat bound), applied after canonicalization
+        # and before the seen test-and-set
+        import re as _re
+        self.max_depth = max_depth
+        self.max_url_len = max_url_len
+        self._rep_re = (_re.compile(r"(/[^/]+)\1{%d,}" % max_path_repeats)
+                        if max_path_repeats > 0 else None)
         self._parse_robots = parse_robots
         self._parse_delay = parse_crawl_delay
         self._robots_cache: dict = {}
@@ -142,6 +153,7 @@ class BFSOracle:
         rule_names = {}      # url -> crawler rule name
         finals = {}          # url -> (final_canon_url, hops) when 3xx'd
         redirect_dups = set()  # urls whose final landed on a seen page
+        depths = {}          # url -> frontier depth at fetch time
         candidates = [(u, "", 0, 0.0, False) for u in seeds]
         if sitemap_seeds:
             # mirror of CrawlRun._seed_sitemaps: every seed host's
@@ -165,6 +177,15 @@ class BFSOracle:
             admitted = []
             for url, parent, depth, prio, seen_ok in candidates:
                 cu = canonicalize_url(url)
+                if self.max_depth and depth > self.max_depth:
+                    continue
+                if self.max_url_len and len(cu) > self.max_url_len:
+                    continue
+                if self._rep_re is not None:
+                    parts = cu.split("/", 3)
+                    if self._rep_re.search(
+                            "/" + parts[3] if len(parts) > 3 else "/"):
+                        continue
                 h = url_hash64(cu)
                 if not seen_ok:
                     if h in seen:
@@ -192,6 +213,7 @@ class BFSOracle:
             next_candidates = []
             for url, parent, depth, prio, host, h in granted:
                 parents[url] = parent
+                depths[url] = depth
                 rule = self.storage.find_crawler_rule(url)
                 if rule is None:
                     pages[url] = (0, None)
@@ -294,7 +316,8 @@ class BFSOracle:
         return {"rounds": rounds, "pages": pages, "images": images,
                 "image_round": image_round,
                 "seen": seen, "parents": parents, "rule_names": rule_names,
-                "finals": finals, "redirect_dups": redirect_dups}
+                "finals": finals, "redirect_dups": redirect_dups,
+                "depths": depths}
 
 
 def assemble_oracle_trees(result: dict) -> dict:

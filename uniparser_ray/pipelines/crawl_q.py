@@ -443,3 +443,85 @@ def expected_recrawl_delta(tag: str) -> pa.Table:
 def _harness_oracle(tag: str):
     from .images_q import _oracle_result
     return _oracle_result(tag)
+
+
+_TRAP_RUNS: dict = {}
+_TRAP_GUARDS = dict(max_path_repeats=2, max_depth=0, max_url_len=0)
+
+
+def _ensure_trap_crawl(tag: str) -> str:
+    """One trap-web crawl per (process, tag): every root links an
+    infinite /trap/x/x/... chain; the max_path_repeats guard must cut
+    it at the bound while the rest of the crawl is untouched."""
+    if tag in _TRAP_RUNS:
+        return _TRAP_RUNS[tag]
+    from ..crawl.loop import CrawlConfig, run_crawl
+    from ..sources.synthweb import SynthWeb
+    from .images_q import _CRAWL_BUDGET, _CRAWL_ROUNDS
+
+    web_cfg = dict(_CRAWL_BY_SF_OF(tag), trap_links=True)
+    web = SynthWeb(**web_cfg)
+    out = f"/tmp/uniparser_ray_cache/crawl_trap_{tag}"
+    shutil.rmtree(out, ignore_errors=True)
+    cfg = CrawlConfig(web_config=web_cfg, out_dir=out,
+                      seeds=web.seed_urls(), max_rounds=_CRAWL_ROUNDS,
+                      per_host_budget=_CRAWL_BUDGET, fetch_concurrency=4,
+                      seen_shard_bits=3, **_TRAP_GUARDS)
+    run_crawl(cfg, web.rule_pack())
+    _TRAP_RUNS[tag] = out
+    return _TRAP_RUNS[tag]
+
+
+def crawl_trap_guard(sf_dir: str):
+    """Spider-trap guards under a value oracle: the engine crawls a
+    web whose roots link an infinite /trap/x/x/... chain with the
+    consecutive-path-repeat guard on, and its full (url, round, depth,
+    status) schedule must equal the sequential oracle configured the
+    same way — proving the guard cuts the trap at the bound (the trap
+    IS entered up to it) without perturbing anything else.  One
+    projection-pruned task-parallel read of the pages checkpoints."""
+    import ray.data as rd
+
+    tag = _sf_tag(sf_dir)
+    out = _ensure_trap_crawl(tag)
+    rows = [{"path": str(f), "round": int(f.parent.name.split("=")[1])}
+            for f in sorted(Path(out, "pages").glob("round=*/*.parquet"))]
+
+    def read_pages(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+        parts = []
+        for row in batch.to_pylist():
+            t = pq.read_table(row["path"],
+                              columns=["url", "depth", "status"])
+            parts.append(pa.table({
+                "url": t["url"].cast(pa.string()),
+                "round": pa.array([row["round"]] * t.num_rows, pa.int64()),
+                "depth": t["depth"].cast(pa.int64()),
+                "status": t["status"].cast(pa.int64())}))
+        return pa.concat_tables(parts)
+
+    return rd.from_items(rows).map_batches(read_pages,
+                                           batch_format="pyarrow",
+                                           batch_size=4)
+
+
+def expected_trap_guard(tag: str) -> pa.Table:
+    """Twin: the sequential BFSOracle with the same guards."""
+    from ..crawl.oracle import BFSOracle
+    from ..sources.synthweb import SynthWeb
+    from .images_q import _CRAWL_BUDGET, _CRAWL_ROUNDS
+
+    web_cfg = dict(_CRAWL_BY_SF_OF(tag), trap_links=True)
+    web = SynthWeb(**web_cfg)
+    oracle = BFSOracle(SynthWeb(**web_cfg), web.rule_pack(),
+                       per_host_budget=_CRAWL_BUDGET, **_TRAP_GUARDS)
+    res = oracle.run(web.seed_urls(), max_rounds=_CRAWL_ROUNDS)
+    rows = []
+    for r in res["rounds"]:
+        for u in r["fetched"]:
+            rows.append({"url": u, "round": r["round"],
+                         "depth": res["depths"][u],
+                         "status": res["pages"][u][0]})
+    return pa.Table.from_pylist(rows, schema=pa.schema([
+        ("url", pa.string()), ("round", pa.int64()),
+        ("depth", pa.int64()), ("status", pa.int64())]))

@@ -36,7 +36,8 @@ class SynthWeb:
                  page_weight: int = 0, image_rate: float = 1.0,
                  flaky_mod: int = 0, flaky_attempts: int = 1,
                  redirect_rate: float = 0.0, lossy_rate: float = 0.0,
-                 epoch: int = 0, change_rate: float = 0.25):
+                 epoch: int = 0, change_rate: float = 0.25,
+                 trap_links: bool = False):
         self.num_hosts = num_hosts
         self.base_pages = base_pages
         self.fanout = fanout
@@ -88,6 +89,11 @@ class SynthWeb:
         # the recrawl scheduler's delta-fetch path.
         self.epoch = epoch
         self.change_rate = change_rate
+        # spider trap (off by default): every root page links /trap/x,
+        # and each /trap(/x)+ page serves one link a segment DEEPER —
+        # an infinite crawl unless a guard (CrawlConfig.max_depth /
+        # max_url_len / max_path_repeats) cuts it
+        self.trap_links = trap_links
         # Zipf-ish page budget: rank-0 host has hot_factor * base pages
         self.pages_of_host = [
             max(3, int(base_pages * (hot_factor / (h + 1) ** 0.9)))
@@ -197,6 +203,8 @@ class SynthWeb:
             parts.append(f'<a class="nav" href="{href}">child {child}</a>')
         if p == 0 and self.has_redirect_loop(h):
             parts.append('<a class="nav" href="/loopx">legacy index</a>')
+        if p == 0 and self.trap_links:
+            parts.append('<a class="nav" href="/trap/x">calendar</a>')
         # duplicate link (dedup work for the seen filter)
         parts.append(f'<a class="nav" href="{self.page_url(h, p)}">self</a>')
         cross = self.cross_link(h, p)
@@ -330,6 +338,14 @@ class SynthWeb:
                 loc = "/loopy" if path == "/loopx" else "/loopx"
                 return 302, {"Content-Type": "text/html",
                              "Location": loc}, b""
+        if self.trap_links:
+            trap = re.fullmatch(r"/trap(?:/x)+", path)
+            if trap:
+                body = ('<html><head><title>Trap</title></head><body>'
+                        '<h1 class="page-title">Trap</h1>'
+                        f'<a class="nav" href="{path}/x">next day</a>'
+                        "</body></html>")
+                return 200, {"Content-Type": "text/html"}, body.encode()
         img = re.fullmatch(r"/img/(\d+)\.(ppm|bmp|png|qpx)", path)
         if img:
             idx = int(img.group(1))
@@ -412,7 +428,8 @@ class SynthWeb:
                         # entry URLs (no-op when redirect_rate == 0:
                         # such URLs never occur)
                         "regex": (f"^http://{re.escape(host)}"
-                                  "(/|/page/\\d+|/old2?/\\d+|/loop[xy])?$"),
+                                  "(/|/page/\\d+|/old2?/\\d+|/loop[xy]"
+                                  "|/trap(?:/x)+)?$"),
                     }
                 },
             }

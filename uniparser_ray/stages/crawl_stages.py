@@ -111,6 +111,55 @@ def canonicalize_batch(batch: pa.Table) -> pa.Table:
     return out.replace_schema_metadata(None)
 
 
+def make_trap_filter(max_depth: int = 0, max_url_len: int = 0,
+                     max_path_repeats: int = 0):
+    """Spider-trap guards, applied AFTER canonicalization and BEFORE
+    the seen test-and-set (a trapped candidate leaves no seen-set
+    side effect, so a later legitimate shallow rediscovery still
+    fetches).  All three are 0=off:
+
+    * ``max_depth`` — BFS depth bound (calendar/pagination traps grow
+      depth without bound);
+    * ``max_url_len`` — canonical-URL byte bound (session-id and
+      recursive-path traps grow the URL);
+    * ``max_path_repeats`` — drop URLs with any path segment repeated
+      consecutively more than k times (/x/x/x/...).  RE2 (Arrow's
+      regex) has no backreferences, so the repeat check prefilters
+      vectorized on segment COUNT (a URL with <= k+1 segments cannot
+      repeat one more than k times) and runs Python re only on the
+      rare survivors — traps are pathological, not the common case.
+    """
+    import re as _re
+    rep_re = (_re.compile(r"(/[^/]+)\1{%d,}" % max_path_repeats)
+              if max_path_repeats > 0 else None)
+
+    def trap_filter(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keep = np.ones(t.num_rows, dtype=bool)
+        if max_depth > 0:
+            keep &= (t["depth"].to_numpy(zero_copy_only=False)
+                     <= max_depth)
+        if max_url_len > 0:
+            keep &= (pc.binary_length(t["url"]).to_numpy(
+                zero_copy_only=False) <= max_url_len)
+        if rep_re is not None:
+            # k+1 repeated segments need >= k+3 slashes total (2 are
+            # in the scheme) — everything below that is safe
+            nseg = pc.count_substring(t["url"], "/").to_numpy(
+                zero_copy_only=False)
+            sus = np.flatnonzero(keep & (nseg >= max_path_repeats + 3))
+            if sus.size:
+                urls = t["url"].take(pa.array(sus)).to_pylist()
+                for i, u in zip(sus, urls):
+                    parts = u.split("/", 3)
+                    path = "/" + parts[3] if len(parts) > 3 else "/"
+                    if rep_re.search(path):
+                        keep[i] = False
+        return t.filter(pa.array(keep))
+
+    return trap_filter
+
+
 def _sharded_add_futures(shards: List, shard_bits: int,
                          hashes: np.ndarray):
     """Launch one test-and-set RPC per shard for this batch (shard
