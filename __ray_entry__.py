@@ -263,6 +263,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_topk_price": relational.part_topk_price,
         "customers_without_orders": relational.customers_without_orders,
         "q13_customer_distribution": relational.q13_customer_distribution,
+        "q6_forecast_revenue": relational.q6_forecast_revenue,
+        "q14_promo_revenue": relational.q14_promo_revenue,
+        "q18_large_orders": relational.q18_large_orders,
+        "q10_returned_item_revenue": relational.q10_returned_item_revenue,
         "q4_returned_order_priority": relational.q4_returned_order_priority,
         "orders_topk_per_customer": relational.orders_topk_per_customer,
         "part_price_bands": relational.part_price_bands,
@@ -2060,6 +2064,58 @@ def oracle_sql(sf_tag: str = None) -> dict[str, str]:
               LEFT JOIN orders o ON o.o_custkey = c.c_custkey
               GROUP BY c.c_custkey)
             GROUP BY c_count
+        """,
+        "q6_forecast_revenue": """
+            SELECT ROUND(SUM(l_extendedprice * l_discount), 2)
+                       AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= '1996-01-01'
+              AND l_shipdate < '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "q14_promo_revenue": """
+            SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                     THEN l_extendedprice * (1 - l_discount)
+                     ELSE 0 END)
+                   / SUM(l_extendedprice * (1 - l_discount)), 4)
+                       AS promo_share
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= '1996-04-01'
+              AND l_shipdate < '1996-05-01'
+        """,
+        "q18_large_orders": """
+            WITH per AS (
+              SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+              FROM lineitem GROUP BY l_orderkey)
+            SELECT c_name, o_custkey, o_orderkey, o_orderdate,
+                   ROUND(o_totalprice, 2) AS o_totalprice,
+                   ROUND(sum_qty, 2) AS sum_qty
+            FROM per
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            WHERE sum_qty > 150
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 100
+        """,
+        "q10_returned_item_revenue": """
+            WITH rev AS (
+              SELECT o_custkey,
+                     ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                         AS revenue
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE l_returnflag = 'R'
+                AND o_orderdate >= '1996-10-01'
+                AND o_orderdate < '1997-01-01'
+              GROUP BY o_custkey)
+            SELECT o_custkey, c_name, revenue,
+                   ROUND(c_acctbal, 2) AS c_acctbal, n_name
+            FROM rev
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation ON n_nationkey = c_nationkey
+            ORDER BY revenue DESC, o_custkey
+            LIMIT 20
         """,
         "q4_returned_order_priority": """
             SELECT o_orderpriority, COUNT(*) AS n_orders

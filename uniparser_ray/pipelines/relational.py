@@ -1163,3 +1163,241 @@ def q4_returned_order_priority(sf_dir: str):
         return df[["o_orderpriority", "n_orders"]]
 
     return out.map_batches(finish, batch_format="pandas")
+
+
+Q6_SHIP_LO, Q6_SHIP_HI = "1996-01-01", "1997-01-01"
+Q6_DISC_LO, Q6_DISC_HI = 0.05, 0.07
+Q6_QTY_MAX = 24
+
+
+def q6_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 shape: forecast-revenue-change — a pure scan-filter-
+    aggregate with NO join and NO groupby key.  The scale shape is the
+    point: predicates and the 4-column projection push into the
+    parquet read, each batch folds to ONE partial-sum row, and the
+    driver adds a handful of partials — zero shuffle, zero
+    materialization of anything row-shaped."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_shipdate", "l_discount", "l_quantity",
+                "l_extendedprice"])
+
+    lo, hi = pd.Timestamp(Q6_SHIP_LO), pd.Timestamp(Q6_SHIP_HI)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        m = ((df["l_shipdate"] >= lo) & (df["l_shipdate"] < hi)
+             & (df["l_discount"] >= Q6_DISC_LO)
+             & (df["l_discount"] <= Q6_DISC_HI)
+             & (df["l_quantity"] < Q6_QTY_MAX))
+        sub = df[m]
+        return pd.DataFrame({
+            "one": [1],
+            "rev": [(sub["l_extendedprice"] * sub["l_discount"]).sum()],
+            "n": [int(m.sum())]})
+
+    out = partial_groupby(ds.map_batches(fold, batch_format="pandas"),
+                          ["one"],
+                          {"revenue": ("rev", "sum"),
+                           "n_items": ("n", "sum")},
+                          driver_limit_rows=_LOWCARD_COMBINE_LIMIT)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["revenue"] = df["revenue"].round(2)
+        df["n_items"] = df["n_items"].astype("int64")
+        return df[["revenue", "n_items"]]
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+Q14_MONTH_LO, Q14_MONTH_HI = "1996-04-01", "1996-05-01"
+
+
+def q14_promo_revenue(sf_dir: str):
+    """TPC-H Q14 shape: promo revenue share — a broadcast dimension
+    join.  ``part`` is the small side (one bool per partkey), shipped
+    ONCE via ray.put and read inside every task; lineitem streams with
+    month + projection pushdown and folds to per-batch partial sums
+    (promo, total) — the classic pattern where a shuffle join would be
+    pure waste."""
+    import ray
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).materialize()
+    promo: dict = {}
+    for b in part.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for k, t in zip(b["p_partkey"].to_pylist(),
+                        b["p_type"].to_pylist()):
+            promo[k] = (t == "PROMO")
+    promo_ref = ray.put(promo)
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_shipdate", "l_extendedprice",
+                "l_discount"])
+    lo, hi = pd.Timestamp(Q14_MONTH_LO), pd.Timestamp(Q14_MONTH_HI)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+        lut = _ray.get(promo_ref)
+        sub = df[(df["l_shipdate"] >= lo) & (df["l_shipdate"] < hi)]
+        disc = sub["l_extendedprice"] * (1.0 - sub["l_discount"])
+        is_promo = sub["l_partkey"].map(lut).fillna(False).to_numpy(bool)
+        return pd.DataFrame({"one": [1],
+                             "promo": [disc[is_promo].sum()],
+                             "total": [disc.sum()]})
+
+    out = partial_groupby(ds.map_batches(fold, batch_format="pandas"),
+                          ["one"],
+                          {"promo": ("promo", "sum"),
+                           "total": ("total", "sum")},
+                          driver_limit_rows=_LOWCARD_COMBINE_LIMIT)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "promo_share": (100.0 * df["promo"] / df["total"]).round(4)})
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+Q18_QTY_THRESHOLD = 150
+Q18_TOPN = 100
+
+
+def q18_large_orders(sf_dir: str):
+    """TPC-H Q18 shape: large-volume orders (HAVING SUM(qty) > T) with
+    customer names, top-N by (o_totalprice desc, o_orderkey).  Scale
+    shape: the lineitem pre-aggregate runs FIRST (per-batch fold, then
+    a bucketed combine keyed by orderkey) so the HAVING filter shrinks
+    the join input to the survivor set before anything wide happens;
+    survivors then shuffle-join orders and the per-batch partial top-N
+    prunes before the final single-bucket rank."""
+    from ..stages.combine import hash_bucket_combine, hash_bucket_join
+
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    per_order = partial_groupby(line, ["l_orderkey"],
+                                {"sum_qty": ("l_quantity", "sum")})
+    big = per_order.filter(expr=f"sum_qty > {Q18_QTY_THRESHOLD}")
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice",
+                    "o_orderdate"])
+    joined = hash_bucket_join(
+        big, orders, "l_orderkey", "o_orderkey",
+        left_cols=["l_orderkey", "sum_qty"],
+        right_cols=["o_orderkey", "o_custkey", "o_totalprice",
+                    "o_orderdate"])
+
+    def partial_top(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["o_totalprice", "o_orderkey"],
+                              ascending=[False, True],
+                              kind="mergesort").head(Q18_TOPN)
+
+    pruned = joined.map_batches(partial_top, batch_format="pandas") \
+        .map_batches(lambda df: df.assign(one=1), batch_format="pandas")
+    top = hash_bucket_combine(pruned, ["one"], partial_top,
+                              num_buckets=1)
+
+    # resolve customer names for the N winners only: broadcast the
+    # winning custkeys, stream the customer table against them
+    import ray
+    top_tbl = pa.concat_tables(ray.get(top.to_arrow_refs()),
+                               promote_options="default")
+    keys = set(top_tbl["o_custkey"].to_pylist())
+    keys_ref = ray.put(keys)
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+        want = _ray.get(keys_ref)
+        return df[df["c_custkey"].isin(want)][["c_custkey", "c_name"]]
+
+    names = _read(sf_dir, "customer", ["c_custkey", "c_name"]) \
+        .map_batches(pick, batch_format="pandas").to_pandas()
+    df = top_tbl.to_pandas().merge(names, left_on="o_custkey",
+                                   right_on="c_custkey", how="left")
+    df = df.sort_values(["o_totalprice", "o_orderkey"],
+                        ascending=[False, True],
+                        kind="mergesort").head(Q18_TOPN)
+    df["sum_qty"] = df["sum_qty"].round(2)
+    df["o_totalprice"] = df["o_totalprice"].round(2)
+    return df[["c_name", "o_custkey", "o_orderkey", "o_orderdate",
+               "o_totalprice", "sum_qty"]].reset_index(drop=True)
+
+
+Q10_DATE_LO, Q10_DATE_HI = "1996-10-01", "1997-01-01"
+Q10_TOPN = 20
+
+
+def q10_returned_item_revenue(sf_dir: str):
+    """TPC-H Q10 shape: revenue lost to returned items per customer in
+    a quarter, top-20, with name/nation resolved.  Scale shape: both
+    fact reads push predicates + projections; the orderkey shuffle
+    join runs on PRE-FILTERED rows; revenue folds per customer BEFORE
+    any dimension touch; the 20 winners resolve customer + nation by
+    broadcast (nation is 25 rows; the winner set is K rows)."""
+    from ..stages.combine import hash_bucket_combine, hash_bucket_join
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_extendedprice", "l_discount",
+                  "l_returnflag"],
+                 filter=(pc.field("l_returnflag") == "R"))
+
+    def rev(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_orderkey": df["l_orderkey"],
+            "rev": df["l_extendedprice"] * (1.0 - df["l_discount"])})
+
+    lo, hi = pd.Timestamp(Q10_DATE_LO), pd.Timestamp(Q10_DATE_HI)
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"],
+                   filter=((pc.field("o_orderdate")
+                            >= pc.scalar(pd.Timestamp(Q10_DATE_LO)))
+                           & (pc.field("o_orderdate")
+                              < pc.scalar(pd.Timestamp(Q10_DATE_HI)))))
+
+    joined = hash_bucket_join(
+        line.map_batches(rev, batch_format="pandas"), orders,
+        "l_orderkey", "o_orderkey",
+        left_cols=["l_orderkey", "rev"],
+        right_cols=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    per_cust = partial_groupby(joined, ["o_custkey"],
+                               {"revenue": ("rev", "sum")})
+
+    # partials keep 4N by UNROUNDED revenue; the final rank below runs
+    # on 2-dp ROUNDED revenue (ties broken by custkey) so a last-ulp
+    # difference between this engine's partial-sum order and the SQL
+    # twin's cannot flip the winner set at the N boundary — the 4x
+    # margin covers any round-tie class straddling the cut
+    def partial_top(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["revenue", "o_custkey"],
+                              ascending=[False, True],
+                              kind="mergesort").head(Q10_TOPN * 4)
+
+    pruned = per_cust.map_batches(partial_top, batch_format="pandas") \
+        .map_batches(lambda df: df.assign(one=1), batch_format="pandas")
+    top = hash_bucket_combine(pruned, ["one"], partial_top,
+                              num_buckets=1)
+
+    import ray
+    top_tbl = pa.concat_tables(ray.get(top.to_arrow_refs()),
+                               promote_options="default")
+    keys_ref = ray.put(set(top_tbl["o_custkey"].to_pylist()))
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+        want = _ray.get(keys_ref)
+        return df[df["c_custkey"].isin(want)][
+            ["c_custkey", "c_name", "c_acctbal", "c_nationkey"]]
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_name", "c_acctbal", "c_nationkey"]) \
+        .map_batches(pick, batch_format="pandas").to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]) \
+        .to_pandas()
+    df = top_tbl.to_pandas() \
+        .merge(cust, left_on="o_custkey", right_on="c_custkey") \
+        .merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    df["revenue"] = df["revenue"].round(2)
+    df = df.sort_values(["revenue", "o_custkey"],
+                        ascending=[False, True],
+                        kind="mergesort").head(Q10_TOPN)
+    df["c_acctbal"] = df["c_acctbal"].round(2)
+    return df[["o_custkey", "c_name", "revenue", "c_acctbal",
+               "n_name"]].reset_index(drop=True)
