@@ -379,6 +379,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_psnr_audit": images_q.images_psnr_audit,
         "crawl_recrawl_delta": crawl_q.crawl_recrawl_delta,
         "crawl_trap_guard": crawl_q.crawl_trap_guard,
+        "crawl_host_ban": crawl_q.crawl_host_ban,
         "audio_features": images_q.audio_features_q,
         "video_frames": images_q.video_frames_q,
         "video_shot_boundaries": images_q.video_shot_boundaries,
@@ -647,6 +648,9 @@ def _expected_table(kind: str, tag: str) -> pa.Table:
     if kind == "trap":
         from uniparser_ray.pipelines.crawl_q import expected_trap_guard
         return expected_trap_guard(tag)
+    if kind == "hostban":
+        from uniparser_ray.pipelines.crawl_q import expected_host_ban
+        return expected_host_ban(tag)
     from uniparser_ray.pipelines.graph import (expected_components,
                                                expected_host_degrees,
                                                expected_pagerank)
@@ -858,6 +862,13 @@ def _multimodal_oracle_thunks(tag: str) -> dict:
                         >= 10000 * CAST(sse AS BIGINT) AS BIGINT)
                        AS psnr_ge40
             FROM e
+        """,
+        # twin = the sequential BFSOracle with the same per-host error
+        # budget: equality pins that bans fire at exactly the right
+        # round and prune exactly the right frontier rows
+        "crawl_host_ban": lambda: f"""
+            WITH {_values_cte('e', _expected_table('hostban', tag))}
+            SELECT url, round, status FROM e
         """,
         # twin = the sequential BFSOracle with the same spider-trap
         # guards (consecutive path-repeat bound): equality proves the

@@ -340,6 +340,8 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
            lambda: consume(crawl_q6.crawl_recrawl_delta(sf_dir)))
     timed6("crawl_trap_guard",
            lambda: consume(crawl_q6.crawl_trap_guard(sf_dir)))
+    timed6("crawl_host_ban",
+           lambda: consume(crawl_q6.crawl_host_ban(sf_dir)))
 
     return {
         "metric": "crawl+operator suite wall time",

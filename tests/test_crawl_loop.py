@@ -850,3 +850,80 @@ def test_trap_filter_units(ray_session):
     t2 = tbl(["http://h.test/ok", "http://h.test/" + "y" * 40,
               "http://h.test/deep"], [3, 1, 4])
     assert f2(t2)["url"].to_pylist() == ["http://h.test/ok"]
+
+
+def test_qpx_codec_fuzz():
+    """Property fuzz (hypothesis): for ANY pixel array, QPX decode
+    equals the pure 6-bit quantizer applied elementwise — the packing
+    layer can never leak between samples — and framing length matches
+    the arithmetic."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    from uniparser_ray.sources.codecs import decode_qpx, encode_qpx
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.integers(1, 9), st.integers(1, 9), st.data())
+    def run(h, w, data):
+        px = data.draw(arrays(np.uint8, (h, w, 3)))
+        blob = encode_qpx(px)
+        assert len(blob) == 8 + 3 * ((px.size + 3) // 4)
+        rec = decode_qpx(blob)
+        want = ((px.astype(np.uint32) >> 2) << 2) + 2
+        assert np.array_equal(rec, want.astype(np.uint8))
+
+    run()
+
+
+def test_crawl_host_error_budget_matches_oracle(ray_session, tmp_path):
+    """Dead-host pruning: on a web where ~1/3 of pages serve permanent
+    503s, host_error_budget bans hosts whose cumulative error count
+    crosses the budget — frontier rows of banned hosts are dropped at
+    admission from the NEXT round on.  The full schedule must equal
+    the budget-configured sequential oracle, bans must actually fire,
+    and an interrupt-resume run must reconstruct the counters from
+    the page checkpoints."""
+    dead_cfg = dict(WEB_CFG, flaky_mod=3, flaky_attempts=99)
+    web = SynthWeb(**WEB_CFG)
+    budget = 3
+
+    oracle = BFSOracle(SynthWeb(**dead_cfg), web.rule_pack(),
+                       per_host_budget=3, host_error_budget=budget)
+    want = oracle.run(web.seed_urls(), max_rounds=30)
+
+    out = tmp_path / "crawl_deadhost"
+    base = dict(web_config=dead_cfg, out_dir=str(out),
+                seeds=web.seed_urls(), per_host_budget=3,
+                fetch_concurrency=2, seen_shard_bits=2,
+                host_error_budget=budget)
+    run_crawl(CrawlConfig(max_rounds=30, **base), web.rule_pack())
+    assert _ray_rounds(out) == [r["fetched"] for r in want["rounds"]]
+
+    # bans fired: some host has >= budget errors and stops appearing
+    errs = {}
+    ban_round = {}      # host -> round its cumulative errors hit budget
+    fetch_rounds = {}   # host -> set of rounds it was fetched in
+    for rd_dir in sorted((out / "pages").glob("round=*")):
+        rnd = int(rd_dir.name.split("=")[1])
+        for f in sorted(rd_dir.glob("*.parquet")):
+            t = pq.read_table(f, columns=["host", "status"])
+            for h, s in zip(t["host"].to_pylist(), t["status"].to_pylist()):
+                fetch_rounds.setdefault(h, set()).add(rnd)
+                if s == -1 or s >= 500:
+                    errs[h] = errs.get(h, 0) + 1
+                    if errs[h] == budget and h not in ban_round:
+                        ban_round[h] = rnd
+    assert ban_round, "expected at least one banned host"
+    # a banned host is NEVER fetched after the round its count crossed
+    # the budget
+    for h, b in ban_round.items():
+        assert not {r for r in fetch_rounds[h] if r > b}, (h, b)
+
+    # interrupt-resume: counters rebuilt from checkpoints
+    out2 = tmp_path / "crawl_deadhost_resume"
+    base2 = dict(base, out_dir=str(out2))
+    run_crawl(CrawlConfig(max_rounds=3, **base2), web.rule_pack())
+    run_crawl(CrawlConfig(max_rounds=30, **base2), web.rule_pack(),
+              resume=True)
+    assert _ray_rounds(out2) == [r["fetched"] for r in want["rounds"]]

@@ -158,6 +158,15 @@ class CrawlConfig:
     max_depth: int = 0
     max_url_len: int = 0
     max_path_repeats: int = 0
+    # dead-host pruning (0 = off): a host whose CUMULATIVE count of
+    # error fetches (transport -1 or 5xx) reaches the budget is banned
+    # — its frontier rows are dropped at admission from the NEXT round
+    # on (after canonicalization, before the seen test-and-set, so no
+    # seen-set side effect).  Error counts fold distributed per round
+    # (tiny per-host partials) and are recomputed from the page
+    # checkpoints on resume.  At 10^10 scale this is what stops a dead
+    # CDN from eating the politeness budget round after round.
+    host_error_budget: int = 0
 
 
 def _frontier_table(urls: List[str], parents: List[str], depths: List[int],
@@ -344,6 +353,49 @@ class CrawlRun:
                 keep, metadata={"rollback_before_round": start_round})
         purge(self.images.data_dir, start_round)
 
+    def _reseed_host_errors(self, upto_round: int):
+        """Rebuild the dead-host error counters from the committed
+        page checkpoints (resume): one projection-pruned distributed
+        fold to per-host error counts — only the tiny (host, n) rows
+        reach the driver."""
+        import ray.data as rd
+        files = [str(f) for r in range(upto_round)
+                 for f in sorted(
+                     (self.pages_dir / f"round={r}").glob("*.parquet"))]
+        if not files:
+            return
+
+        def fold(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            st = t["status"]
+            bad = pc.or_(pc.equal(st, pa.scalar(-1, pa.int32())),
+                         pc.greater_equal(st, pa.scalar(500, pa.int32())))
+            sub = t.filter(bad)
+            if sub.num_rows == 0:
+                return pa.table({"host": pa.array([], pa.string()),
+                                 "n": pa.array([], pa.int64())})
+            agg = sub.group_by("host").aggregate([("host", "count")])
+            return pa.table({"host": agg["host"],
+                             "n": agg["host_count"].cast(pa.int64())})
+
+        parts = rd.read_parquet(files, columns=["host", "status"]) \
+            .map_batches(fold, batch_format="pyarrow").to_pandas()
+        for host, n in zip(parts["host"], parts["n"]):
+            self._host_errors[host] = self._host_errors.get(host, 0) + int(n)
+        self._refresh_bans()
+
+    def _refresh_bans(self):
+        budget = self.cfg.host_error_budget
+        self._banned_hosts = frozenset(
+            h for h, n in self._host_errors.items() if n >= budget)
+
+    def _absorb_round_errors(self, err_df):
+        """Fold one round's per-host error partials into the counters
+        (bans apply from the NEXT round's admission)."""
+        for host, n in zip(err_df["host"], err_df["n"]):
+            self._host_errors[host] = self._host_errors.get(host, 0) + int(n)
+        self._refresh_bans()
+
     def _reseed_filters(self, upto_round: int):
         """Rebuild seen state from committed checkpoints (resume).
 
@@ -467,11 +519,15 @@ class CrawlRun:
         self.rule_pack_ref = ray.put(rule_pack)
         start_round = 0
         state = self._load_state() if resume else None
+        self._host_errors: Dict[str, int] = {}
+        self._banned_hosts: frozenset = frozenset()
         if state:
             start_round = state["next_round"]
             self.metrics = state["metrics"]
             self._rollback_uncommitted(start_round)
             self._reseed_filters(start_round)
+            if self.cfg.host_error_budget > 0:
+                self._reseed_host_errors(start_round)
         else:
             self._seed_round0()
 
@@ -523,6 +579,19 @@ class CrawlRun:
                 ray.get(ready_futures)
                 ready_futures = []
 
+            # dead-host ban filter: a per-round closure over the
+            # (frozen) banned set — applied after canonicalization,
+            # before the seen test-and-set, like the trap guards
+            banned = self._banned_hosts
+            if banned:
+                def ban_filter(t: pa.Table, _b=banned) -> pa.Table:
+                    keep = ~np.isin(
+                        np.asarray(t["host"].to_pylist(), dtype=object),
+                        list(_b))
+                    return t.filter(pa.array(keep))
+            else:
+                ban_filter = None
+
             t0 = time.perf_counter()
             phase_t: Dict[str, float] = {}
 
@@ -550,6 +619,8 @@ class CrawlRun:
                 t = canonicalize_batch(t)
                 if trap_filter is not None:
                     t = trap_filter(t)
+                if ban_filter is not None:
+                    t = ban_filter(t)
                 t = seen_stage(t)
                 dt = pa.Table.from_pandas(
                     granter(t.to_pandas()), preserve_index=False) \
@@ -568,6 +639,9 @@ class CrawlRun:
                 if trap_filter is not None:
                     admitted = admitted.map_batches(
                         trap_filter, batch_format="pyarrow")
+                if ban_filter is not None:
+                    admitted = admitted.map_batches(
+                        ban_filter, batch_format="pyarrow")
                 admitted = admitted.map_batches(
                     seen_stage, batch_format="pyarrow", batch_size=4096)
             # shuffle #1: the grant needs all of a host's pending rows
@@ -695,6 +769,29 @@ class CrawlRun:
                 batch_size=self.cfg.fetch_batch_size).materialize()
 
             _mark('fetch_parse')
+            if self.cfg.host_error_budget > 0:
+                # per-host error partials for the dead-host counters —
+                # distributed fold, only (host, n) rows move
+                def err_fold(t: pa.Table) -> pa.Table:
+                    import pyarrow.compute as pc
+                    st = t["status"]
+                    bad = pc.or_(pc.equal(st, pa.scalar(-1, pa.int32())),
+                                 pc.greater_equal(
+                                     st, pa.scalar(500, pa.int32())))
+                    sub = t.filter(bad)
+                    if sub.num_rows == 0:
+                        return pa.table(
+                            {"host": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+                    agg = sub.group_by("host").aggregate(
+                        [("host", "count")])
+                    return pa.table(
+                        {"host": agg["host"],
+                         "n": agg["host_count"].cast(pa.int64())})
+
+                self._absorb_round_errors(
+                    pages.map_batches(err_fold, batch_format="pyarrow")
+                    .to_pandas())
             pdir = self.pages_dir / f"round={r}"
             if small_round:
                 # driver fast path (cont.): the materialized page

@@ -81,7 +81,7 @@ class BFSOracle:
                  host_budgets: dict = None, robots_delay_budget: bool = False,
                  round_seconds: float = 60.0, max_redirects: int = 5,
                  max_depth: int = 0, max_url_len: int = 0,
-                 max_path_repeats: int = 0):
+                 max_path_repeats: int = 0, host_error_budget: int = 0):
         from ..rulevm.transport import SyntheticWebAdapter
         from .storage import JSONRuleStorage
         from ..state.robots import parse_crawl_delay, parse_robots
@@ -106,6 +106,10 @@ class BFSOracle:
         self.max_url_len = max_url_len
         self._rep_re = (_re.compile(r"(/[^/]+)\1{%d,}" % max_path_repeats)
                         if max_path_repeats > 0 else None)
+        # dead-host pruning mirror: cumulative -1/5xx counts per host;
+        # a host at/over the budget is dropped at admission from the
+        # round AFTER the errors happened
+        self.host_error_budget = host_error_budget
         self._parse_robots = parse_robots
         self._parse_delay = parse_crawl_delay
         self._robots_cache: dict = {}
@@ -154,6 +158,8 @@ class BFSOracle:
         finals = {}          # url -> (final_canon_url, hops) when 3xx'd
         redirect_dups = set()  # urls whose final landed on a seen page
         depths = {}          # url -> frontier depth at fetch time
+        host_errors = {}     # host -> cumulative -1/5xx fetches
+        banned = set()       # hosts at/over host_error_budget
         candidates = [(u, "", 0, 0.0, False) for u in seeds]
         if sitemap_seeds:
             # mirror of CrawlRun._seed_sitemaps: every seed host's
@@ -186,6 +192,8 @@ class BFSOracle:
                     if self._rep_re.search(
                             "/" + parts[3] if len(parts) > 3 else "/"):
                         continue
+                if banned and get_host(cu, "") in banned:
+                    continue
                 h = url_hash64(cu)
                 if not seen_ok:
                     if h in seen:
@@ -304,6 +312,13 @@ class BFSOracle:
                     if isinstance(link, str):
                         next_candidates.append(
                             (link, url, depth + 1, float(depth + 1), False))
+            if self.host_error_budget > 0:
+                for url, _p, _d, _pr, host, _h in granted:
+                    s = pages[url][0]
+                    if s == -1 or s >= 500:
+                        host_errors[host] = host_errors.get(host, 0) + 1
+                banned = {hh for hh, n in host_errors.items()
+                          if n >= self.host_error_budget}
             for url, parent, depth, prio, host, h in backlog:
                 next_candidates.append((url, parent, depth, prio, True))
             rounds.append({"round": r, "fetched": fetched_urls,

@@ -525,3 +525,83 @@ def expected_trap_guard(tag: str) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=pa.schema([
         ("url", pa.string()), ("round", pa.int64()),
         ("depth", pa.int64()), ("status", pa.int64())]))
+
+
+_DEADHOST_RUNS: dict = {}
+_DEADHOST_BUDGET = 4
+_DEADHOST_FLAKY = dict(flaky_mod=3, flaky_attempts=99)
+
+
+def _ensure_deadhost_crawl(tag: str) -> str:
+    """One dead-host crawl per (process, tag): ~1/3 of pages serve
+    permanent 503s, so hosts cross the error budget and get banned
+    mid-crawl."""
+    if tag in _DEADHOST_RUNS:
+        return _DEADHOST_RUNS[tag]
+    from ..crawl.loop import CrawlConfig, run_crawl
+    from ..sources.synthweb import SynthWeb
+    from .images_q import _CRAWL_BUDGET, _CRAWL_ROUNDS
+
+    web_cfg = dict(_CRAWL_BY_SF_OF(tag), **_DEADHOST_FLAKY)
+    web = SynthWeb(**web_cfg)
+    out = f"/tmp/uniparser_ray_cache/crawl_deadhost_{tag}"
+    shutil.rmtree(out, ignore_errors=True)
+    cfg = CrawlConfig(web_config=web_cfg, out_dir=out,
+                      seeds=web.seed_urls(), max_rounds=_CRAWL_ROUNDS,
+                      per_host_budget=_CRAWL_BUDGET, fetch_concurrency=4,
+                      seen_shard_bits=3,
+                      host_error_budget=_DEADHOST_BUDGET)
+    run_crawl(cfg, web.rule_pack())
+    _DEADHOST_RUNS[tag] = out
+    return _DEADHOST_RUNS[tag]
+
+
+def crawl_host_ban(sf_dir: str):
+    """Dead-host pruning under a value oracle: the engine crawls a web
+    where a deterministic slice of pages serves permanent 503s with a
+    cumulative per-host error budget; hosts crossing it are banned
+    from the next round's admission.  The full (url, round, status)
+    schedule must equal the budget-configured sequential oracle —
+    proving bans fire at exactly the right round and prune exactly the
+    right frontier rows."""
+    import ray.data as rd
+
+    tag = _sf_tag(sf_dir)
+    out = _ensure_deadhost_crawl(tag)
+    rows = [{"path": str(f), "round": int(f.parent.name.split("=")[1])}
+            for f in sorted(Path(out, "pages").glob("round=*/*.parquet"))]
+
+    def read_pages(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+        parts = []
+        for row in batch.to_pylist():
+            t = pq.read_table(row["path"], columns=["url", "status"])
+            parts.append(pa.table({
+                "url": t["url"].cast(pa.string()),
+                "round": pa.array([row["round"]] * t.num_rows, pa.int64()),
+                "status": t["status"].cast(pa.int64())}))
+        return pa.concat_tables(parts)
+
+    return rd.from_items(rows).map_batches(read_pages,
+                                           batch_format="pyarrow",
+                                           batch_size=4)
+
+
+def expected_host_ban(tag: str) -> pa.Table:
+    """Twin: the sequential BFSOracle with the same error budget."""
+    from ..crawl.oracle import BFSOracle
+    from ..sources.synthweb import SynthWeb
+    from .images_q import _CRAWL_BUDGET, _CRAWL_ROUNDS
+
+    web_cfg = dict(_CRAWL_BY_SF_OF(tag), **_DEADHOST_FLAKY)
+    web = SynthWeb(**web_cfg)
+    oracle = BFSOracle(SynthWeb(**web_cfg), web.rule_pack(),
+                       per_host_budget=_CRAWL_BUDGET,
+                       host_error_budget=_DEADHOST_BUDGET)
+    res = oracle.run(web.seed_urls(), max_rounds=_CRAWL_ROUNDS)
+    rows = [{"url": u, "round": r["round"],
+             "status": res["pages"][u][0]}
+            for r in res["rounds"] for u in r["fetched"]]
+    return pa.Table.from_pylist(rows, schema=pa.schema([
+        ("url", pa.string()), ("round", pa.int64()),
+        ("status", pa.int64())]))
