@@ -625,7 +625,7 @@ class CrawlRun:
                 dt = pa.Table.from_pandas(
                     granter(t.to_pandas()), preserve_index=False) \
                     .replace_schema_metadata(None)
-                decided = rd.from_arrow(dt).materialize()
+                decided = None   # dt IS the decided table (driver)
             else:
                 n_blocks = max(1, min(4 * self.cfg.fetch_concurrency,
                                       (n_candidates + 63) // 64))
@@ -703,25 +703,51 @@ class CrawlRun:
                     _strip_meta, batch_format="pyarrow", batch_size=None,
                     zero_copy_batch=True).materialize()
             _mark('grant')
-            n_decided = decided.count()
-            granted = decided.filter(expr="granted == 1")
-            n_granted = granted.count()
-            _mark('counts')
-            if n_granted == 0:
-                break
-            # the grant co-locates each host's rows in one block, so a
-            # hot host would otherwise ride into the fetch stage as one
-            # giant serial task; rows here are tiny URL metadata, so a
-            # row-balanced rebalance is cheap and makes fetch tasks
-            # uniform regardless of host skew
             cpus = int(ray.cluster_resources().get("CPU", 8))
-            # 8 tasks per cpu: at 4x a giant round ran as ~4 waves of
-            # ~15s tasks and the end-of-stage straggler tail idled a
-            # measurable slice of the machine; finer tasks halve the
-            # tail at negligible dispatch cost (A/B'd at 32 cpus)
-            fetch_blocks = max(1, min(
-                -(-n_granted // self.cfg.fetch_batch_size), 8 * cpus))
-            granted = granted.repartition(fetch_blocks)
+            if small_round:
+                # driver fast path (cont.): dt is in memory, so the
+                # decided/granted counts are free and the fetch input
+                # is PRE-SPLIT into row-balanced blocks (from_arrow of
+                # N slices makes N blocks) — the filter/count
+                # executions and the repartition all-to-all the
+                # distributed path needs below would each cost a whole
+                # Ray execution on kilobyte rounds
+                import pyarrow.compute as _pc
+                n_decided = dt.num_rows
+                gt = dt.filter(_pc.equal(dt["granted"], 1))
+                n_granted = gt.num_rows
+                _mark('counts')
+                if n_granted == 0:
+                    break
+                fetch_blocks = max(1, min(
+                    -(-n_granted // self.cfg.fetch_batch_size),
+                    8 * cpus))
+                cuts = np.linspace(0, n_granted,
+                                   fetch_blocks + 1).astype(int)
+                granted = rd.from_arrow([
+                    gt.slice(a, b - a)
+                    for a, b in zip(cuts, cuts[1:]) if b > a])
+            else:
+                n_decided = decided.count()
+                granted = decided.filter(expr="granted == 1")
+                n_granted = granted.count()
+                _mark('counts')
+                if n_granted == 0:
+                    break
+                # the grant co-locates each host's rows in one block,
+                # so a hot host would otherwise ride into the fetch
+                # stage as one giant serial task; rows here are tiny
+                # URL metadata, so a row-balanced rebalance is cheap
+                # and makes fetch tasks uniform regardless of host
+                # skew.  8 tasks per cpu: at 4x a giant round ran as
+                # ~4 waves of ~15s tasks and the end-of-stage
+                # straggler tail idled a measurable slice of the
+                # machine; finer tasks halve the tail at negligible
+                # dispatch cost (A/B'd at 32 cpus)
+                fetch_blocks = max(1, min(
+                    -(-n_granted // self.cfg.fetch_batch_size),
+                    8 * cpus))
+                granted = granted.repartition(fetch_blocks)
 
             # -- fetch + rule-VM parse (warm-worker task pool; the
             # transport/compiled-pack state is cached per worker, so
@@ -898,12 +924,9 @@ class CrawlRun:
                 # file, zero Ray executions
                 parts = [_explode_links(pages_tbl)]
                 if n_decided - n_granted > 0:
-                    bt = pa.concat_tables(
-                        ray.get(decided.to_arrow_refs()),
-                        promote_options="default")
                     import pyarrow.compute as _pc
                     parts.append(as_backlog(
-                        bt.filter(_pc.equal(bt["granted"], 0))))
+                        dt.filter(_pc.equal(dt["granted"], 0))))
                 if max_r > 0:
                     rt = as_retry(pages_tbl)
                     n_retry = rt.num_rows
