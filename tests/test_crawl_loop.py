@@ -927,3 +927,60 @@ def test_crawl_host_error_budget_matches_oracle(ray_session, tmp_path):
     run_crawl(CrawlConfig(max_rounds=30, **base2), web.rule_pack(),
               resume=True)
     assert _ray_rounds(out2) == [r["fetched"] for r in want["rounds"]]
+
+
+def test_crawl_honors_retry_after(ray_session, tmp_path):
+    """Server-requested backoff: flaky pages answer 503 with
+    Retry-After 60 or 120 (deterministic per page); with
+    honor_retry_after the requeue's second fetch lands EXACTLY
+    ceil(RA/round_seconds) rounds after the first (vs always next
+    round without), deferred rows ride checkpoints without seen or
+    politeness side effects, and the crawl still converges to the
+    failure-free oracle's ok-set and values."""
+    from uniparser_ray.sources.images import _mix
+
+    flaky_cfg = dict(WEB_CFG, flaky_mod=3)   # recovers on attempt 1
+    web = SynthWeb(**WEB_CFG)
+    out = tmp_path / "crawl_ra"
+    cfg = CrawlConfig(web_config=flaky_cfg, out_dir=str(out),
+                      seeds=web.seed_urls(), max_rounds=40,
+                      per_host_budget=3, fetch_concurrency=2,
+                      seen_shard_bits=2, max_fetch_retries=2,
+                      honor_retry_after=True, round_seconds=60.0)
+    totals = run_crawl(cfg, web.rule_pack())
+
+    # reconstruct each url's fetch rounds + statuses
+    fetches = {}
+    for rd_dir in sorted((out / "pages").glob("round=*")):
+        rnd = int(rd_dir.name.split("=")[1])
+        for f in sorted(rd_dir.glob("*.parquet")):
+            t = pq.read_table(f, columns=["url", "status", "retry_after"])
+            for u, s, ra in zip(t["url"].to_pylist(),
+                                t["status"].to_pylist(),
+                                t["retry_after"].to_pylist()):
+                fetches.setdefault(u, []).append((rnd, s, ra))
+    deferred_cases = {60: 0, 120: 0}
+    for u, seq in fetches.items():
+        if len(seq) < 2:
+            continue
+        (r1, s1, ra1), (r2, s2, _ra2) = seq[0], seq[1]
+        if s1 == 500:        # the web's permanent-500 slice: no
+            assert ra1 == 0.0   # Retry-After -> plain next-round requeue
+            assert r2 - r1 == 1, (u, seq)
+            continue
+        assert s1 == 503 and ra1 in (60.0, 120.0)
+        want_gap = max(1, int(np.ceil(ra1 / 60.0)))
+        assert r2 - r1 == want_gap, (u, seq)
+        deferred_cases[int(ra1)] += 1
+    # both deferral widths must actually occur
+    assert deferred_cases[60] > 0 and deferred_cases[120] > 0
+
+    # convergence invariant (same as the plain-retry test): final
+    # ok-set equals the failure-free oracle
+    oracle = BFSOracle(web, web.rule_pack(), per_host_budget=3)
+    want = oracle.run(web.seed_urls(), max_rounds=40)
+    ok = {u for u, seq in fetches.items()
+          if any(s == 200 for _r, s, _a in seq)}
+    want_ok = {u for u, (s, _b) in want["pages"].items() if s == 200}
+    assert ok == want_ok
+    assert sum(m.get("deferred", 0) for m in totals["per_round"]) > 0

@@ -57,6 +57,10 @@ FRONTIER_SCHEMA = pa.schema([
     ("priority", pa.float32()),
     ("retries", pa.int32()),
     ("seen_ok", pa.int8()),
+    # earliest round this row may be admitted (0 = always) — the
+    # Retry-After deferral lane: a deferred row rides frontier
+    # checkpoints untouched until its round arrives
+    ("ready_round", pa.int32()),
 ])
 
 
@@ -167,11 +171,19 @@ class CrawlConfig:
     # checkpoints on resume.  At 10^10 scale this is what stops a dead
     # CDN from eating the politeness budget round after round.
     host_error_budget: int = 0
+    # honor 5xx Retry-After headers (opt-in): a transient-failure
+    # requeue whose response carried Retry-After: S re-enters the
+    # frontier with ready_round = round + max(1, ceil(S/round_seconds))
+    # and rides the checkpoints UNTOUCHED (no seen/politeness cost)
+    # until its round arrives — the polite server-requested backoff.
+    # Requires max_fetch_retries > 0 to matter.
+    honor_retry_after: bool = False
 
 
 def _frontier_table(urls: List[str], parents: List[str], depths: List[int],
                     priorities: List[float], seen_ok: List[int],
-                    retries: List[int] = None) -> pa.Table:
+                    retries: List[int] = None,
+                    ready_round: List[int] = None) -> pa.Table:
     return pa.Table.from_arrays([
         pa.array(urls, pa.large_string()),
         pa.array(parents, pa.large_string()),
@@ -179,6 +191,7 @@ def _frontier_table(urls: List[str], parents: List[str], depths: List[int],
         pa.array(priorities, pa.float32()),
         pa.array(retries or [0] * len(urls), pa.int32()),
         pa.array(seen_ok, pa.int8()),
+        pa.array(ready_round or [0] * len(urls), pa.int32()),
     ], schema=FRONTIER_SCHEMA)
 
 
@@ -246,6 +259,7 @@ def _explode_links(batch: pa.Table) -> pa.Table:
         flat, parents, depths, depths.cast(pa.float32()),
         pa.array(np.zeros(len(flat), dtype=np.int32), pa.int32()),
         pa.array(np.zeros(len(flat), dtype=np.int8), pa.int8()),
+        pa.array(np.zeros(len(flat), dtype=np.int32), pa.int32()),
     ], schema=FRONTIER_SCHEMA)
 
 
@@ -616,6 +630,18 @@ class CrawlRun:
                         for f in sorted(fdir.glob("*.parquet"))]
                 t = (pa.concat_tables(tbls, promote_options="default")
                      if len(tbls) > 1 else tbls[0])
+                if self.cfg.honor_retry_after:
+                    # deferral lane: rows whose ready_round hasn't
+                    # arrived skip the whole round (no seen/politeness
+                    # side effects) and ride into the next checkpoint
+                    import pyarrow.compute as _pc
+                    ready_mask = _pc.less_equal(
+                        t["ready_round"], pa.scalar(r, pa.int32()))
+                    deferred_tbl = t.filter(_pc.invert(ready_mask))
+                    n_deferred = deferred_tbl.num_rows
+                    t = t.filter(ready_mask)
+                else:
+                    deferred_tbl, n_deferred = None, 0
                 t = canonicalize_batch(t)
                 if trap_filter is not None:
                     t = trap_filter(t)
@@ -634,6 +660,14 @@ class CrawlRun:
                 # off the warm grant phase at 255k candidates
                 frontier = rd.read_parquet(str(fdir),
                                            override_num_blocks=n_blocks)
+                if self.cfg.honor_retry_after:
+                    deferred_ds = frontier.filter(
+                        expr=f"ready_round > {r}").materialize()
+                    n_deferred = deferred_ds.count()
+                    deferred_tbl = deferred_ds if n_deferred else None
+                    frontier = frontier.filter(expr=f"ready_round <= {r}")
+                else:
+                    deferred_tbl, n_deferred = None, 0
                 admitted = frontier.map_batches(canonicalize_batch,
                                                 batch_format="pyarrow")
                 if trap_filter is not None:
@@ -717,7 +751,7 @@ class CrawlRun:
                 gt = dt.filter(_pc.equal(dt["granted"], 1))
                 n_granted = gt.num_rows
                 _mark('counts')
-                if n_granted == 0:
+                if n_granted == 0 and not n_deferred:
                     break
                 fetch_blocks = max(1, min(
                     -(-n_granted // self.cfg.fetch_batch_size),
@@ -732,7 +766,7 @@ class CrawlRun:
                 granted = decided.filter(expr="granted == 1")
                 n_granted = granted.count()
                 _mark('counts')
-                if n_granted == 0:
+                if n_granted == 0 and not n_deferred:
                     break
                 # the grant co-locates each host's rows in one block,
                 # so a hot host would otherwise ride into the fetch
@@ -748,6 +782,38 @@ class CrawlRun:
                     -(-n_granted // self.cfg.fetch_batch_size),
                     8 * cpus))
                 granted = granted.repartition(fetch_blocks)
+
+
+            def _flush_deferred(ndir_path):
+                """Write the deferral lane's rows into the next
+                frontier checkpoint (they ride untouched)."""
+                if not n_deferred:
+                    return 0
+                ndir_path.mkdir(parents=True, exist_ok=True)
+                if isinstance(deferred_tbl, pa.Table):
+                    pq.write_table(deferred_tbl.cast(FRONTIER_SCHEMA),
+                                   ndir_path / "part-deferred.parquet")
+                else:
+                    deferred_tbl.write_parquet(str(ndir_path))
+                return n_deferred
+
+            if n_granted == 0:
+                # deferral-only round: nothing admissible yet — carry
+                # the deferred rows forward and advance the clock
+                ndir = self.frontier_dir / f"round={r + 1}"
+                if ndir.exists():
+                    import shutil as _shutil
+                    _shutil.rmtree(ndir)
+                n_next = _flush_deferred(ndir)
+                self.metrics.append({
+                    "round": r, "candidates": n_candidates,
+                    "granted": 0, "backlog": 0, "pages_ok": 0,
+                    "retried": 0, "images_written": 0,
+                    "deferred": n_deferred, "next_frontier": n_next,
+                    "sec": round(time.perf_counter() - t0, 3),
+                    "phases": phase_t})
+                self._save_state(r + 1)
+                continue
 
             # -- fetch + rule-VM parse (warm-worker task pool; the
             # transport/compiled-pack state is cached per worker, so
@@ -887,6 +953,9 @@ class CrawlRun:
                               "retries"])
                 t = t.append_column(
                     "seen_ok", pa.array([1] * t.num_rows, pa.int8()))
+                t = t.append_column(
+                    "ready_round",
+                    pa.array(np.zeros(t.num_rows, np.int32), pa.int32()))
                 # backlog blocks come pandas-converted (plain string
                 # url/parent) while link blocks are large_string:
                 # cast so EVERY file in a frontier checkpoint has
@@ -901,7 +970,7 @@ class CrawlRun:
             # the anti-join).  404 / rule-miss stay permanent.
             max_r = self.cfg.max_fetch_retries
 
-            def as_retry(t: pa.Table) -> pa.Table:
+            def as_retry(t: pa.Table, _r=r) -> pa.Table:
                 import pyarrow.compute as pc
                 st = t["status"]
                 transient = pc.or_(
@@ -910,11 +979,24 @@ class CrawlRun:
                 keep = pc.and_(transient, pc.less(
                     t["retries"], pa.scalar(max_r, pa.int32())))
                 t = t.filter(keep)
+                if self.cfg.honor_retry_after:
+                    # server-requested backoff: requeue no earlier than
+                    # ceil(Retry-After / round_seconds) rounds out
+                    # (minimum 1 = the normal next-round requeue)
+                    ra = t["retry_after"].to_numpy(zero_copy_only=False) \
+                        .astype(np.float64)
+                    defer = np.maximum(
+                        1, np.ceil(ra / max(self.cfg.round_seconds, 1e-9))
+                        .astype(np.int64))
+                    ready = (_r + defer).astype(np.int32)
+                else:
+                    ready = np.zeros(t.num_rows, np.int32)
                 return pa.Table.from_arrays([
                     t["url"], t["parent"], t["depth"], t["priority"],
                     pc.add(t["retries"],
                            pa.scalar(1, pa.int32())).cast(pa.int32()),
                     pa.array(np.ones(t.num_rows, np.int8), pa.int8()),
+                    pa.array(ready, pa.int32()),
                 ], schema=FRONTIER_SCHEMA)
 
             n_retry = 0
@@ -932,6 +1014,8 @@ class CrawlRun:
                     n_retry = rt.num_rows
                     if n_retry:
                         parts.append(rt)
+                if n_deferred:
+                    parts.append(deferred_tbl)
                 nf = pa.concat_tables(
                     [p.cast(FRONTIER_SCHEMA) for p in parts])
                 n_next = nf.num_rows
@@ -961,6 +1045,7 @@ class CrawlRun:
                     n_retry = retry_rows.count()
                     if n_retry:
                         retry_rows.write_parquet(str(ndir))
+                _flush_deferred(ndir)
                 n_next = 0
                 for f in list(ndir.glob("*.parquet")):
                     rows = pq.read_metadata(f).num_rows
@@ -983,6 +1068,7 @@ class CrawlRun:
                     if pages_tbl is not None
                     else pages.filter(expr="status == 200").count()),
                 "retried": n_retry,
+                "deferred": n_deferred,
                 "images_written": n_images,
                 "next_frontier": n_next,
                 "sec": round(time.perf_counter() - t0, 3),

@@ -364,7 +364,12 @@ class SynthWeb:
             return 404, {"Content-Type": "text/html"}, b"<h1>404</h1>"
         if (self.flaky_mod and attempt < self.flaky_attempts
                 and _mix(h * 1_000_003 + p, 77) % self.flaky_mod == 0):
-            return 503, {"Content-Type": "text/html"}, b"<h1>503</h1>"
+            # Retry-After rides every 503 (deterministic 60 or 120 s);
+            # crawlers honoring it (CrawlConfig.honor_retry_after)
+            # defer the requeue by ceil(sec / round_seconds) rounds
+            ra = 60 * (1 + _mix(h * 1_000_003 + p, 99) % 2)
+            return 503, {"Content-Type": "text/html",
+                         "Retry-After": str(ra)}, b"<h1>503</h1>"
         status = self.page_status(h, p)
         if status != 200:
             return status, {"Content-Type": "text/html"}, \

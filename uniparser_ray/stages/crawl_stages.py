@@ -56,6 +56,9 @@ _PAGE_SCHEMA = pa.schema([
     ("redirects", pa.int32()),
     # validator for conditional recrawl (If-None-Match), "" if absent
     ("etag", pa.string()),
+    # server-requested requeue delay in seconds (Retry-After header on
+    # 5xx/3xx responses), 0 when absent
+    ("retry_after", pa.float32()),
 ])
 
 # 3xx statuses the fetcher follows (requests' default semantics — the
@@ -546,7 +549,7 @@ class FetchParseStage:
         out = {k: [] for k in ("status", "rule_name", "result_json", "links",
                                "img_srcs", "img_captions", "error",
                                "final_url", "final_hash", "redirects",
-                               "etag")}
+                               "etag", "retry_after")}
         # pass 2 — parse the survivors
         for i, (rule, text, resp, status, final, hops, err) in \
                 enumerate(fetched):
@@ -555,6 +558,12 @@ class FetchParseStage:
             out["redirects"].append(hops)
             out["etag"].append(
                 (resp.headers.get("ETag") or "") if resp is not None else "")
+            try:
+                out["retry_after"].append(
+                    float(resp.headers.get("Retry-After", 0) or 0)
+                    if resp is not None else 0.0)
+            except (TypeError, ValueError):   # HTTP-date form: ignore
+                out["retry_after"].append(0.0)
             if rule is None:
                 out["status"].append(0)
                 out["rule_name"].append("")
@@ -650,6 +659,7 @@ class FetchParseStage:
             pa.array(out["final_hash"], pa.uint64()),
             pa.array(out["redirects"], pa.int32()),
             pa.array(out["etag"], pa.string()),
+            pa.array(out["retry_after"], pa.float32()),
         ], schema=_PAGE_SCHEMA)
 
 
