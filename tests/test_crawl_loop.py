@@ -984,3 +984,61 @@ def test_crawl_honors_retry_after(ray_session, tmp_path):
     want_ok = {u for u, (s, _b) in want["pages"].items() if s == 200}
     assert ok == want_ok
     assert sum(m.get("deferred", 0) for m in totals["per_round"]) > 0
+
+
+@pytest.mark.parametrize("combo", [
+    # randomized-web differential sweep: each combo drives a DIFFERENT
+    # feature mix of the whole engine through full-schedule equality
+    # with the sequential oracle (fetch sets per round, statuses,
+    # seen count) — the crawl analog of the rule-VM differential fuzz
+    dict(web=dict(num_hosts=5, base_pages=9, fanout=3, hot_factor=7.0,
+                  redirect_rate=0.6),
+         cfg=dict(per_host_budget=2), oracle=dict(per_host_budget=2)),
+    dict(web=dict(num_hosts=2, base_pages=30, fanout=2, hot_factor=2.0,
+                  seed=7, trap_links=True),
+         cfg=dict(per_host_budget=5, max_path_repeats=1, max_depth=6),
+         oracle=dict(per_host_budget=5, max_path_repeats=1, max_depth=6)),
+    dict(web=dict(num_hosts=7, base_pages=6, fanout=4, hot_factor=3.0,
+                  seed=13, redirect_rate=0.3, lossy_rate=0.4),
+         cfg=dict(per_host_budget=4, sitemap_seeds=True),
+         oracle=dict(per_host_budget=4), run=dict(sitemap_seeds=True)),
+    dict(web=dict(num_hosts=4, base_pages=12, fanout=3, hot_factor=9.0,
+                  seed=23, flaky_mod=4, flaky_attempts=99),
+         cfg=dict(per_host_budget=3, host_error_budget=2,
+                  robots_delay_budget=True),
+         oracle=dict(per_host_budget=3, host_error_budget=2,
+                     robots_delay_budget=True)),
+    dict(web=dict(num_hosts=6, base_pages=8, fanout=2, hot_factor=5.0,
+                  seed=31, redirect_rate=0.5, trap_links=True),
+         cfg=dict(per_host_budget=2, max_pending_per_host=4,
+                  max_path_repeats=2, skew_salts=3,
+                  small_grant_threshold=0),
+         oracle=dict(per_host_budget=2, max_pending_per_host=4,
+                     max_path_repeats=2)),
+])
+def test_crawl_differential_sweep(ray_session, tmp_path, combo):
+    """Engine == oracle across randomized web/feature combos:
+    redirects, traps+guards, sitemap seeding with lossy images,
+    permanent failures + dead-host ban + Crawl-delay budgets, and the
+    salted distributed grant under tight backlog clipping — one
+    parametrized differential test per mix."""
+    web = SynthWeb(**combo["web"])
+    out = tmp_path / "sweep"
+    cfg = CrawlConfig(web_config=combo["web"], out_dir=str(out),
+                      seeds=web.seed_urls(), max_rounds=25,
+                      fetch_concurrency=2, seen_shard_bits=2,
+                      **combo["cfg"])
+    totals = run_crawl(cfg, web.rule_pack())
+    oracle = BFSOracle(SynthWeb(**combo["web"]), web.rule_pack(),
+                       **combo["oracle"])
+    want = oracle.run(web.seed_urls(), max_rounds=25,
+                      **combo.get("run", {}))
+    assert _ray_rounds(out, max_rounds=25) == \
+        [r["fetched"] for r in want["rounds"]]
+    assert totals["pages_ok"] == sum(
+        1 for s, _b in want["pages"].values() if s == 200)
+    statuses = {}
+    for f in sorted((out / "pages").glob("round=*/*.parquet")):
+        t = pq.read_table(f, columns=["url", "status"])
+        statuses.update(zip(t["url"].to_pylist(), t["status"].to_pylist()))
+    assert statuses == {u: s for u, (s, _b) in want["pages"].items()}

@@ -394,6 +394,8 @@ class CrawlRun:
 
         parts = rd.read_parquet(files, columns=["host", "status"]) \
             .map_batches(fold, batch_format="pyarrow").to_pandas()
+        if "host" not in parts.columns:
+            return
         for host, n in zip(parts["host"], parts["n"]):
             self._host_errors[host] = self._host_errors.get(host, 0) + int(n)
         self._refresh_bans()
@@ -406,6 +408,8 @@ class CrawlRun:
     def _absorb_round_errors(self, err_df):
         """Fold one round's per-host error partials into the counters
         (bans apply from the NEXT round's admission)."""
+        if "host" not in err_df.columns:   # all-empty partials lose
+            return                          # their columns in to_pandas
         for host, n in zip(err_df["host"], err_df["n"]):
             self._host_errors[host] = self._host_errors.get(host, 0) + int(n)
         self._refresh_bans()
