@@ -374,6 +374,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_wds_roundtrip": images_q.images_wds_roundtrip,
         "crawl_url_canon": crawl_q.crawl_url_canon,
         "crawl_sitemap_ingest": crawl_q.crawl_sitemap_ingest,
+        "crawl_sitemap_seed": crawl_q.crawl_sitemap_seed,
         "crawl_resume_roundtrip": crawl_q.crawl_resume_roundtrip,
         "crawl_redirects": crawl_q.crawl_redirects,
         "images_psnr_audit": images_q.images_psnr_audit,
@@ -636,6 +637,9 @@ def _expected_table(kind: str, tag: str) -> pa.Table:
     if kind == "sitemap":
         from uniparser_ray.pipelines.crawl_q import expected_sitemap_rows
         return expected_sitemap_rows(tag)
+    if kind == "sitemap_seed":
+        from uniparser_ray.pipelines.crawl_q import expected_sitemap_seed
+        return expected_sitemap_seed(tag)
     if kind == "redirects":
         from uniparser_ray.pipelines.crawl_q import expected_crawl_redirects
         return expected_crawl_redirects(tag)
@@ -925,6 +929,10 @@ def _multimodal_oracle_thunks(tag: str) -> dict:
         "crawl_sitemap_ingest": lambda: f"""
             WITH {_values_cte('e', _expected_table('sitemap', tag))}
             SELECT host, sitemap_url, url, lastmod, priority_bp FROM e
+        """,
+        "crawl_sitemap_seed": lambda: f"""
+            WITH {_values_cte('e', _expected_table('sitemap_seed', tag))}
+            SELECT url, parent, depth, priority FROM e
         """,
         "images_wds_roundtrip": lambda: f"""
             SELECT image_id, md5(hex(bytes)) AS bytes_md5h,

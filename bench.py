@@ -470,6 +470,14 @@ def run_steady(num_cpus: int, politeness: bool = False) -> dict:
     sec = time.perf_counter() - t0
     frontier_ops = sum(m["candidates"] + m["next_frontier"]
                        for m in totals["per_round"])
+    # per-phase wall split summed over rounds (grant / fetch_parse /
+    # pages_write / images / frontier_next) — the decomposition the
+    # scaling-efficiency analysis reads to attribute the narrow->wide
+    # residual to a named phase instead of guessing
+    phases: dict = {}
+    for m in totals["per_round"]:
+        for k, v in m.get("phases", {}).items():
+            phases[k] = round(phases.get(k, 0.0) + v, 3)
     return {
         "num_cpus": num_cpus,
         "politeness": politeness,
@@ -479,6 +487,7 @@ def run_steady(num_cpus: int, politeness: bool = False) -> dict:
         "sec": round(sec, 2),
         "pages_per_sec": round(totals["granted"] / sec, 1),
         "frontier_ops_per_sec": round(frontier_ops / sec, 1),
+        "phases": phases,
     }
 
 

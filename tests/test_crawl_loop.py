@@ -14,6 +14,15 @@ from uniparser_ray.sources.codecs import decode_image, psnr
 from uniparser_ray.sources.synthweb import SynthWeb
 from uniparser_ray.storage.lance_layout import LanceLayoutTable
 
+
+def _round_dirs(base):
+    """round=N dirs in NUMERIC order — a lexicographic sort puts
+    round=10 before round=2, silently mis-ordering per-URL fetch
+    sequences once a crawl exceeds 9 rounds."""
+    return sorted(base.glob("round=*"),
+                  key=lambda d: int(d.name.split("=")[1]))
+
+
 WEB_CFG = dict(num_hosts=3, base_pages=10, fanout=2, hot_factor=4.0)
 
 
@@ -162,6 +171,42 @@ def test_crawl_resume(ray_session, tmp_path, oracle_result):
         1 for s, _ in oracle_result["pages"].values() if s == 200)
 
 
+def test_crawl_resume_from_legacy_checkpoint(ray_session, tmp_path,
+                                             oracle_result):
+    """Checkpoint-format migration: a checkpoint written by the
+    pre-round-4 code has no final_hash/final_url/redirects/etag/
+    retry_after page columns and no ready_round/retries frontier
+    columns.  Resume must read those as zeros (not KeyError) and
+    finish with exactly the clean run's schedule."""
+    web = SynthWeb(**WEB_CFG)
+    out = tmp_path / "crawl_legacy"
+    cfg_partial = CrawlConfig(web_config=WEB_CFG, out_dir=str(out),
+                              seeds=web.seed_urls(), max_rounds=2,
+                              per_host_budget=3, fetch_concurrency=2,
+                              seen_shard_bits=2)
+    run_crawl(cfg_partial, web.rule_pack())
+    # rewrite the checkpoints in the legacy schema
+    for f in (out / "pages").glob("round=*/*.parquet"):
+        t = pq.read_table(f)
+        drop = [c for c in ("final_url", "final_hash", "redirects",
+                            "etag", "retry_after")
+                if c in t.column_names]
+        pq.write_table(t.drop_columns(drop), f)
+    for f in (out / "frontier").glob("round=*/*.parquet"):
+        t = pq.read_table(f)
+        drop = [c for c in ("ready_round", "retries")
+                if c in t.column_names]
+        pq.write_table(t.drop_columns(drop), f)
+    cfg_full = CrawlConfig(web_config=WEB_CFG, out_dir=str(out),
+                           seeds=web.seed_urls(), max_rounds=30,
+                           per_host_budget=3, fetch_concurrency=2,
+                           seen_shard_bits=2)
+    totals = run_crawl(cfg_full, web.rule_pack(), resume=True)
+    assert totals["pages_ok"] > 0
+    assert _ray_rounds(out) == [r["fetched"]
+                                for r in oracle_result["rounds"]]
+
+
 def test_crawl_skew_salted_grant_identical(ray_session, tmp_path,
                                            oracle_result):
     """skew_salts>1 (two-phase salted politeness grant for hot-domain
@@ -234,7 +279,7 @@ def test_crawl_retries_recover_transient_failures(ray_session, tmp_path,
 
     # final ok-set and parsed values equal the clean-web oracle
     ok_pages = {}
-    for r_dir in sorted((out / "pages").glob("round=*")):
+    for r_dir in _round_dirs(out / "pages"):
         for f in sorted(r_dir.glob("*.parquet")):
             t = pq.read_table(f, columns=["url", "status", "result_json"])
             for u, s, rj in zip(t["url"].to_pylist(),
@@ -264,7 +309,7 @@ def test_crawl_retry_exhaustion_is_permanent(ray_session, tmp_path):
                       seen_shard_bits=2, max_fetch_retries=1)
     totals = run_crawl(cfg, web.rule_pack())
     statuses = {}
-    for r_dir in sorted((out / "pages").glob("round=*")):
+    for r_dir in _round_dirs(out / "pages"):
         for f in sorted(r_dir.glob("*.parquet")):
             t = pq.read_table(f, columns=["url", "status", "retries"])
             for u, s, k in zip(t["url"].to_pylist(),
@@ -350,6 +395,45 @@ def test_crawl_fused_image_path_identical(ray_session, tmp_path):
     assert lin_t == lin_f
     import pandas.testing as pdt
     pdt.assert_frame_equal(df_t, df_f)
+
+
+def test_crawl_fused_page_write_identical(ray_session, tmp_path):
+    """fuse_page_write=True (checkpoint rows written from inside the
+    fetch tasks, deterministic file names) and =False (separate
+    write_parquet execution) must leave byte-equivalent page
+    checkpoints: same (url -> round, status, result_json, error) map
+    and same per-round row counts.  small_grant_threshold=0 forces the
+    distributed path, where the fusion applies."""
+    results = {}
+    for fused in (True, False):
+        out = tmp_path / f"crawl_pfuse_{fused}"
+        web = SynthWeb(**WEB_CFG)
+        cfg = CrawlConfig(web_config=WEB_CFG, out_dir=str(out),
+                          seeds=web.seed_urls(), max_rounds=30,
+                          per_host_budget=3, fetch_concurrency=2,
+                          seen_shard_bits=2, small_grant_threshold=0,
+                          fuse_page_write=fused)
+        run_crawl(cfg, web.rule_pack())
+        rows = {}
+        counts = {}
+        for r_dir in _round_dirs(out / "pages"):
+            rnd = int(r_dir.name.split("=")[1])
+            for f in sorted(r_dir.glob("*.parquet")):
+                t = pq.read_table(f, columns=["url", "status",
+                                              "result_json", "error"])
+                counts[rnd] = counts.get(rnd, 0) + t.num_rows
+                for u, s, rj, e in zip(t["url"].to_pylist(),
+                                       t["status"].to_pylist(),
+                                       t["result_json"].to_pylist(),
+                                       t["error"].to_pylist()):
+                    assert u not in rows, f"duplicate page row {u}"
+                    rows[u] = (rnd, s, rj, e)
+        results[fused] = (rows, counts)
+
+    rows_t, counts_t = results[True]
+    rows_f, counts_f = results[False]
+    assert counts_t == counts_f and sum(counts_t.values()) > 0
+    assert rows_t == rows_f
 
 
 def test_crawl_politeness_audit_invariant(ray_session):
@@ -508,7 +592,7 @@ def redirect_oracle():
 
 def _redirect_page_rows(out_dir):
     rows = {}
-    for r_dir in sorted((out_dir / "pages").glob("round=*")):
+    for r_dir in _round_dirs(out_dir / "pages"):
         for f in sorted(r_dir.glob("*.parquet")):
             t = pq.read_table(f, columns=["url", "status", "result_json",
                                           "error", "final_url",
@@ -904,7 +988,7 @@ def test_crawl_host_error_budget_matches_oracle(ray_session, tmp_path):
     errs = {}
     ban_round = {}      # host -> round its cumulative errors hit budget
     fetch_rounds = {}   # host -> set of rounds it was fetched in
-    for rd_dir in sorted((out / "pages").glob("round=*")):
+    for rd_dir in _round_dirs(out / "pages"):
         rnd = int(rd_dir.name.split("=")[1])
         for f in sorted(rd_dir.glob("*.parquet")):
             t = pq.read_table(f, columns=["host", "status"])
@@ -951,7 +1035,7 @@ def test_crawl_honors_retry_after(ray_session, tmp_path):
 
     # reconstruct each url's fetch rounds + statuses
     fetches = {}
-    for rd_dir in sorted((out / "pages").glob("round=*")):
+    for rd_dir in _round_dirs(out / "pages"):
         rnd = int(rd_dir.name.split("=")[1])
         for f in sorted(rd_dir.glob("*.parquet")):
             t = pq.read_table(f, columns=["url", "status", "retry_after"])

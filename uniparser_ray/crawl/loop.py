@@ -82,6 +82,15 @@ class CrawlConfig:
     # identical to the standalone ImageFetchStage execution (pinned by
     # test); False restores the two-execution layout.
     fuse_image_fetch: bool = True
+    # fold the page-checkpoint write into the fetch tasks the same way
+    # (each task writes its own batch's rows, deterministic file names
+    # so a task retry overwrites instead of duplicating): parquet
+    # encode + disk I/O overlap fetching and the round loses a whole
+    # second pass over the materialized page blocks.  Applies to the
+    # distributed path only (the small-round driver fast path already
+    # writes once from the driver); False restores the separate
+    # write_parquet execution.
+    fuse_page_write: bool = True
     seen_shard_bits: int = 3
     seen_mode: str = "tandem"
     # per-shard capacity for the bloom/cuckoo seen filters; size to
@@ -193,6 +202,25 @@ def _frontier_table(urls: List[str], parents: List[str], depths: List[int],
         pa.array(seen_ok, pa.int8()),
         pa.array(ready_round or [0] * len(urls), pa.int32()),
     ], schema=FRONTIER_SCHEMA)
+
+
+def _normalize_frontier(t: pa.Table) -> pa.Table:
+    """Checkpoint-format migration: frontier files written before the
+    retry lane (no ``retries``) or the Retry-After deferral lane (no
+    ``ready_round``) read as zeros — a resume of an old-out-dir crawl
+    proceeds instead of KeyErroring on the new columns."""
+    if "retries" not in t.column_names:
+        t = t.append_column(
+            "retries", pa.array(np.zeros(t.num_rows, np.int32),
+                                pa.int32()))
+    if "ready_round" not in t.column_names:
+        t = t.append_column(
+            "ready_round", pa.array(np.zeros(t.num_rows, np.int32),
+                                    pa.int32()))
+    # appended columns land at the END — restore the canonical field
+    # order so downstream cast(FRONTIER_SCHEMA) (order-sensitive)
+    # accepts migrated tables
+    return t.select([f.name for f in FRONTIER_SCHEMA])
 
 
 def _make_granter(budgets: Dict[str, int], default_budget: int,
@@ -447,16 +475,34 @@ class CrawlRun:
                          (self.pages_dir / f"round={r}").glob("*.parquet"))
                      if (self.pages_dir / f"round={r}").exists()]
         if page_dirs:
+            # checkpoint-format guard: pages written before the
+            # redirect lane have no final_hash column — replay just
+            # the URL hashes for those (missing finals read as "none").
+            # Sniffed per FILE (metadata-only read) so a checkpoint
+            # upgraded mid-crawl — old rounds without the column, new
+            # rounds with it — splits into two replay passes instead
+            # of erroring or dropping the new rounds' finals.
+            with_final = [f for f in page_dirs
+                          if "final_hash" in pq.read_schema(f).names]
+            without_final = [f for f in page_dirs if f not in
+                             set(with_final)]
+
             def page_hashes(t: pa.Table) -> np.ndarray:
                 uh = t["url_hash"].to_numpy(zero_copy_only=False) \
                     .astype(np.uint64)
+                if "final_hash" not in t.column_names:
+                    return uh
                 # redirect finals were test-and-set during the fetch —
                 # replay the nonzero ones alongside the requested URLs
                 fh = t["final_hash"].to_numpy(zero_copy_only=False) \
                     .astype(np.uint64)
                 return np.concatenate([uh, fh[fh != 0]])
-            replay(page_dirs, ["url_hash", "final_hash"], page_hashes,
-                   self.seen)
+            if with_final:
+                replay(with_final, ["url_hash", "final_hash"],
+                       page_hashes, self.seen)
+            if without_final:
+                replay(without_final, ["url_hash"], page_hashes,
+                       self.seen)
         if self.images.exists():
             frag_files = self.images.fragment_files()
             if frag_files:
@@ -634,6 +680,7 @@ class CrawlRun:
                         for f in sorted(fdir.glob("*.parquet"))]
                 t = (pa.concat_tables(tbls, promote_options="default")
                      if len(tbls) > 1 else tbls[0])
+                t = _normalize_frontier(t)
                 if self.cfg.honor_retry_after:
                     # deferral lane: rows whose ready_round hasn't
                     # arrived skip the whole round (no seen/politeness
@@ -664,6 +711,13 @@ class CrawlRun:
                 # off the warm grant phase at 255k candidates
                 frontier = rd.read_parquet(str(fdir),
                                            override_num_blocks=n_blocks)
+                first = next(iter(sorted(fdir.glob("*.parquet"))), None)
+                if first is not None and "ready_round" not in \
+                        pq.read_schema(first).names:
+                    # pre-deferral-lane checkpoint: migrate on the fly
+                    # (missing ready_round/retries read as zeros)
+                    frontier = frontier.map_batches(
+                        _normalize_frontier, batch_format="pyarrow")
                 if self.cfg.honor_retry_after:
                     deferred_ds = frontier.filter(
                         expr=f"ready_round > {r}").materialize()
@@ -849,7 +903,17 @@ class CrawlRun:
                     image_seen_shards=self.img_seen.shards,
                     image_shard_bits=self.img_seen.shard_bits,
                     image_batch_size=self.cfg.image_batch_size)
-
+            fuse_pages = self.cfg.fuse_page_write and not small_round
+            if fuse_pages:
+                # fused page-checkpoint write (same geometry as the
+                # image fusion): each fetch task writes its own batch's
+                # checkpoint rows straight into round=r — parquet
+                # encode + disk overlap fetching, and the loop's
+                # separate write execution over the materialized page
+                # blocks disappears (profiled as the wide-leg
+                # pages_write share; see BASELINE round 5)
+                fetch_kwargs.update(page_ckpt_dir=str(self.pages_dir))
+            if self.cfg.fuse_image_fetch or fuse_pages:
                 def tag_round(t: pa.Table, _r=r) -> pa.Table:
                     return t.append_column(
                         "_round", pa.array(
@@ -902,6 +966,13 @@ class CrawlRun:
                     pages_tbl.drop_columns(["links", "img_srcs",
                                             "img_captions"]),
                     pdir / "part-0.parquet")
+            elif fuse_pages:
+                # checkpoint rows were written inside the fetch tasks
+                # (deterministic per-batch file names); the dir is
+                # guaranteed even for an all-empty round so resume
+                # replay and the round readers see a committed round
+                pages_tbl = None
+                pdir.mkdir(parents=True, exist_ok=True)
             else:
                 pages_tbl = None
                 pages.drop_columns(["links", "img_srcs",

@@ -185,7 +185,11 @@ class BFSOracle:
                 cu = canonicalize_url(url)
                 if self.max_depth and depth > self.max_depth:
                     continue
-                if self.max_url_len and len(cu) > self.max_url_len:
+                # BYTES, not characters — the engine's vectorized
+                # guard uses pc.binary_length (UTF-8 byte count), so
+                # the oracle must measure the same unit or the
+                # differential diverges on any non-ASCII URL
+                if self.max_url_len and len(cu.encode()) > self.max_url_len:
                     continue
                 if self._rep_re is not None:
                     parts = cu.split("/", 3)

@@ -332,6 +332,72 @@ def expected_sitemap_rows(tag: str):
         ("priority_bp", _pa.int64())]))
 
 
+def crawl_sitemap_seed(sf_dir: str):
+    """Sitemap SEEDING under a value oracle (companion to
+    ``crawl_sitemap_ingest``, which checks discovery+parse): the
+    round-0 frontier checkpoint of the sitemap-seeded crawl must hold
+    exactly the explicit seeds (parent "", priority 0.0) plus every
+    generator-advertised sitemap URL that is not itself a seed, each
+    carrying its sitemap chunk file as lineage parent and the
+    priority-bp -> (0,1) frontier priority mapping
+    (crawl/sitemap.seed_priority) at depth 0.  One projection-pruned
+    read of the checkpoint files — seeding correctness is proven from
+    the engine's own durable artifact, not from in-memory state."""
+    import ray.data as rd
+
+    tag = _sf_tag(sf_dir)
+    out = _ensure_redirect_crawl(tag)
+    files = [str(f) for f in
+             sorted(Path(out, "frontier", "round=0").glob("*.parquet"))]
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": t["url"].cast(pa.string()),
+            "parent": t["parent"].cast(pa.string()),
+            "depth": t["depth"].cast(pa.int64()),
+            "priority": t["priority"].cast(pa.float64())})
+
+    return rd.read_parquet(files,
+                           columns=["url", "parent", "depth",
+                                    "priority"]) \
+        .map_batches(project, batch_format="pyarrow")
+
+
+def expected_sitemap_seed(tag: str) -> pa.Table:
+    """Twin for crawl_sitemap_seed: the same rows from the generator's
+    PURE entry lists (sources/synthweb.sitemap_entries — never
+    rendered to XML) + the explicit seed list, with the engine's
+    canonical-seed skip and f32 priority mapping reproduced
+    independently (mirrors BFSOracle's sitemap seeding model,
+    crawl/oracle.py)."""
+    from ..crawl.sitemap import seed_priority
+    from ..rulevm.urlutil import canonicalize_url
+    from ..sources.synthweb import SynthWeb
+
+    web_cfg = _redirect_web_cfg(tag)
+    web = SynthWeb(**web_cfg)
+    seeds = web.seed_urls()
+    seed_canon = {canonicalize_url(u) for u in seeds}
+    rows = [{"url": u, "parent": "", "depth": 0, "priority": 0.0}
+            for u in seeds]
+    for h in range(web.num_hosts):
+        entries = web.sitemap_entries(h)
+        if not entries:
+            continue
+        host = web.host_name(h)
+        chunked = len(entries) > web.SITEMAP_CHUNK
+        for i, (url, _lastmod, prio_bp) in enumerate(entries):
+            if canonicalize_url(url) in seed_canon:
+                continue
+            sm = (f"http://{host}/sitemap-{i // web.SITEMAP_CHUNK}.xml"
+                  if chunked else f"http://{host}/sitemap.xml")
+            rows.append({"url": url, "parent": sm, "depth": 0,
+                         "priority": seed_priority(prio_bp)})
+    return pa.Table.from_pylist(rows, schema=pa.schema([
+        ("url", pa.string()), ("parent", pa.string()),
+        ("depth", pa.int64()), ("priority", pa.float64())]))
+
+
 class RecrawlStage:
     """Conditional-GET delta fetch (task pool via cached_stage): each
     row carries the page's stored ETag from the epoch-0 crawl; the

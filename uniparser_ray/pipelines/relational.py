@@ -1211,40 +1211,89 @@ def q6_forecast_revenue(sf_dir: str):
 Q14_MONTH_LO, Q14_MONTH_HI = "1996-04-01", "1996-05-01"
 
 
+# broadcast-vs-shuffle pivot for the q14 dimension side: a sorted
+# int64 key array + bool array cost 9 bytes/part, so 4M parts ~ 36 MB
+# of object store — beyond that the assumption "part is small" has
+# failed and the plan falls back to a bucketed shuffle join
+_Q14_BROADCAST_LIMIT = 4_000_000
+
+
 def q14_promo_revenue(sf_dir: str):
     """TPC-H Q14 shape: promo revenue share — a broadcast dimension
     join.  ``part`` is the small side (one bool per partkey), shipped
-    ONCE via ray.put and read inside every task; lineitem streams with
-    month + projection pushdown and folds to per-batch partial sums
-    (promo, total) — the classic pattern where a shuffle join would be
-    pure waste."""
+    ONCE via ray.put as a SORTED key array + bool array (no per-row
+    python dict) and probed with a vectorized ``searchsorted`` inside
+    every task; lineitem streams with month + projection pushdown and
+    folds to per-batch partial sums (promo, total) — the classic
+    pattern where a shuffle join would be pure waste.  The broadcast
+    is GUARDED: above ``_Q14_BROADCAST_LIMIT`` rows the dimension is
+    no longer "small" and the same fold runs after a bucketed shuffle
+    join instead (adaptivity mirroring the dedup verify path)."""
     import ray
 
     part = _read(sf_dir, "part", ["p_partkey", "p_type"]).materialize()
-    promo: dict = {}
-    for b in part.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        for k, t in zip(b["p_partkey"].to_pylist(),
-                        b["p_type"].to_pylist()):
-            promo[k] = (t == "PROMO")
-    promo_ref = ray.put(promo)
-
     ds = _read(sf_dir, "lineitem",
                ["l_partkey", "l_shipdate", "l_extendedprice",
                 "l_discount"])
     lo, hi = pd.Timestamp(Q14_MONTH_LO), pd.Timestamp(Q14_MONTH_HI)
 
-    def fold(df: pd.DataFrame) -> pd.DataFrame:
-        import ray as _ray
-        lut = _ray.get(promo_ref)
-        sub = df[(df["l_shipdate"] >= lo) & (df["l_shipdate"] < hi)]
-        disc = sub["l_extendedprice"] * (1.0 - sub["l_discount"])
-        is_promo = sub["l_partkey"].map(lut).fillna(False).to_numpy(bool)
-        return pd.DataFrame({"one": [1],
-                             "promo": [disc[is_promo].sum()],
-                             "total": [disc.sum()]})
+    n_part = part.count()
+    if n_part <= _Q14_BROADCAST_LIMIT:
+        keys_parts, promo_parts = [], []
+        for b in part.iter_batches(batch_size=65536,
+                                   batch_format="pyarrow"):
+            keys_parts.append(b["p_partkey"].to_numpy())
+            promo_parts.append(
+                pc.equal(b["p_type"], "PROMO").to_numpy(
+                    zero_copy_only=False))
+        keys = np.concatenate(keys_parts).astype(np.int64)
+        is_promo = np.concatenate(promo_parts).astype(bool)
+        order = np.argsort(keys, kind="stable")
+        promo_ref = ray.put((keys[order], is_promo[order]))
 
-    out = partial_groupby(ds.map_batches(fold, batch_format="pandas"),
-                          ["one"],
+        def fold(df: pd.DataFrame) -> pd.DataFrame:
+            import ray as _ray
+            pkeys, pflag = _ray.get(promo_ref)
+            sub = df[(df["l_shipdate"] >= lo) & (df["l_shipdate"] < hi)]
+            disc = sub["l_extendedprice"] * (1.0 - sub["l_discount"])
+            lk = sub["l_partkey"].to_numpy(np.int64)
+            if len(pkeys):
+                pos_c = np.minimum(np.searchsorted(pkeys, lk),
+                                   len(pkeys) - 1)
+                is_p = np.where(pkeys[pos_c] == lk, pflag[pos_c], False)
+            else:
+                is_p = np.zeros(len(lk), dtype=bool)
+            return pd.DataFrame({"one": [1],
+                                 "promo": [disc[is_p].sum()],
+                                 "total": [disc.sum()]})
+
+        folded = ds.map_batches(fold, batch_format="pandas")
+    else:  # dimension too big to broadcast: bucketed shuffle join
+        from ..stages.combine import hash_bucket_join
+
+        def month_slice(df: pd.DataFrame) -> pd.DataFrame:
+            sub = df[(df["l_shipdate"] >= lo) & (df["l_shipdate"] < hi)]
+            return pd.DataFrame({
+                "l_partkey": sub["l_partkey"],
+                "disc": sub["l_extendedprice"] * (1.0 - sub["l_discount"])})
+
+        joined = hash_bucket_join(
+            ds.map_batches(month_slice, batch_format="pandas"), part,
+            "l_partkey", "p_partkey",
+            left_cols=["l_partkey", "disc"],
+            right_cols=["p_partkey", "p_type"])
+
+        def fold_joined(df: pd.DataFrame) -> pd.DataFrame:
+            disc = df["disc"]
+            return pd.DataFrame({
+                "one": [1],
+                "promo": [disc[(df["p_type"] == "PROMO").to_numpy(bool)]
+                          .sum()],
+                "total": [disc.sum()]})
+
+        folded = joined.map_batches(fold_joined, batch_format="pandas")
+
+    out = partial_groupby(folded, ["one"],
                           {"promo": ("promo", "sum"),
                            "total": ("total", "sum")},
                           driver_limit_rows=_LOWCARD_COMBINE_LIMIT)
@@ -1360,15 +1409,18 @@ def q10_returned_item_revenue(sf_dir: str):
     per_cust = partial_groupby(joined, ["o_custkey"],
                                {"revenue": ("rev", "sum")})
 
-    # partials keep 4N by UNROUNDED revenue; the final rank below runs
-    # on 2-dp ROUNDED revenue (ties broken by custkey) so a last-ulp
-    # difference between this engine's partial-sum order and the SQL
-    # twin's cannot flip the winner set at the N boundary — the 4x
-    # margin covers any round-tie class straddling the cut
+    # partials prune on the SAME key the final rank uses — 2-dp
+    # ROUNDED revenue with custkey tie-break — so the per-part top-4N
+    # is provably a superset of the global top-N (a prune on the
+    # unrounded value could drop a low-custkey member of a rounded-tie
+    # class bigger than the margin); the 4x margin additionally
+    # absorbs any last-ulp partial-sum-order divergence vs the SQL
+    # twin AT the rounding boundary itself
     def partial_top(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(["revenue", "o_custkey"],
-                              ascending=[False, True],
-                              kind="mergesort").head(Q10_TOPN * 4)
+        return df.assign(_r=df["revenue"].round(2)) \
+            .sort_values(["_r", "o_custkey"], ascending=[False, True],
+                         kind="mergesort").head(Q10_TOPN * 4) \
+            .drop(columns=["_r"])
 
     pruned = per_cust.map_batches(partial_top, batch_format="pandas") \
         .map_batches(lambda df: df.assign(one=1), batch_format="pandas")

@@ -266,9 +266,9 @@ def average_hash64(pixels: np.ndarray) -> int:
             small[i, j] = gray[ys[i]:max(ys[i + 1], ys[i] + 1),
                                xs[j]:max(xs[j + 1], xs[j] + 1)].mean()
     bits = (small > small.mean()).flatten()
-    val = 0
-    for b in bits:
-        val = (val << 1) | int(b)
+    # MSB-first pack (np.packbits default bitorder) — value-identical
+    # to the shift-or loop it replaced, without 64 python iterations
+    val = int.from_bytes(np.packbits(bits).tobytes(), "big")
     # wrap to signed int64 range for the Arrow column
     return val - (1 << 64) if val >= (1 << 63) else val
 

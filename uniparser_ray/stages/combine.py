@@ -53,52 +53,139 @@ def _bucket_of(df: pd.DataFrame, keys: Sequence[str],
     return (h % np.uint64(num_buckets)).astype(np.int64)
 
 
+def _bucket_of_table(t: pa.Table, keys: Sequence[str],
+                     num_buckets: int) -> np.ndarray:
+    """Bucket assignment for an Arrow batch: only the KEY columns hop
+    to pandas for the stable vectorized hash — the payload columns
+    stay zero-copy Arrow."""
+    return _bucket_of(t.select(list(keys)).to_pandas(), keys, num_buckets)
+
+
 def hash_bucket_combine(ds, keys: Sequence[str],
                         combine_fn: Callable[[pd.DataFrame], pd.DataFrame],
                         num_buckets: int = 64,
-                        driver_limit_rows: int = None):
-    """Bucket rows by hash(keys), run ``combine_fn`` once per bucket
+                        driver_limit_rows: int = None,
+                        arrow_fn: Callable[[pa.Table], pa.Table] = None):
+    """Bucket rows by hash(keys), run the combine once per bucket
     (all rows of a key land in one bucket).
+
+    The shuffle runs on ARROW blocks end to end: bucketize appends the
+    ``_bucket`` column to the zero-copy Arrow batch, the groupby sort
+    moves Arrow blocks (empty partitions are schema-stable Arrow, not
+    the object-dtype pandas frames that used to trip Ray's sampled
+    size estimator), and each group lands in the combine as a
+    ``pa.Table``.  ``combine_fn`` keeps the pandas contract
+    (df -> df) for callers with pandas-shaped logic — the hop happens
+    once per BUCKET, not per key; pass ``arrow_fn`` instead for a
+    fully Arrow combine (pa.Table -> pa.Table, no pandas hop at all —
+    ``grouped_aggregate`` uses this).
 
     ``driver_limit_rows`` opts into the adaptive no-shuffle fast path
     (same design as the crawl loop's small-round path): the input is
     materialized and counted; at or below the limit the whole input is
-    combined in one driver-side ``combine_fn`` call — valid because
-    combine_fns only assume "all rows of a key are together", which
-    one bucket trivially satisfies — skipping a multi-second Ray
-    all-to-all for kilobyte inputs.  Above the limit the materialized
-    input flows into the normal shuffle.  Callers should pass it only
-    when the input is plausibly small (e.g. known row bounds from
-    parquet metadata); driver memory is bounded by the limit."""
+    combined in one driver-side call — valid because combine fns only
+    assume "all rows of a key are together", which one bucket
+    trivially satisfies — skipping a multi-second Ray all-to-all for
+    kilobyte inputs.  Above the limit the materialized input flows
+    into the normal shuffle.  Callers should pass it only when the
+    input is plausibly small (e.g. known row bounds from parquet
+    metadata); driver memory is bounded by the limit."""
     keys = list(keys)
 
     if driver_limit_rows:
+        import ray
         import ray.data
         m = ds.materialize()
         if m.count() <= driver_limit_rows:
-            df = m.to_pandas()
-            return ray.data.from_pandas(combine_fn(df))
+            if arrow_fn is not None:
+                refs = m.to_arrow_refs()
+                tbls = [t for t in ray.get(refs) if t.num_rows] \
+                    if refs else []
+                if not tbls:
+                    return m
+                t = pa.concat_tables(tbls, promote_options="default")
+                return ray.data.from_arrow(
+                    arrow_fn(t.combine_chunks()))
+            return ray.data.from_pandas(combine_fn(m.to_pandas()))
         ds = m  # reuse: don't re-execute the upstream for the shuffle
 
-    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["_bucket"] = _bucket_of(df, keys, num_buckets)
-        return df
+    def bucketize(t: pa.Table) -> pa.Table:
+        return t.replace_schema_metadata(None).append_column(
+            "_bucket", pa.array(_bucket_of_table(t, keys, num_buckets),
+                                type=pa.int64()))
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        return combine_fn(g.drop(columns=["_bucket"]))
+    if arrow_fn is not None:
+        def per_bucket(g: pa.Table):
+            return arrow_fn(
+                g.drop_columns(["_bucket"]).combine_chunks())
+    else:
+        def per_bucket(g: pa.Table):
+            out = combine_fn(g.drop_columns(["_bucket"]).to_pandas())
+            try:
+                from ..blocks import table_from_pandas
+                return table_from_pandas(out, preserve_index=False)
+            except (pa.ArrowInvalid, pa.ArrowTypeError,
+                    pa.ArrowNotImplementedError):
+                # combine output holds cells Arrow can't type (rare:
+                # ragged ndarrays etc.) — let Ray keep a pandas block
+                return out
 
-    return ds.map_batches(bucketize, batch_format="pandas") \
-        .groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
+    return ds.map_batches(bucketize, batch_format="pyarrow") \
+        .groupby("_bucket").map_groups(per_bucket, batch_format="pyarrow")
+
+
+def _arrow_group_agg(t: pa.Table, keys: Sequence[str], items) -> pa.Table:
+    """One vectorized Arrow hash-aggregation: ``items`` is a list of
+    (out_col, in_col, how) with how in sum|count|min|max.  Matches the
+    pandas-groupby semantics this replaced: null-valued KEYS drop
+    (pandas ``groupby`` default), all-null sums are 0 (min_count=0),
+    count counts rows.  ``use_threads=False``: each Ray task owns one
+    CPU — threading inside the kernel would oversubscribe."""
+    import pyarrow.compute as pc
+
+    keys = list(keys)
+    mask = None
+    for k in keys:
+        v = pc.is_valid(t[k])
+        mask = v if mask is None else pc.and_(mask, v)
+    if mask is not None and not pc.all(mask).as_py() \
+            and t.num_rows:
+        t = t.filter(mask)
+
+    data: dict = {k: t[k] for k in keys}
+    aggs = []
+    sum0 = pc.ScalarAggregateOptions(min_count=0)
+    for i, (out, col, how) in enumerate(items):
+        name = f"_a{i}"
+        if how == "count":
+            data[name] = pa.array(np.ones(t.num_rows, dtype=np.int64))
+            aggs.append((name, "sum", sum0))
+        elif how == "sum":
+            data[name] = t[col]
+            aggs.append((name, "sum", sum0))
+        elif how in ("min", "max"):
+            data[name] = t[col]
+            aggs.append((name, how))
+        else:
+            raise ValueError(how)
+    g = pa.table(data).group_by(keys, use_threads=False).aggregate(aggs)
+    cols = {k: g[k] for k in keys}
+    for i, (out, _col, how) in enumerate(items):
+        how2 = "sum" if how == "count" else how
+        cols[out] = g[f"_a{i}_{how2}"]
+    return pa.table(cols)
 
 
 def grouped_aggregate(ds, keys: Sequence[str], agg_spec: Dict[str, tuple],
                       batch_size: int = 65536, num_buckets: int = 64,
                       driver_limit_rows: int = None):
-    """Two-phase grouped aggregate with vectorized combine.
+    """Two-phase grouped aggregate, Arrow end to end.
 
     agg_spec: {out_col: (in_col, 'sum'|'count'|'min'|'max')}.
-    count combines as sum-of-partial-counts.
+    count combines as sum-of-partial-counts.  Both phases are single
+    Arrow hash-aggregation kernel calls (``Table.group_by``) — no
+    pandas hop anywhere on the path, and every shuffled block is Arrow
+    with one stable schema.
 
     ``driver_limit_rows`` (see ``hash_bucket_combine``) opts the final
     combine into the adaptive no-shuffle fast path.  Pass it when the
@@ -108,34 +195,21 @@ def grouped_aggregate(ds, keys: Sequence[str], agg_spec: Dict[str, tuple],
     empty partitions when keys << partition count.
     """
     keys = list(keys)
+    items = [(out, col, how) for out, (col, how) in agg_spec.items()]
+    combine_items = [(out, out, "sum" if how in ("sum", "count") else how)
+                     for out, _col, how in items]
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(keys, sort=False)
-        parts = {}
-        for out, (col, how) in agg_spec.items():
-            if how == "sum":
-                parts[out] = g[col].sum()
-            elif how == "count":
-                parts[out] = g.size()
-            elif how == "min":
-                parts[out] = g[col].min()
-            elif how == "max":
-                parts[out] = g[col].max()
-            else:
-                raise ValueError(how)
-        return pd.DataFrame(parts).reset_index()
+    def partial(t: pa.Table) -> pa.Table:
+        return _arrow_group_agg(t, keys, items)
 
-    combine_how = {out: ("sum" if how in ("sum", "count") else how)
-                   for out, (_c, how) in agg_spec.items()}
+    def combine(t: pa.Table) -> pa.Table:
+        return _arrow_group_agg(t, keys, combine_items)
 
-    def combine(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(keys, sort=False)
-        return g.agg(combine_how).reset_index()
-
-    partials = ds.map_batches(partial, batch_format="pandas",
+    partials = ds.map_batches(partial, batch_format="pyarrow",
                               batch_size=batch_size)
-    return hash_bucket_combine(partials, keys, combine, num_buckets,
-                               driver_limit_rows=driver_limit_rows)
+    return hash_bucket_combine(partials, keys, None, num_buckets,
+                               driver_limit_rows=driver_limit_rows,
+                               arrow_fn=combine)
 
 
 def hash_bucket_join(left, right, left_on: str, right_on: str,

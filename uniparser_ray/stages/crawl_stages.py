@@ -331,7 +331,8 @@ class FetchParseStage:
                  image_data_dir: str = None, image_seen_shards: List = None,
                  image_shard_bits: int = 0, image_batch_size: int = 128,
                  max_redirects: int = 5, seen_shards: List = None,
-                 seen_shard_bits: int = 0, robots_shards: List = None):
+                 seen_shard_bits: int = 0, robots_shards: List = None,
+                 page_ckpt_dir: str = None):
         import ray
         from ..crawl.storage import JSONRuleStorage
         from ..rulevm.transport import SyntheticWebAdapter
@@ -358,6 +359,16 @@ class FetchParseStage:
         # execution geometry changes.
         self.image_data_dir = image_data_dir
         self.image_batch_size = image_batch_size
+        # fused page-checkpoint write: when a pages dir is given, each
+        # fetch task writes ITS OWN batch's checkpoint rows (minus the
+        # frontier-only list columns) straight into the round's
+        # partition dir, so parquet encode + disk I/O overlap fetching
+        # and the loop's separate write execution (a full second pass
+        # over the materialized page blocks) disappears.  File names
+        # are DETERMINISTIC — fused-{round}-{min url_hash}-{rows} — so
+        # a retried task overwrites its own file (idempotent) instead
+        # of duplicating rows the way a fresh-uuid name would.
+        self.page_ckpt_dir = page_ckpt_dir
         self._img_stage = (
             ImageFetchStage(web_config=web_config,
                             seen_shards=image_seen_shards,
@@ -608,10 +619,28 @@ class FetchParseStage:
             out["error"].append(err)
         page_tbl = self._page_table(urls, hashes, hosts, depths, priors,
                                     parents, retries, out)
-        if self._img_stage is not None and "_round" in batch.column_names:
-            self._fetch_images(page_tbl,
-                               int(batch["_round"][0].as_py()))
+        if "_round" in batch.column_names and batch.num_rows:
+            round_no = int(batch["_round"][0].as_py())
+            if self._img_stage is not None:
+                self._fetch_images(page_tbl, round_no)
+            if self.page_ckpt_dir is not None:
+                self._write_page_ckpt(page_tbl, round_no)
         return page_tbl
+
+    def _write_page_ckpt(self, page_tbl: pa.Table, round_no: int) -> None:
+        """Fused page-checkpoint write (see __init__)."""
+        from pathlib import Path
+
+        import pyarrow.parquet as _pq
+        if page_tbl.num_rows == 0:
+            return
+        out_dir = Path(self.page_ckpt_dir) / f"round={round_no}"
+        out_dir.mkdir(parents=True, exist_ok=True)
+        lo = min(page_tbl["url_hash"].to_pylist())
+        _pq.write_table(
+            page_tbl.drop_columns(["links", "img_srcs", "img_captions"]),
+            out_dir / f"fused-{round_no}-{lo:016x}-"
+                      f"{page_tbl.num_rows}.parquet")
 
     def _fetch_images(self, page_tbl: pa.Table, round_no: int) -> None:
         """Fused image side-channel (see __init__): explode this page

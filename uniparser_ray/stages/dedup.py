@@ -116,7 +116,8 @@ class MinHashStage:
 
 def minhash_candidate_pairs(ds, num_perm: int = 64, num_bands: int = 16,
                             concurrency: int = 4, shingle_k: int = 3,
-                            seed: int = None, driver_limit_rows: int = None):
+                            seed: int = None, driver_limit_rows: int = None,
+                            band_cap: int = None):
     """documents -> candidate (doc_a, doc_b) pairs via banded LSH.
 
     Shuffles only (band, doc_id) rows, bucketed by band hash; pairs
@@ -126,7 +127,19 @@ def minhash_candidate_pairs(ds, num_perm: int = 64, num_bands: int = 16,
 
     ``driver_limit_rows``: opt-in no-shuffle fast path for the band
     combine (see hash_bucket_combine) — pass only when the corpus is
-    known small (e.g. parquet-footer row count x num_bands)."""
+    known small (e.g. parquet-footer row count x num_bands).
+
+    ``band_cap`` (default None = exact, the oracle-checked config) is
+    the hot-bucket guard for 100 TB corpora: a DEGENERATE band key —
+    boilerplate shared by m documents — makes the self-merge emit
+    O(m^2) pair rows inside one bucket.  With a cap, any (band_id,
+    band_hash) group larger than ``band_cap`` docs is chain-linked
+    instead (sorted doc_ids, consecutive pairs): O(m) rows, every
+    emitted pair is still a genuine LSH collision, and transitive
+    dup-cluster connectivity through the hot band is fully preserved
+    — only non-adjacent pairwise recall inside that one band is
+    delegated to the OTHER bands (standard split-and-verify cut;
+    similar spirit to the stop-shingle df cap on the jaccard path)."""
     from .combine import hash_bucket_combine
 
     from .taskcache import cached_stage
@@ -137,11 +150,28 @@ def minhash_candidate_pairs(ds, num_perm: int = 64, num_bands: int = 16,
 
     def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates()
+        if band_cap is not None:
+            sizes = g.groupby(["band_id", "band_hash"],
+                              sort=False)["doc_id"].transform("size")
+            hot = g[sizes > band_cap]
+            g = g[sizes <= band_cap]
         m = g.merge(g, on=["band_id", "band_hash"])
         m = m[m["doc_id_x"] < m["doc_id_y"]]
-        return pd.DataFrame({"doc_a": m["doc_id_x"].to_numpy(),
-                             "doc_b": m["doc_id_y"].to_numpy()}) \
-            .drop_duplicates()
+        out = pd.DataFrame({"doc_a": m["doc_id_x"].to_numpy(),
+                            "doc_b": m["doc_id_y"].to_numpy()})
+        if band_cap is not None and len(hot):
+            # chain-link each hot group: sort by doc_id, pair neighbors
+            h = hot.sort_values(["band_id", "band_hash", "doc_id"],
+                                kind="mergesort")
+            ids = h["doc_id"].to_numpy()
+            same = (h["band_id"].to_numpy()[1:]
+                    == h["band_id"].to_numpy()[:-1]) \
+                & (h["band_hash"].to_numpy()[1:]
+                   == h["band_hash"].to_numpy()[:-1])
+            out = pd.concat([out, pd.DataFrame({
+                "doc_a": ids[:-1][same], "doc_b": ids[1:][same]})],
+                ignore_index=True)
+        return out.drop_duplicates()
 
     return hash_bucket_combine(bands, ["band_id", "band_hash"],
                                pairs_of_bucket,
@@ -199,7 +229,8 @@ def minhash_neardup_pairs(ds, threshold: float = 0.7, num_perm: int = 64,
                           num_bands: int = 16, concurrency: int = 4,
                           shingle_k: int = 3, df_cap: int = None,
                           broadcast_limit: int = 200_000,
-                          driver_limit_rows: int = None):
+                          driver_limit_rows: int = None,
+                          band_cap: int = None):
     """Full near-dup pipeline: LSH candidates -> exact-Jaccard verify.
 
     The verify is adaptive on the RAW candidate-row count (which
@@ -230,7 +261,8 @@ def minhash_neardup_pairs(ds, threshold: float = 0.7, num_perm: int = 64,
 
     cands = minhash_candidate_pairs(ds, num_perm, num_bands, concurrency,
                                     shingle_k=shingle_k,
-                                    driver_limit_rows=driver_limit_rows) \
+                                    driver_limit_rows=driver_limit_rows,
+                                    band_cap=band_cap) \
         .materialize()
     empty = pa.table({"doc_a": pa.array([], pa.int64()),
                       "doc_b": pa.array([], pa.int64()),

@@ -44,16 +44,28 @@ def token_stats_batch(batch: pa.Table) -> pa.Table:
         names=["doc_id", "n_tokens", "n_bpe_tokens", "n_chars"])
 
 
+_STOP_CONTAINS = STOPWORDS.__contains__
+
+
 def quality_batch(batch: pd.DataFrame) -> pd.DataFrame:
     """Quality heuristics: mean word length, stopword ratio, alpha ratio,
-    and a composite score in [0, 1]."""
+    and a composite score in [0, 1].
+
+    Shape MEASURED, not guessed (BASELINE round 5): at sf0.1 the
+    findall pass + C-level str kernels dominate; the per-row word-list
+    reductions were ~31% of stage time, almost all of it np.mean's
+    per-call overhead — ``sum(map(len, ws)) / len(ws)`` computes the
+    bit-identical double (exact int sum, same float64 division) 6x
+    faster, while full regex-count and explode vectorizations of the
+    same quantities measured SLOWER than this form (they re-scan the
+    text the findall pass already paid for)."""
     texts = batch["text"]
     words = texts.str.findall(_WORD_RE)
-    n_words = words.map(len).clip(lower=1)
-    mean_word_len = words.map(lambda ws: float(np.mean([len(w) for w in ws]))
-                              if ws else 0.0)
+    mean_word_len = words.map(
+        lambda ws: sum(map(len, ws)) / len(ws) if ws else 0.0)
     stop_ratio = words.map(
-        lambda ws: sum(w.lower() in STOPWORDS for w in ws) / max(1, len(ws)))
+        lambda ws: sum(map(_STOP_CONTAINS, map(str.lower, ws)))
+        / max(1, len(ws)))
     alpha = texts.str.count(r"[A-Za-z]")
     total = texts.str.len().clip(lower=1)
     alpha_ratio = alpha / total
