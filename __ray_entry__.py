@@ -380,6 +380,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_psnr_audit": images_q.images_psnr_audit,
         "crawl_recrawl_delta": crawl_q.crawl_recrawl_delta,
         "crawl_trap_guard": crawl_q.crawl_trap_guard,
+        "crawl_robots_rfc": crawl_q.crawl_robots_rfc,
         "crawl_host_ban": crawl_q.crawl_host_ban,
         "audio_features": images_q.audio_features_q,
         "video_frames": images_q.video_frames_q,
@@ -649,6 +650,9 @@ def _expected_table(kind: str, tag: str) -> pa.Table:
     if kind == "recrawl":
         from uniparser_ray.pipelines.crawl_q import expected_recrawl_delta
         return expected_recrawl_delta(tag)
+    if kind == "robots_rfc":
+        from uniparser_ray.pipelines.crawl_q import expected_robots_rfc
+        return expected_robots_rfc(tag)
     if kind == "trap":
         from uniparser_ray.pipelines.crawl_q import expected_trap_guard
         return expected_trap_guard(tag)
@@ -881,6 +885,14 @@ def _multimodal_oracle_thunks(tag: str) -> dict:
         "crawl_trap_guard": lambda: f"""
             WITH {_values_cte('e', _expected_table('trap', tag))}
             SELECT url, round, depth, status FROM e
+        """,
+        # twin = the sequential conformance crawler running the SAME
+        # RFC-9309 matcher (wildcards, $ anchors, Allow precedence,
+        # UA group selection) over the same wildcard-robots web; the
+        # compare pins the full fetch schedule
+        "crawl_robots_rfc": lambda: f"""
+            WITH {_values_cte('e', _expected_table('robots_rfc', tag))}
+            SELECT url, round, status FROM e
         """,
         # twin = pure freshness arithmetic (which pages changed at
         # epoch 1 is a deterministic function of (h, p)) + the epoch-1

@@ -98,6 +98,14 @@ class CrawlConfig:
     # degrades to an overflow stash past ~84% load (state/cuckoo.py)
     seen_capacity: int = 1_000_000
     use_robots: bool = True
+    # robots matcher semantics (state/robots.py): "prefix" = the
+    # simple-crawler Disallow-prefix behavior (the oracle-checked
+    # default of rounds 1-4); "rfc9309" = full REP — * wildcards, $
+    # anchor, Allow lines, longest-match precedence with Allow winning
+    # ties, user-agent group selection.  The conformance oracle
+    # mirrors whichever is configured.
+    robots_matcher: str = "prefix"
+    robots_user_agent: str = "uniparser-ray"
     host_budgets: Dict[str, int] = field(default_factory=dict)
     # explicit skew-splitting of hot domains: 0 = single-phase grant;
     # >1 = two-phase salted grant — phase 1 pre-clips per (host, salt)
@@ -316,7 +324,9 @@ class CrawlRun:
             web_config = dict(cfg.web_config)
             self.robots_shards = [
                 RobotsShardActor.remote(
-                    web_factory=lambda wc=web_config: SynthWeb(**wc))
+                    web_factory=lambda wc=web_config: SynthWeb(**wc),
+                    matcher=cfg.robots_matcher,
+                    user_agent=cfg.robots_user_agent)
                 for _ in range(4)]
         else:
             self.robots_shards = []

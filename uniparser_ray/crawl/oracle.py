@@ -81,7 +81,9 @@ class BFSOracle:
                  host_budgets: dict = None, robots_delay_budget: bool = False,
                  round_seconds: float = 60.0, max_redirects: int = 5,
                  max_depth: int = 0, max_url_len: int = 0,
-                 max_path_repeats: int = 0, host_error_budget: int = 0):
+                 max_path_repeats: int = 0, host_error_budget: int = 0,
+                 robots_matcher: str = "prefix",
+                 robots_user_agent: str = "uniparser-ray"):
         from ..rulevm.transport import SyntheticWebAdapter
         from .storage import JSONRuleStorage
         from ..state.robots import parse_crawl_delay, parse_robots
@@ -112,9 +114,13 @@ class BFSOracle:
         self.host_error_budget = host_error_budget
         self._parse_robots = parse_robots
         self._parse_delay = parse_crawl_delay
+        self.robots_matcher = robots_matcher
+        self.robots_user_agent = robots_user_agent
         self._robots_cache: dict = {}
 
     def _robots_entry(self, host: str):
+        """(allow_fn|None, crawl_delay) — matcher-mode mirror of
+        RobotsShard._entry_for/_compile."""
         entry = self._robots_cache.get(host)
         if entry is None:
             try:
@@ -122,16 +128,28 @@ class BFSOracle:
                 text = body.decode() if status == 200 else ""
             except Exception:
                 text = ""
-            entry = (self._parse_robots(text), self._parse_delay(text))
+            if self.robots_matcher == "rfc9309":
+                from ..state.robots import (RobotsMatcher,
+                                            parse_robots_rfc9309)
+                allow_fn = RobotsMatcher(parse_robots_rfc9309(
+                    text, self.robots_user_agent)).allowed
+            else:
+                rules = self._parse_robots(text)
+                allow_fn = (None if not rules else
+                            (lambda p, _r=rules:
+                             not any(p.startswith(x) for x in _r)))
+            entry = (allow_fn, self._parse_delay(text))
             self._robots_cache[host] = entry
         return entry
 
     def _allowed(self, host: str, url: str) -> bool:
         if not self.use_robots:
             return True
-        rules, _delay = self._robots_entry(host)
+        allow_fn, _delay = self._robots_entry(host)
+        if allow_fn is None:
+            return True
         path = "/" + url.split("/", 3)[3] if url.count("/") >= 3 else "/"
-        return not any(path.startswith(p) for p in rules)
+        return allow_fn(path)
 
     def _budget_of(self, host: str) -> int:
         k = self.host_budgets.get(host, self.budget)

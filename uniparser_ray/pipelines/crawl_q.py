@@ -593,6 +593,87 @@ def expected_trap_guard(tag: str) -> pa.Table:
         ("depth", pa.int64()), ("status", pa.int64())]))
 
 
+_ROBOTS_RFC_RUNS: dict = {}
+
+
+def _ensure_robots_rfc_crawl(tag: str) -> str:
+    """One RFC-9309-robots crawl per (process, tag): the wildcard-
+    robots web (``*`` globs, ``$`` anchors, Allow overrides, a
+    specific-UA group behind a disallow-everything decoy group) with
+    the full REP matcher configured."""
+    if tag in _ROBOTS_RFC_RUNS:
+        return _ROBOTS_RFC_RUNS[tag]
+    from ..crawl.loop import CrawlConfig, run_crawl
+    from ..sources.synthweb import SynthWeb
+    from .images_q import _CRAWL_BUDGET, _CRAWL_ROUNDS
+
+    web_cfg = dict(_CRAWL_BY_SF_OF(tag), robots_wildcards=True)
+    web = SynthWeb(**web_cfg)
+    out = f"/tmp/uniparser_ray_cache/crawl_robots_rfc_{tag}"
+    shutil.rmtree(out, ignore_errors=True)
+    cfg = CrawlConfig(web_config=web_cfg, out_dir=out,
+                      seeds=web.seed_urls(), max_rounds=_CRAWL_ROUNDS,
+                      per_host_budget=_CRAWL_BUDGET, fetch_concurrency=4,
+                      seen_shard_bits=3, robots_matcher="rfc9309")
+    run_crawl(cfg, web.rule_pack())
+    _ROBOTS_RFC_RUNS[tag] = out
+    return _ROBOTS_RFC_RUNS[tag]
+
+
+def crawl_robots_rfc(sf_dir: str):
+    """RFC 9309 robots semantics under a value oracle: the engine
+    crawls a web whose robots files use wildcards, $ anchors, Allow
+    overrides and specific-UA groups, with the full REP matcher
+    (longest-match precedence, Allow wins ties, UA group selection)
+    in the sharded robots actors — and the full (url, round, status)
+    schedule must equal the sequential oracle running the SAME matcher
+    over the SAME files.  A page the prefix matcher would fetch but
+    the RFC matcher blocks (or vice versa) shifts the whole schedule
+    and goes red.  One projection-pruned task-parallel read of the
+    pages checkpoints."""
+    import ray.data as rd
+
+    tag = _sf_tag(sf_dir)
+    out = _ensure_robots_rfc_crawl(tag)
+    rows = [{"path": str(f), "round": int(f.parent.name.split("=")[1])}
+            for f in sorted(Path(out, "pages").glob("round=*/*.parquet"))]
+
+    def read_pages(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+        parts = []
+        for row in batch.to_pylist():
+            t = pq.read_table(row["path"], columns=["url", "status"])
+            parts.append(pa.table({
+                "url": t["url"].cast(pa.string()),
+                "round": pa.array([row["round"]] * t.num_rows, pa.int64()),
+                "status": t["status"].cast(pa.int64())}))
+        return pa.concat_tables(parts)
+
+    return rd.from_items(rows).map_batches(read_pages,
+                                           batch_format="pyarrow",
+                                           batch_size=4)
+
+
+def expected_robots_rfc(tag: str) -> pa.Table:
+    """Twin: the sequential BFSOracle with the same RFC matcher."""
+    from ..crawl.oracle import BFSOracle
+    from ..sources.synthweb import SynthWeb
+    from .images_q import _CRAWL_BUDGET, _CRAWL_ROUNDS
+
+    web_cfg = dict(_CRAWL_BY_SF_OF(tag), robots_wildcards=True)
+    web = SynthWeb(**web_cfg)
+    oracle = BFSOracle(SynthWeb(**web_cfg), web.rule_pack(),
+                       per_host_budget=_CRAWL_BUDGET,
+                       robots_matcher="rfc9309")
+    res = oracle.run(web.seed_urls(), max_rounds=_CRAWL_ROUNDS)
+    rows = [{"url": u, "round": r["round"],
+             "status": res["pages"][u][0]}
+            for r in res["rounds"] for u in r["fetched"]]
+    return pa.Table.from_pylist(rows, schema=pa.schema([
+        ("url", pa.string()), ("round", pa.int64()),
+        ("status", pa.int64())]))
+
+
 _DEADHOST_RUNS: dict = {}
 _DEADHOST_BUDGET = 4
 _DEADHOST_FLAKY = dict(flaky_mod=3, flaky_attempts=99)

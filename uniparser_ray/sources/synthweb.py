@@ -37,7 +37,8 @@ class SynthWeb:
                  flaky_mod: int = 0, flaky_attempts: int = 1,
                  redirect_rate: float = 0.0, lossy_rate: float = 0.0,
                  epoch: int = 0, change_rate: float = 0.25,
-                 trap_links: bool = False):
+                 trap_links: bool = False,
+                 robots_wildcards: bool = False):
         self.num_hosts = num_hosts
         self.base_pages = base_pages
         self.fanout = fanout
@@ -94,6 +95,12 @@ class SynthWeb:
         # an infinite crawl unless a guard (CrawlConfig.max_depth /
         # max_url_len / max_path_repeats) cuts it
         self.trap_links = trap_links
+        # RFC-9309 robots model (off by default — byte-identical robots
+        # when False): hosts serve wildcard/anchor/Allow rules and
+        # specific-UA groups (see robots_txt) so the full REP matcher
+        # (CrawlConfig.robots_matcher="rfc9309") has real semantics to
+        # chew on; pure function of h, so engine and oracle agree.
+        self.robots_wildcards = robots_wildcards
         # Zipf-ish page budget: rank-0 host has hot_factor * base pages
         self.pages_of_host = [
             max(3, int(base_pages * (hot_factor / (h + 1) ** 0.9)))
@@ -223,7 +230,29 @@ class SynthWeb:
         return "\n".join(parts)
 
     def robots_txt(self, h: int) -> str:
-        if h % 5 == 0:
+        if self.robots_wildcards:
+            # RFC-9309 exercise set (deterministic per host): wildcard
+            # + $ anchor + Allow override; specific-UA group selection
+            # with a disallow-everything decoy group; longest-match
+            # precedence between an Allow and a shorter Disallow
+            v = h % 4
+            if v == 0:
+                base = ("User-agent: *\n"
+                        "Disallow: /page/*3$\n"   # every page ending in 3
+                        "Allow: /page/13$\n"      # ...except exactly 13
+                        "Disallow: /page/2*\n")   # 2, 20-29, 2xx
+            elif v == 1:
+                base = ("User-agent: otherbot\nDisallow: /\n"
+                        "User-agent: uniparser-ray\n"
+                        "Disallow: /page/*7$\n"
+                        "User-agent: *\nDisallow: /page/\n")
+            elif v == 2:
+                base = ("User-agent: *\n"
+                        "Disallow: /page/1\n"     # 1, 10-19, 1xx
+                        "Allow: /page/1*0$\n")    # ...except 10, 100...
+            else:
+                base = "User-agent: *\nDisallow:\n"
+        elif h % 5 == 0:
             base = "User-agent: *\nDisallow: /page/13\nDisallow: /private/\n"
         elif h % 5 == 3:
             # polite host: Crawl-delay throttles the per-round budget

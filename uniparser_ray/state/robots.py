@@ -1,14 +1,25 @@
 """Robots.txt cache shards.
 
 Per-host robots.txt is fetched once per crawl (through the same
-transport as pages), parsed into Disallow prefixes, and cached in a
-sharded actor pool keyed by ``hash(host)`` — the distributed analog of
-the reference's process-local per-host dict (parsers.py:1262).
-Only ``User-agent: *`` groups are honored (the engine sends one UA).
+transport as pages), parsed and cached in a sharded actor pool keyed
+by ``hash(host)`` — the distributed analog of the reference's
+process-local per-host dict (parsers.py:1262).
+
+Two matchers (CrawlConfig.robots_matcher):
+
+* ``"prefix"`` (default, the oracle-checked config of rounds 1-4):
+  ``User-agent: *`` group only, Disallow values matched as plain path
+  prefixes — the de-facto behavior of simple crawlers.
+* ``"rfc9309"`` (round 5): full REP semantics — ``*`` wildcards, ``$``
+  end anchor, Allow lines, LONGEST-match precedence with Allow winning
+  exact ties, user-agent group selection by longest product-token
+  substring match with ``*`` fallback, adjacent ``User-agent`` lines
+  sharing a group and same-token groups merging (RFC 9309 s2.2).
 """
 
 from __future__ import annotations
 
+import re
 from typing import Dict, List, Tuple
 
 import ray
@@ -34,6 +45,80 @@ def parse_robots(text: str) -> List[str]:
     return disallows
 
 
+def parse_robots_rfc9309(text: str, user_agent: str = "*") \
+        -> List[Tuple[str, bool]]:
+    """RFC 9309 group selection -> [(path_pattern, is_allow)].
+
+    Groups are runs of ``User-agent`` lines followed by rules; the
+    chosen group is the one whose UA token is the LONGEST substring of
+    our product token (case-insensitive), falling back to ``*``.
+    Same-token groups merge (s2.2.1); adjacent UA lines share one
+    group; rules before any UA line belong to no group; an empty
+    Disallow value allows everything (records no rule)."""
+    ua = user_agent.lower()
+    groups: Dict[str, List[Tuple[str, bool]]] = {}
+    cur_uas: List[str] = []
+    last_was_ua = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, value = line.split(":", 1)
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if not last_was_ua:
+                cur_uas = []
+            cur_uas.append(value.lower())
+            groups.setdefault(value.lower(), [])
+            last_was_ua = True
+        elif field in ("allow", "disallow"):
+            last_was_ua = False
+            if not cur_uas or not value:
+                continue
+            for tok in cur_uas:
+                groups[tok].append((value, field == "allow"))
+        else:
+            last_was_ua = False
+    best, best_len = None, -1
+    for tok in groups:
+        if tok != "*" and tok in ua and len(tok) > best_len:
+            best, best_len = tok, len(tok)
+    if best is not None:
+        return groups[best]
+    return groups.get("*", [])
+
+
+def _rule_regex(pattern: str) -> re.Pattern:
+    """One robots rule -> anchored-at-start regex: ``*`` matches any
+    run of characters, a trailing ``$`` anchors the end, everything
+    else is literal (regex metacharacters escaped)."""
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    rx = ".*".join(re.escape(p) for p in body.split("*"))
+    return re.compile(rx + ("$" if anchored else ""))
+
+
+class RobotsMatcher:
+    """Compiled RFC 9309 matcher: the most specific (longest-pattern)
+    matching rule decides; an Allow beats a Disallow of equal length
+    (s2.2.2).  No matching rule -> allowed."""
+
+    __slots__ = ("rules",)
+
+    def __init__(self, rules: List[Tuple[str, bool]]):
+        self.rules = [(_rule_regex(p), len(p), allow)
+                      for p, allow in rules]
+
+    def allowed(self, path: str) -> bool:
+        best_len, best_allow = -1, True
+        for rx, plen, allow in self.rules:
+            if rx.match(path) and (plen > best_len
+                                   or (plen == best_len and allow)):
+                best_len, best_allow = plen, allow
+        return best_allow
+
+
 def parse_crawl_delay(text: str) -> float:
     """``Crawl-delay`` (seconds) for User-agent: *; 0.0 if absent."""
     applies = False
@@ -55,47 +140,59 @@ def parse_crawl_delay(text: str) -> float:
 
 
 class RobotsShard:
-    def __init__(self, web_factory=None):
+    def __init__(self, web_factory=None, matcher: str = "prefix",
+                 user_agent: str = "uniparser-ray"):
         # web_factory() -> object with get(url) -> (status, headers, bytes)
         self.web = web_factory() if web_factory else None
-        self.cache: Dict[str, Tuple[List[str], float]] = {}
+        if matcher not in ("prefix", "rfc9309"):
+            raise ValueError(f"unknown robots matcher: {matcher!r}")
+        self.matcher_mode = matcher
+        self.user_agent = user_agent
+        # cache value: (allow_fn(path) -> bool, crawl_delay)
+        self.cache: Dict[str, Tuple[object, float]] = {}
         self.fetches = 0
 
-    def _entry_for(self, host: str) -> Tuple[List[str], float]:
+    def _compile(self, text: str):
+        if self.matcher_mode == "rfc9309":
+            m = RobotsMatcher(parse_robots_rfc9309(text, self.user_agent))
+            return m.allowed
+        rules = parse_robots(text)
+        if not rules:
+            return None
+        return lambda p: not any(p.startswith(r) for r in rules)
+
+    def _entry_for(self, host: str) -> Tuple[object, float]:
         entry = self.cache.get(host)
         if entry is None:
-            rules: List[str] = []
+            allow_fn = None
             delay = 0.0
             if self.web is not None:
                 try:
                     status, _h, body = self.web.get(f"http://{host}/robots.txt")
                     if status == 200:
                         text = body.decode("utf-8", "replace")
-                        rules = parse_robots(text)
+                        allow_fn = self._compile(text)
                         delay = parse_crawl_delay(text)
                 except Exception:
-                    rules, delay = [], 0.0
+                    allow_fn, delay = None, 0.0
             self.fetches += 1
-            entry = (rules, delay)
+            entry = (allow_fn, delay)
             self.cache[host] = entry
         return entry
 
-    def _rules_for(self, host: str) -> List[str]:
-        return self._entry_for(host)[0]
-
     def allowed_batch(self, host: str, paths: List[str]) -> List[bool]:
-        rules = self._rules_for(host)
-        if not rules:
+        allow_fn = self._entry_for(host)[0]
+        if allow_fn is None:
             return [True] * len(paths)
-        return [not any(p.startswith(r) for r in rules) for p in paths]
+        return [allow_fn(p) for p in paths]
 
     def allowed_many(self, host_paths: List[Tuple[str, str]]) -> List[bool]:
         """[(host, path)] -> allow mask; one RPC covers many hosts (the
         per-batch client groups by shard, not by host)."""
         out = []
         for host, path in host_paths:
-            rules = self._rules_for(host)
-            out.append(not any(path.startswith(r) for r in rules))
+            allow_fn = self._entry_for(host)[0]
+            out.append(True if allow_fn is None else allow_fn(path))
         return out
 
     def allowed_delays_many(self, host_paths: List[Tuple[str, str]]) \
@@ -104,8 +201,8 @@ class RobotsShard:
         RPC serves both the allow filter and the politeness budget)."""
         mask, delays = [], []
         for host, path in host_paths:
-            rules, delay = self._entry_for(host)
-            mask.append(not any(path.startswith(r) for r in rules))
+            allow_fn, delay = self._entry_for(host)
+            mask.append(True if allow_fn is None else allow_fn(path))
             delays.append(delay)
         return mask, delays
 
