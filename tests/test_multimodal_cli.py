@@ -378,6 +378,25 @@ def test_http_console_html_page():
         parsed = post("/parse", {"input_object": got["text"],
                                  "rule": json.dumps(rule)})
         assert json.loads(parsed["json"]) == {"page": {"num": "7"}}
+
+        # round-5 editor payloads: the structured parse-rule editor /
+        # input-callback dropdown / per-parser doc panel need the
+        # registry embedded as VALID JS data — parse it back out and
+        # pin the page's editor hooks exist and every %TOKEN% was
+        # substituted
+        import re as _re
+        assert "%REGISTRY%" not in page and "%PARSERS_JSON%" not in page
+        parsers = json.loads(_re.search(
+            r"const PARSERS = (\[.*?\]);", page, _re.S).group(1))
+        docs = json.loads(_re.search(
+            r"const DOCS = (\{.*?\});\nconst CALLBACKS", page,
+            _re.S).group(1))
+        cbs = json.loads(_re.search(
+            r"const CALLBACKS = (\[.*?\]);", page, _re.S).group(1))
+        assert "css" in parsers and "re" in parsers
+        assert docs["css"] and isinstance(cbs, list) and cbs
+        for hook in ("addStep", "insertField", "setCallback", "showDoc"):
+            assert hook in page
     finally:
         server.shutdown()
         server.server_close()

@@ -106,28 +106,47 @@ class ConsoleState:
 
 
 # The reference serves an interactive page + /static assets
-# (reference: webui.py:101-134, templates/index.html); here the page is
-# one self-contained document (inline CSS/JS, no asset routes) driving
-# the same three endpoints — the download-once / parse-many loop from a
-# browser.  GET / content-negotiates: browsers (Accept: text/html) get
-# the page, API clients keep the JSON parser registry.
+# (reference: webui.py:101-134, templates/index.html + the
+# static/uniparser.js rule-field editor and input-callback dropdown);
+# here the page is one self-contained document (inline CSS/JS, no
+# asset routes) driving the same three endpoints — the download-once /
+# parse-many loop from a browser, plus a structured parse-rule editor
+# that BUILDS chain_rules into the rule JSON and a per-parser doc
+# panel.  GET / content-negotiates: browsers (Accept: text/html) get
+# the page, API clients keep the JSON parser registry.  Rendered by
+# token replacement (%TOKEN%), not str.format, so the inline JS keeps
+# natural braces.
 _INDEX_HTML = """<!doctype html>
 <html><head><meta charset="utf-8"><title>uniparser_ray console</title>
 <style>
- body {{ font-family: monospace; margin: 1.5em; max-width: 70em; }}
- textarea, input[type=text] {{ width: 100%; font-family: monospace; }}
- pre {{ background: #f4f4f4; padding: .6em; white-space: pre-wrap; }}
- button {{ margin: .3em .5em .8em 0; }}
- details {{ margin-bottom: 1em; }}
+ body { font-family: monospace; margin: 1.5em; max-width: 70em; }
+ textarea, input[type=text] { width: 100%; font-family: monospace; }
+ pre { background: #f4f4f4; padding: .6em; white-space: pre-wrap; }
+ button { margin: .3em .5em .8em 0; }
+ details { margin-bottom: 1em; }
+ table.ed { border-collapse: collapse; width: 100%; }
+ table.ed td { padding: .15em .3em; }
+ #pdoc { color: #444; background: #fbfbf0; }
 </style></head><body>
 <h2>uniparser_ray rule console</h2>
 <p>download once (<code>/request</code>), parse many
 (<code>/parse</code>) against the sticky context; convert curl
 commands (<code>/curl_parse</code>).</p>
-<details><summary>parser registry ({n_parsers} parsers;
-input callbacks: {cb_names})</summary><pre>{registry}</pre></details>
+<details><summary>parser registry (%N_PARSERS% parsers;
+input callbacks: %CB_NAMES%)</summary><pre>%REGISTRY%</pre></details>
 <label>CrawlerRule JSON</label>
-<textarea id="rule" rows="12">{example}</textarea>
+<textarea id="rule" rows="12">%EXAMPLE%</textarea>
+<details open><summary>parse-rule editor (builds chain_rules into the
+rule JSON above)</summary>
+<label>field name</label>
+<input type="text" id="f_name" value="field1">
+<table class="ed" id="steps"></table>
+<button onclick="addStep()">+ chain step</button>
+<button onclick="insertField()">insert field into rule</button>
+<pre id="pdoc"></pre>
+<label>input callback (request_args.input_callback)</label>
+<select id="cb" onchange="setCallback()"></select>
+</details>
 <button onclick="doRequest()">Download (/request)</button>
 <button onclick="doParse()">Parse (/parse)</button>
 <label>input_object (filled by Download; editable)</label>
@@ -137,35 +156,109 @@ input callbacks: {cb_names})</summary><pre>{registry}</pre></details>
 <button onclick="doCurl()">Convert (/curl_parse)</button>
 <h3>result</h3><pre id="out"></pre>
 <script>
+const PARSERS = %PARSERS_JSON%;
+const DOCS = %DOCS_JSON%;
+const CALLBACKS = %CBS_JSON%;
 const out = (o) => document.getElementById('out').textContent =
     typeof o === 'string' ? o : JSON.stringify(o, null, 2);
-async function post(path, body, raw) {{
-  const resp = await fetch(path, {{method: 'POST',
-      body: raw ? body : JSON.stringify(body)}});
+async function post(path, body, raw) {
+  const resp = await fetch(path, {method: 'POST',
+      body: raw ? body : JSON.stringify(body)});
   return resp.json();
-}}
-async function doRequest() {{
-  try {{
+}
+async function doRequest() {
+  try {
     const r = await post('/request',
         JSON.parse(document.getElementById('rule').value));
     if (typeof r.text === 'string')
       document.getElementById('input').value = r.text;
     out(r);
-  }} catch (e) {{ out(String(e)); }}
-}}
-async function doParse() {{
-  try {{
-    out(await post('/parse', {{
+  } catch (e) { out(String(e)); }
+}
+async function doParse() {
+  try {
+    out(await post('/parse', {
         input_object: document.getElementById('input').value,
-        rule: document.getElementById('rule').value}}));
-  }} catch (e) {{ out(String(e)); }}
-}}
-async function doCurl() {{
-  try {{
+        rule: document.getElementById('rule').value}));
+  } catch (e) { out(String(e)); }
+}
+async function doCurl() {
+  try {
     out(await post('/curl_parse',
         document.getElementById('curl').value, true));
-  }} catch (e) {{ out(String(e)); }}
-}}
+  } catch (e) { out(String(e)); }
+}
+// --- rule-field editor (reference static/uniparser.js behaviors) ---
+function showDoc(name) {
+  document.getElementById('pdoc').textContent =
+      name && DOCS[name] ? name + ':\\n' + DOCS[name] : '';
+}
+function addStep() {
+  const tr = document.createElement('tr');
+  const sel = document.createElement('select');
+  for (const p of PARSERS) {
+    const o = document.createElement('option');
+    o.value = o.textContent = p;
+    sel.appendChild(o);
+  }
+  sel.onchange = () => showDoc(sel.value);
+  const mk = (ph) => {
+    const i = document.createElement('input');
+    i.type = 'text'; i.placeholder = ph;
+    return i;
+  };
+  const rm = document.createElement('button');
+  rm.textContent = 'x';
+  rm.onclick = () => tr.remove();
+  for (const el of [sel, mk('pattern (param)'), mk('value'), rm]) {
+    const td = document.createElement('td');
+    td.appendChild(el);
+    tr.appendChild(td);
+  }
+  document.getElementById('steps').appendChild(tr);
+  showDoc(sel.value);
+}
+function readSteps() {
+  const rows = [];
+  for (const tr of document.querySelectorAll('#steps tr')) {
+    const [sel, pat, val] = tr.querySelectorAll('select, input');
+    rows.push([sel.value, pat.value, val.value]);
+  }
+  return rows;
+}
+function insertField() {
+  try {
+    const rule = JSON.parse(document.getElementById('rule').value);
+    rule.parse_rules = rule.parse_rules || [];
+    rule.parse_rules.push({
+        name: document.getElementById('f_name').value || 'field',
+        chain_rules: readSteps(),
+        child_rules: []});
+    document.getElementById('rule').value =
+        JSON.stringify(rule, null, 1);
+    out('field inserted: ' + rule.parse_rules.length + ' parse_rules');
+  } catch (e) { out(String(e)); }
+}
+function setCallback() {
+  try {
+    const rule = JSON.parse(document.getElementById('rule').value);
+    const cb = document.getElementById('cb').value;
+    rule.request_args = rule.request_args || {};
+    if (cb) rule.request_args.input_callback = cb;
+    else delete rule.request_args.input_callback;
+    document.getElementById('rule').value =
+        JSON.stringify(rule, null, 1);
+  } catch (e) { out(String(e)); }
+}
+(function init() {
+  const sel = document.getElementById('cb');
+  for (const name of [''].concat(CALLBACKS)) {
+    const o = document.createElement('option');
+    o.value = o.textContent = name;
+    sel.appendChild(o);
+  }
+  addStep();
+})();
 </script></body></html>"""
 
 _EXAMPLE_RULE = {
@@ -211,13 +304,22 @@ class _Handler(BaseHTTPRequestHandler):
                 registry = "\n".join(
                     f"{name}: {idx['docs'][name].splitlines()[0] if idx['docs'][name] else ''}"
                     for name in idx["parsers"])
-                self._reply_html(_INDEX_HTML.format(
-                    n_parsers=len(idx["parsers"]),
-                    cb_names=idx["cb_names"],
-                    registry=registry.replace("&", "&amp;")
-                    .replace("<", "&lt;"),
-                    example=json.dumps(_EXAMPLE_RULE, indent=1)
-                    .replace("&", "&amp;").replace("<", "&lt;")))
+                esc = lambda s: s.replace("&", "&amp;").replace("<", "&lt;")
+                # json.dumps with <-escaping keeps the inline <script>
+                # payload safe regardless of docstring content
+                jjs = lambda o: json.dumps(o, ensure_ascii=False) \
+                    .replace("<", "\\u003c")
+                cbs = [c for c in idx["cb_names"].split(" | ") if c]
+                html = (_INDEX_HTML
+                        .replace("%N_PARSERS%", str(len(idx["parsers"])))
+                        .replace("%CB_NAMES%", esc(idx["cb_names"]))
+                        .replace("%REGISTRY%", esc(registry))
+                        .replace("%EXAMPLE%",
+                                 esc(json.dumps(_EXAMPLE_RULE, indent=1)))
+                        .replace("%PARSERS_JSON%", jjs(idx["parsers"]))
+                        .replace("%DOCS_JSON%", jjs(idx["docs"]))
+                        .replace("%CBS_JSON%", jjs(cbs)))
+                self._reply_html(html)
             else:
                 self._reply(self.state.do_index())
         else:
