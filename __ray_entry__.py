@@ -379,6 +379,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_redirects": crawl_q.crawl_redirects,
         "images_psnr_audit": images_q.images_psnr_audit,
         "crawl_recrawl_delta": crawl_q.crawl_recrawl_delta,
+        "crawl_sitemap_recrawl": crawl_q.crawl_sitemap_recrawl,
         "crawl_trap_guard": crawl_q.crawl_trap_guard,
         "crawl_robots_rfc": crawl_q.crawl_robots_rfc,
         "crawl_host_ban": crawl_q.crawl_host_ban,
@@ -647,6 +648,9 @@ def _expected_table(kind: str, tag: str) -> pa.Table:
     if kind == "psnr":
         from uniparser_ray.pipelines.images_q import expected_images_psnr
         return expected_images_psnr(tag)
+    if kind == "sitemap_recrawl":
+        from uniparser_ray.pipelines.crawl_q import expected_sitemap_recrawl
+        return expected_sitemap_recrawl(tag)
     if kind == "recrawl":
         from uniparser_ray.pipelines.crawl_q import expected_recrawl_delta
         return expected_recrawl_delta(tag)
@@ -901,6 +905,18 @@ def _multimodal_oracle_thunks(tag: str) -> dict:
         # branch, validator bump, body decode+hash
         "crawl_recrawl_delta": lambda: f"""
             WITH {_values_cte('e', _expected_table('recrawl', tag))}
+            SELECT url, recrawl_status, changed, new_etag, content_md5
+            FROM e
+        """,
+        # twin = pure arithmetic: crawled-200 INTERSECT sitemap rows
+        # whose advertised lastmod moved past the crawl horizon (the
+        # generator couples lastmod to the revision model exactly);
+        # what the compare tests is the ingest -> lastmod filter ->
+        # url join -> conditional-GET chain AND that the engine
+        # fetches ONLY the flagged slice (cardinality = the claim)
+        "crawl_sitemap_recrawl": lambda: f"""
+            WITH {_values_cte('e', _expected_table('sitemap_recrawl',
+                                                   tag))}
             SELECT url, recrawl_status, changed, new_etag, content_md5
             FROM e
         """,

@@ -157,3 +157,47 @@ def test_crawl_sitemap_seeded_disjoint_from_plain(ray_session, tmp_path):
                   for u in pq.read_table(f, columns=["url"])["url"]
                   .to_pylist())
     assert urls == sorted(web.seed_urls())
+
+
+def test_sitemap_lastmod_couples_to_revision_model():
+    """Round-5 freshness coupling: at epoch 0 sitemaps are
+    byte-identical to the historic web; at epoch 1 exactly the
+    revision-bumped pages advertise a post-horizon (2027-*) lastmod
+    while every other field is untouched — the invariant the
+    crawl_sitemap_recrawl oracle keys on."""
+    cfg = dict(num_hosts=6, base_pages=20, fanout=2, hot_factor=4.0)
+    w0 = SynthWeb(**cfg)
+    w1 = SynthWeb(**dict(cfg, epoch=1))
+    saw_changed = 0
+    for h in range(w0.num_hosts):
+        e0, e1 = w0.sitemap_entries(h), w1.sitemap_entries(h)
+        assert [u for u, _l, _p in e0] == [u for u, _l, _p in e1]
+        assert [p for _u, _l, p in e0] == [p for _u, _l, p in e1]
+        for (u, l0, _), (_, l1, _) in zip(e0, e1):
+            p = int(u.rsplit("/", 1)[1]) if "/page/" in u else 0
+            if w1.page_rev(h, p) > 0:
+                assert l1.startswith("2027-"), (u, l1)
+                saw_changed += 1
+            else:
+                assert l1 == l0, (u, l0, l1)
+            assert not l0.startswith("2027-")   # epoch 0 never flags
+    assert saw_changed > 0
+
+
+def test_crawl_sitemap_recrawl_fetches_only_flagged(ray_session):
+    """The delta-recrawl query's efficiency claim as data: result rows
+    == (crawled-200 INTERSECT advertised-with-bumped-lastmod), every
+    one 200/changed with the bumped validator — no 304 header
+    exchanges for the unchanged corpus at all."""
+    from uniparser_ray.pipelines.crawl_q import (crawl_sitemap_recrawl,
+                                                 expected_sitemap_recrawl)
+
+    got = crawl_sitemap_recrawl("/root/testdata/sf0.001").to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+    want = expected_sitemap_recrawl("sf0.001").to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    assert (got["recrawl_status"] == 200).all()
+    assert (got["changed"] == 1).all()
+    import pandas.testing as pdt
+    pdt.assert_frame_equal(got, want)

@@ -470,6 +470,95 @@ def _CRAWL_BY_SF_OF(tag: str) -> dict:
     return dict(_CRAWL_BY_SF.get(tag, _CRAWL_BY_SF["sf0.01"]))
 
 
+def crawl_sitemap_recrawl(sf_dir: str):
+    """Sitemap-lastmod-DRIVEN delta recrawl — the cheapest freshness
+    path a real crawler has: instead of conditionally re-fetching the
+    whole corpus (crawl_recrawl_delta pays one header exchange per
+    unchanged page), re-read only the hosts' sitemaps and re-fetch
+    exactly the pages whose advertised ``<lastmod>`` moved past the
+    epoch-0 crawl horizon.  Composition: distributed sitemap ingest of
+    the epoch-1 web -> vectorized post-horizon lastmod filter -> one
+    bucketed url join against the epoch-0 crawl's checkpointed
+    (url, etag) 200-rows (advertised-updated INTERSECT crawled) ->
+    conditional-GET task pool.  Every selected page must come back 200
+    with the bumped validator (the generator couples lastmod to the
+    revision model exactly), and the RESULT CARDINALITY is the
+    efficiency claim: fetches == changed-and-advertised pages only —
+    unchanged pages cost nothing at all, not even a 304."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..crawl.sitemap import make_ingest_stage
+    from ..sources.parquet import read_parquet_clean
+    from ..sources.synthweb import SynthWeb
+    from ..stages.combine import hash_bucket_join
+    from ..stages.taskcache import cached_stage
+    from .images_q import _ensure_crawl
+
+    tag = _sf_tag(sf_dir)
+    out, _totals = _ensure_crawl(tag)
+    web_cfg = dict(_CRAWL_BY_SF_OF(tag), epoch=1)
+
+    n_hosts = web_cfg["num_hosts"]
+    names = SynthWeb(**web_cfg)
+    hosts = rd.from_items([{"host": names.host_name(h)}
+                           for h in range(n_hosts)],
+                          override_num_blocks=min(n_hosts, 16))
+    advertised = hosts.map_batches(make_ingest_stage(web_cfg),
+                                   batch_format="pyarrow", batch_size=4)
+
+    def updated_only(t: pa.Table) -> pa.Table:
+        keep = pc.starts_with(t["lastmod"], "2027-")
+        return t.filter(keep).select(["url"]) \
+            .rename_columns(["sm_url"])
+
+    updated = advertised.map_batches(updated_only, batch_format="pyarrow")
+    crawled = read_parquet_clean(f"{out}/pages",
+                                 columns=["url", "status", "etag"]) \
+        .filter(expr="status == 200")
+    selected = hash_bucket_join(
+        updated, crawled, "sm_url", "url",
+        left_cols=["sm_url"], right_cols=["url", "status", "etag"]) \
+        .map_batches(lambda t: t.select(["url", "etag"]),
+                     batch_format="pyarrow")
+    return selected.map_batches(
+        cached_stage(RecrawlStage, web_config=web_cfg),
+        batch_format="pyarrow", batch_size=512)
+
+
+def expected_sitemap_recrawl(tag: str) -> pa.Table:
+    """Twin: pure arithmetic — {epoch-0-crawled 200 pages} INTERSECT
+    {sitemap-advertised with revision bumped at epoch 1}; each row's
+    status/validator/hash from the epoch-1 generator directly."""
+    import hashlib as _hl
+    import re as _re
+
+    from ..sources.synthweb import SynthWeb
+
+    web1 = SynthWeb(**dict(_CRAWL_BY_SF_OF(tag), epoch=1))
+    res = _harness_oracle(tag)
+    # lastmod startswith 2027 <=> revision bumped, by construction —
+    # the same predicate the engine's vectorized filter applies
+    advertised = {u for h in range(web1.num_hosts)
+                  for (u, lm, _bp) in web1.sitemap_entries(h)
+                  if lm.startswith("2027-")}
+    rows = []
+    for url, (status, _body) in res["pages"].items():
+        if status != 200 or url not in advertised:
+            continue
+        m = _re.fullmatch(r"http://host-(\d{4})\.test(?:/page/(\d+))?/?",
+                          url)
+        h, p = int(m.group(1)), int(m.group(2) or 0)
+        rows.append({"url": url, "recrawl_status": 200, "changed": 1,
+                     "new_etag": web1.page_etag(h, p),
+                     "content_md5": _hl.md5(
+                         web1.render_page(h, p).encode()).hexdigest()})
+    return pa.Table.from_pylist(rows, schema=pa.schema([
+        ("url", pa.string()), ("recrawl_status", pa.int64()),
+        ("changed", pa.int64()), ("new_etag", pa.string()),
+        ("content_md5", pa.string())]))
+
+
 def expected_recrawl_delta(tag: str) -> pa.Table:
     """Generator-side twin: which pages changed at epoch 1 is a pure
     function of (h, p) (SynthWeb.page_rev), the new validator is the

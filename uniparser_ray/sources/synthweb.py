@@ -293,6 +293,14 @@ class SynthWeb:
             prio_bp = 5000 if m % 5 == 0 else 1000 + (m >> 8) % 9000
             lastmod = "" if m % 7 == 0 else \
                 f"2026-{1 + (m >> 16) % 12:02d}-{1 + (m >> 20) % 28:02d}"
+            # freshness coupling (epoch model): a page whose revision
+            # bumped since epoch 0 advertises a POST-CRAWL lastmod
+            # (2027-*) — the signal a lastmod-driven recrawl scheduler
+            # keys on.  At epoch 0 rev is always 0, so historic webs
+            # serve byte-identical sitemaps.
+            rev = self.page_rev(h, p)
+            if rev:
+                lastmod = f"2027-01-{min(28, rev):02d}"
             out.append((self.page_url(h, p), lastmod, prio_bp))
         return out
 
