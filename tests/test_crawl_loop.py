@@ -1099,6 +1099,15 @@ def test_crawl_honors_retry_after(ray_session, tmp_path):
                   small_grant_threshold=0),
          oracle=dict(per_host_budget=2, max_pending_per_host=4,
                      max_path_repeats=2)),
+    # round-5: RFC-9309 wildcard robots + redirects (per-hop robots
+    # checks run through the REP matcher) + sitemap seeding (seeded
+    # URLs admitted through wildcard rules) in one mix
+    dict(web=dict(num_hosts=8, base_pages=10, fanout=3, hot_factor=4.0,
+                  seed=41, robots_wildcards=True, redirect_rate=0.35),
+         cfg=dict(per_host_budget=3, robots_matcher="rfc9309",
+                  sitemap_seeds=True),
+         oracle=dict(per_host_budget=3, robots_matcher="rfc9309"),
+         run=dict(sitemap_seeds=True)),
 ])
 def test_crawl_differential_sweep(ray_session, tmp_path, combo):
     """Engine == oracle across randomized web/feature combos:
