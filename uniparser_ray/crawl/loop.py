@@ -795,15 +795,13 @@ class CrawlRun:
                     admitted.materialize(), ["host"], granter,
                     num_buckets=64)
             if not small_round:
-                # the grant ran in pandas batch_format: its Arrow
-                # blocks carry the unhashable 'pandas' schema-metadata
-                # blob, which defeats Ray's block-schema dedup in every
-                # downstream concat ("Failed to hash the schemas"
-                # spam) — strip it block-at-a-time before materializing
-                from ..sources.parquet import _strip_meta
-                decided = decided.map_batches(
-                    _strip_meta, batch_format="pyarrow", batch_size=None,
-                    zero_copy_batch=True).materialize()
+                # materialize as the round's pipeline cache: count /
+                # filter / repartition below all read these blocks.
+                # (The former _strip_meta pass is gone — the Arrow-
+                # native bucket combine emits metadata-free Arrow
+                # blocks already, so there is no pandas schema blob to
+                # strip.)
+                decided = decided.materialize()
             _mark('grant')
             cpus = int(ray.cluster_resources().get("CPU", 8))
             if small_round:
@@ -1011,14 +1009,20 @@ class CrawlRun:
                         batch_size=self.cfg.image_batch_size)
                 )
                 img_rows.write_parquet(str(img_dir))
-            frag_names = [f"round={r}/{p.name}"
-                          for p in sorted(img_dir.glob("*.parquet"))
-                          if pq.read_metadata(p).num_rows > 0]
-            for p in img_dir.glob("*.parquet"):
-                if pq.read_metadata(p).num_rows == 0:
+            # ONE footer read per fragment (this used to be three:
+            # keep-list, empty-unlink, and count each re-read the
+            # metadata — at 256-row fetch batches a big round writes
+            # thousands of fragments, and the triple scan was most of
+            # the driver's fixed per-round 'images' phase)
+            frag_names = []
+            n_images = 0
+            for p in sorted(img_dir.glob("*.parquet")):
+                n = pq.read_metadata(p).num_rows
+                if n > 0:
+                    frag_names.append(f"round={r}/{p.name}")
+                    n_images += n
+                else:
                     p.unlink()
-            n_images = sum(pq.read_metadata(self.images.data_dir / n).num_rows
-                           for n in frag_names)
             self.images.commit(frag_names, metadata={"round": r})
             _mark('images')
 
