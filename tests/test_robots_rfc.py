@@ -152,3 +152,57 @@ def test_crawl_rfc9309_differential(ray_session, tmp_path):
     assert f"http://{h0}/page/23" not in fetched
     if web.pages_of_host[0] > 13:
         assert f"http://{h0}/page/13" in fetched
+
+
+def test_fuzz_group_selection_vs_naive():
+    """Group selection fuzz: random robots files with random UA tokens
+    vs an independent naive reimplementation (parse groups by state
+    machine, pick longest substring token, * fallback, merge
+    same-token groups)."""
+    import random
+
+    rnd = random.Random(2209)
+    toks = ["bot", "b", "botx", "my-bot", "other", "*"]
+
+    def naive(text, ua):
+        groups, cur, last_ua = {}, [], False
+        for raw in text.splitlines():
+            line = raw.split("#", 1)[0].strip()
+            if not line or ":" not in line:
+                continue
+            f, v = [x.strip() for x in line.split(":", 1)]
+            f = f.lower()
+            if f == "user-agent":
+                if not last_ua:
+                    cur = []
+                cur.append(v.lower())
+                groups.setdefault(v.lower(), [])
+                last_ua = True
+            elif f in ("allow", "disallow"):
+                last_ua = False
+                if cur and v:
+                    for t in cur:
+                        groups[t].append((v, f == "allow"))
+            else:
+                last_ua = False
+        cands = [t for t in groups if t != "*" and t in ua.lower()]
+        if cands:
+            return groups[max(cands, key=len)]
+        return groups.get("*", [])
+
+    for _ in range(300):
+        lines = []
+        for _ in range(rnd.randint(1, 12)):
+            r = rnd.random()
+            if r < 0.4:
+                lines.append(f"User-agent: {rnd.choice(toks)}")
+            elif r < 0.7:
+                lines.append(f"Disallow: /{rnd.choice('abc')}/")
+            elif r < 0.9:
+                lines.append(f"Allow: /{rnd.choice('abc')}")
+            else:
+                lines.append("Crawl-delay: 5")
+        text = "\n".join(lines)
+        ua = rnd.choice(["my-bot/1.0", "botx", "zzz", "b"])
+        assert parse_robots_rfc9309(text, ua) == naive(text, ua), \
+            (text, ua)
