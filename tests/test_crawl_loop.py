@@ -1105,8 +1105,9 @@ def test_crawl_honors_retry_after(ray_session, tmp_path):
     dict(web=dict(num_hosts=8, base_pages=10, fanout=3, hot_factor=4.0,
                   seed=41, robots_wildcards=True, redirect_rate=0.35),
          cfg=dict(per_host_budget=3, robots_matcher="rfc9309",
-                  sitemap_seeds=True),
-         oracle=dict(per_host_budget=3, robots_matcher="rfc9309"),
+                  sitemap_seeds=True, robots_delay_budget=True),
+         oracle=dict(per_host_budget=3, robots_matcher="rfc9309",
+                     robots_delay_budget=True),
          run=dict(sitemap_seeds=True)),
 ])
 def test_crawl_differential_sweep(ray_session, tmp_path, combo):

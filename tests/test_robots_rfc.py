@@ -206,3 +206,22 @@ def test_fuzz_group_selection_vs_naive():
         ua = rnd.choice(["my-bot/1.0", "botx", "zzz", "b"])
         assert parse_robots_rfc9309(text, ua) == naive(text, ua), \
             (text, ua)
+
+
+def test_crawl_delay_group_selection():
+    """Group-aware Crawl-delay (rfc mode): the crawler's OWN group's
+    delay wins over the catch-all's; ua='*' keeps the historic
+    *-group-only behavior byte for byte."""
+    from uniparser_ray.state.robots import parse_crawl_delay
+
+    t = ("User-agent: uniparser-ray\nCrawl-delay: 40\nDisallow:\n"
+         "User-agent: *\nCrawl-delay: 5\nDisallow:\n")
+    assert parse_crawl_delay(t) == 5.0                   # historic
+    assert parse_crawl_delay(t, "uniparser-ray") == 40.0
+    assert parse_crawl_delay(t, "otherbot") == 5.0       # * fallback
+    # adjacent UA lines share the delay; bogus values read 0
+    t2 = "User-agent: a\nUser-agent: b\nCrawl-delay: nope\n"
+    assert parse_crawl_delay(t2, "a") == 0.0
+    t3 = "User-agent: a\nCrawl-delay: 7\n"
+    assert parse_crawl_delay(t3, "a-bot") == 7.0
+    assert parse_crawl_delay(t3) == 0.0                  # no * group

@@ -138,7 +138,10 @@ class BFSOracle:
                 allow_fn = (None if not rules else
                             (lambda p, _r=rules:
                              not any(p.startswith(x) for x in _r)))
-            entry = (allow_fn, self._parse_delay(text))
+            delay = self._parse_delay(
+                text, self.robots_user_agent
+                if self.robots_matcher == "rfc9309" else "*")
+            entry = (allow_fn, delay)
             self._robots_cache[host] = entry
         return entry
 

@@ -251,7 +251,14 @@ class SynthWeb:
                         "Disallow: /page/1\n"     # 1, 10-19, 1xx
                         "Allow: /page/1*0$\n")    # ...except 10, 100...
             else:
-                base = "User-agent: *\nDisallow:\n"
+                # group-specific Crawl-delay: the engine's own group
+                # asks 40s while the catch-all asks 5 — a matcher
+                # honoring only * under-throttles by 8x, so the
+                # delay-budget differential catches group selection
+                base = ("User-agent: uniparser-ray\n"
+                        "Crawl-delay: 40\nDisallow:\n"
+                        "User-agent: *\n"
+                        "Crawl-delay: 5\nDisallow:\n")
         elif h % 5 == 0:
             base = "User-agent: *\nDisallow: /page/13\nDisallow: /private/\n"
         elif h % 5 == 3:

@@ -119,24 +119,67 @@ class RobotsMatcher:
         return best_allow
 
 
-def parse_crawl_delay(text: str) -> float:
-    """``Crawl-delay`` (seconds) for User-agent: *; 0.0 if absent."""
-    applies = False
-    for line in text.splitlines():
-        line = line.split("#", 1)[0].strip()
+def parse_crawl_delay(text: str, user_agent: str = "*") -> float:
+    """``Crawl-delay`` (seconds); 0.0 if absent.
+
+    ``user_agent="*"`` (default — the prefix-matcher configuration of
+    rounds 1-4) honors only ``User-agent: *`` groups, byte-identical
+    to the historic behavior.  A concrete product token applies the
+    SAME group selection as the rule matcher (longest UA-substring
+    match, ``*`` fallback, adjacent UA lines sharing a group): the
+    delay a spec-following crawler must obey is its own group's, not
+    the catch-all's."""
+    if user_agent == "*":
+        applies = False
+        for line in text.splitlines():
+            line = line.split("#", 1)[0].strip()
+            if not line or ":" not in line:
+                continue
+            field, value = line.split(":", 1)
+            field = field.strip().lower()
+            value = value.strip()
+            if field == "user-agent":
+                applies = value == "*"
+            elif field == "crawl-delay" and applies:
+                try:
+                    return max(0.0, float(value))
+                except ValueError:
+                    return 0.0
+        return 0.0
+    ua = user_agent.lower()
+    groups: Dict[str, float] = {}
+    cur_uas: List[str] = []
+    last_was_ua = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
         if not line or ":" not in line:
             continue
         field, value = line.split(":", 1)
         field = field.strip().lower()
         value = value.strip()
         if field == "user-agent":
-            applies = value == "*"
-        elif field == "crawl-delay" and applies:
-            try:
-                return max(0.0, float(value))
-            except ValueError:
-                return 0.0
-    return 0.0
+            if not last_was_ua:
+                cur_uas = []
+            cur_uas.append(value.lower())
+            groups.setdefault(value.lower(), 0.0)
+            last_was_ua = True
+        else:
+            if field == "crawl-delay" and cur_uas:
+                try:
+                    d = max(0.0, float(value))
+                except ValueError:
+                    d = 0.0
+                for tok in cur_uas:
+                    if not groups.get(tok):
+                        groups[tok] = d
+            last_was_ua = False
+    best, best_len = None, -1
+    for tok in groups:
+        if tok != "*" and tok in ua and len(tok) > best_len:
+            best, best_len = tok, len(tok)
+    if best is not None:
+        return groups[best]
+    return groups.get("*", 0.0)
 
 
 class RobotsShard:
@@ -172,7 +215,10 @@ class RobotsShard:
                     if status == 200:
                         text = body.decode("utf-8", "replace")
                         allow_fn = self._compile(text)
-                        delay = parse_crawl_delay(text)
+                        delay = parse_crawl_delay(
+                            text,
+                            self.user_agent
+                            if self.matcher_mode == "rfc9309" else "*")
                 except Exception:
                     allow_fn, delay = None, 0.0
             self.fetches += 1
